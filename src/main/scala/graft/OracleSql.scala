@@ -1,0 +1,157 @@
+package graft
+
+import graft.analyze.Analyzer
+import graft.index.Fieldnorm
+
+/** Generates the DuckDB oracle SQL that mirrors the engine's BM25
+  * pipeline exactly: same tokenizer (Analyzer.tokensSqlDuck), same
+  * SmallFloat fieldnorm quantization (Fieldnorm.encodeSql/decodeSql),
+  * same double-precision BM25 arithmetic as Scorer.scoreF64. Scores are
+  * rounded to 4 decimals on both sides before the driver's hash compare.
+  */
+object OracleSql {
+
+  /** Shared CTE scaffold over the `documents` table: tokens, tf, doc
+    * lengths, decoded quantized norms, corpus stats, term dictionary.
+    */
+  val scaffold: String = {
+    val toks = Analyzer.tokensSqlDuck("text")
+    val nid = Fieldnorm.encodeSql("len", duck = true)
+    val dnorm = Fieldnorm.decodeSql("nid", duck = true)
+    s"""tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1),
+       |nrm AS (SELECT doc_id, $dnorm AS dnorm FROM (SELECT doc_id, $nid AS nid FROM dl)),
+       |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |              (SELECT sum(len) FROM dl)::DOUBLE AS tot),
+       |dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)""".stripMargin
+  }
+
+  /** BM25 score sum + matched-group count over a weighted term set CTE
+    * `qt(term, w, grp)`.
+    */
+  val scorer: String =
+    """sc AS (SELECT tf.doc_id,
+      |  sum(ln(1.0 + (st.n - dict.df + 0.5) / (dict.df + 0.5)) * 2.2 * qt.w
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * nrm.dnorm / (st.tot / st.n)))) AS score,
+      |  count(DISTINCT qt.grp) AS gm
+      |  FROM qt JOIN tf USING (term) JOIN dict USING (term)
+      |       JOIN nrm ON nrm.doc_id = tf.doc_id CROSS JOIN st
+      |  GROUP BY 1)""".stripMargin
+
+  /** Exact-term qt CTE from (term, weight, group) triples. */
+  def qtValues(terms: Seq[(String, Double, Int)]): String =
+    "qt(term, w, grp) AS (VALUES " +
+      terms.map { case (t, w, g) => s"('$t', ${w}::DOUBLE, $g)" }.mkString(", ") + ")"
+
+  /** Top-k projection with the engine's total order. */
+  def topK(k: Int, requiredGroups: Int): String =
+    s"""SELECT doc_id, round(score, 4) AS score FROM sc
+       |WHERE gm = $requiredGroups
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  def fts(terms: Seq[String], k: Int): String =
+    s"""WITH $scaffold,
+       |${qtValues(terms.map(t => (t, 1.0, 0)))},
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
+
+  /** Prefix query: dictionary expansion LIKE 'p%', cap 1024 by term order
+    * (mirrors QueryEngine.prefixExpand / SearchDefaults.MaxExpansions).
+    */
+  def ftsPrefix(prefix: String, k: Int): String =
+    s"""WITH $scaffold,
+       |qt AS (SELECT term, 1.0::DOUBLE AS w, 0 AS grp FROM dict
+       |       WHERE term LIKE '$prefix%' ORDER BY term LIMIT 1024),
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
+
+  /** Conjunction of per-group exact term sets; all groups required. */
+  def ftsConj(groups: Seq[Seq[String]], k: Int): String = {
+    val triples = groups.zipWithIndex.flatMap { case (ts, g) => ts.map(t => (t, 1.0, g)) }
+    s"""WITH $scaffold,
+       |${qtValues(triples)},
+       |$scorer
+       |${topK(k, groups.size)}""".stripMargin
+  }
+
+  /** Fuzzy: dictionary expansion by levenshtein distance with the lnx
+    * distance multipliers (1.0 / 0.8 / 0.6; apis/mod.rs:225-246).
+    */
+  def fuzzy(tokens: Seq[String], k: Int): String = {
+    val qts = tokens.zipWithIndex.map { case (tok, g) =>
+      s"""SELECT term, (CASE levenshtein(term, '$tok') WHEN 0 THEN 1.0
+         |  WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $g AS grp
+         |FROM dict WHERE levenshtein(term, '$tok') <= 2""".stripMargin
+    }
+    s"""WITH $scaffold,
+       |qt AS (${qts.mkString(" UNION ALL ")}),
+       |$scorer
+       |${topK(k, tokens.size)}""".stripMargin
+  }
+
+  /** levenshtein(): boolean match, score 1.0 (apis/mod.rs:249-266). */
+  def lev(token: String, k: Int): String =
+    s"""WITH $scaffold,
+       |m AS (SELECT DISTINCT tf.doc_id FROM tf
+       |      WHERE levenshtein(tf.term, '$token') <= 2)
+       |SELECT doc_id, 1.0::DOUBLE AS score FROM m ORDER BY doc_id ASC LIMIT $k""".stripMargin
+
+  /** regex(): pattern vs whole terms, score 1.0 (apis/mod.rs:269-281). */
+  def regex(pattern: String, k: Int): String =
+    s"""WITH $scaffold,
+       |m AS (SELECT DISTINCT tf.doc_id FROM tf
+       |      WHERE regexp_full_match(tf.term, '$pattern'))
+       |SELECT doc_id, 1.0::DOUBLE AS score FROM m ORDER BY doc_id ASC LIMIT $k""".stripMargin
+
+  /** Score threshold: fts(...) > t (apis/mod.rs:221). */
+  def ftsThreshold(terms: Seq[String], threshold: Double, k: Int): String =
+    s"""WITH $scaffold,
+       |${qtValues(terms.map(t => (t, 1.0, 0)))},
+       |$scorer
+       |SELECT doc_id, round(score, 4) AS score FROM sc
+       |WHERE gm = 1 AND score > $threshold
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Fast-fuzzy: each query token corrected to the dictionary term with
+    * (min levenshtein <= 2, max df, lexicographic), then plain fts —
+    * the SQL mirror of SymSpell.pickBest + QueryEngine.correct.
+    */
+  def fastFuzzy(tokens: Seq[String], k: Int): String = {
+    val corr = tokens.map { t =>
+      s"""SELECT coalesce((SELECT d.term FROM dict d WHERE levenshtein(d.term, '$t') <= 2
+         |  ORDER BY levenshtein(d.term, '$t') ASC, d.df DESC, d.term ASC LIMIT 1), '$t')""".stripMargin
+    }
+    s"""WITH $scaffold,
+       |qt AS (SELECT DISTINCT c.t AS term, 1.0::DOUBLE AS w, 0 AS grp
+       |       FROM (${corr.map(c => s"SELECT ($c) AS t").mkString(" UNION ALL ")}) c),
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
+  }
+
+  /** More-like-this: top-N tf*idf terms of the seed doc (tie: term asc)
+    * as a plain fts disjunction (mirrors QueryEngine.seedTerms).
+    */
+  def moreLikeThis(seedDocId: Long, topTerms: Int, k: Int): String =
+    s"""WITH $scaffold,
+       |seed AS (SELECT tf.term, tf.tf FROM tf WHERE tf.doc_id = $seedDocId),
+       |qt AS (SELECT s.term, 1.0::DOUBLE AS w, 0 AS grp FROM seed s
+       |       JOIN dict USING (term) CROSS JOIN st
+       |       ORDER BY s.tf::DOUBLE * ln(1.0 + (st.n - dict.df + 0.5) / (dict.df + 0.5)) DESC,
+       |                s.term ASC
+       |       LIMIT $topTerms),
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
+
+  /** Facet counting over a match set: hierarchical prefixes of
+    * /source/lang for docs matching an fts disjunction (apis/mod.rs:177).
+    */
+  def facetCounts(terms: Seq[String]): String =
+    s"""WITH $scaffold,
+       |${qtValues(terms.map(t => (t, 1.0, 0)))},
+       |m AS (SELECT DISTINCT tf.doc_id FROM qt JOIN tf USING (term)),
+       |f AS (SELECT '/' || d.source AS facet FROM m JOIN documents d USING (doc_id)
+       |      UNION ALL
+       |      SELECT '/' || d.source || '/' || d.lang FROM m JOIN documents d USING (doc_id))
+       |SELECT facet, count(*)::BIGINT AS cnt FROM f GROUP BY 1 ORDER BY facet ASC""".stripMargin
+}

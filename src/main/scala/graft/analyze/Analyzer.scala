@@ -1,0 +1,54 @@
+package graft.analyze
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Code-aware text analyzer.
+  *
+  * Semantics: split camelCase boundaries, lowercase, split on any
+  * non-[a-z0-9] run, drop empty tokens and tokens longer than 40 chars.
+  * This mirrors tantivy's `default` analyzer (simple tokenizer +
+  * lowercase + RemoveLongFilter(40); pinned by reference Cargo.toml:55,
+  * per-column tokenizers documented at lnx-server/src/apis/mod.rs:211-213)
+  * extended with camelCase/snake_case code splitting per the north star.
+  *
+  * The same semantics are implemented three ways, asserted equivalent in
+  * AnalyzerSpec: (1) plain Scala for driver-side query tokenization and
+  * typed mapPartitions in the index build hot path; (2) Spark Column
+  * (codegen'd built-ins, no UDF); (3) DuckDB SQL for the oracle.
+  */
+object Analyzer {
+  final val MaxTokenLen = 40
+  private final val CamelRe = "([a-z0-9])([A-Z])"
+  private final val SplitRe = "[^a-z0-9]+"
+
+  def tokenize(s: String): Array[String] =
+    s.replaceAll(CamelRe, "$1 $2")
+      .toLowerCase(java.util.Locale.ROOT)
+      .split(SplitRe)
+      .filter(t => t.nonEmpty && t.length <= MaxTokenLen)
+
+  /** (token -> tf) and total token count, one pass. */
+  def tokenCounts(s: String): (collection.Map[String, Int], Int) = {
+    val toks = tokenize(s)
+    val m = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) {
+      m.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    (m.asScala.map { case (k, v) => (k, v.intValue) }, toks.length)
+  }
+
+  /** Column-level tokenizer: array<string> of tokens (codegen'd built-ins). */
+  def tokensCol(c: Column): Column =
+    filter(
+      split(lower(regexp_replace(c, CamelRe, "$1 $2")), SplitRe),
+      t => t =!= lit("") && length(t) <= lit(MaxTokenLen))
+
+  /** DuckDB SQL producing the same token array from `col`. */
+  def tokensSqlDuck(col: String): String =
+    s"list_filter(regexp_split_to_array(lower(regexp_replace($col, '([a-z0-9])([A-Z])', " +
+      raw"'\1 \2', 'g')), '[^a-z0-9]+'), t -> t <> '' AND length(t) <= $MaxTokenLen)"
+}

@@ -1,0 +1,72 @@
+package graft.analyze
+
+/** Plain Levenshtein edit distance with early-exit band, used driver-side
+  * for fuzzy-term verification (the reference delegates fuzzy matching to
+  * levenshtein automata, Cargo.lock:1453; semantics are the distance
+  * itself, apis/mod.rs:225-266). Distributed candidate filtering uses
+  * Spark's built-in `levenshtein` function; results must agree.
+  */
+object Levenshtein {
+  def distance(a: String, b: String, max: Int): Int = {
+    if (a == b) return 0
+    val la = a.length
+    val lb = b.length
+    if (math.abs(la - lb) > max) return max + 1
+    var prev = Array.tabulate(lb + 1)(identity)
+    var cur = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      cur(0) = i
+      var best = cur(0)
+      var j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < best) best = cur(j)
+        j += 1
+      }
+      if (best > max) return max + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(lb), max + 1)
+  }
+}
+
+/** SymSpell-style pre-computed spell correction: lnx's flagship
+  * "fast-fuzzy" path (README.md:28,41 — correct the *query* against a
+  * build-time dictionary instead of expanding terms at search time;
+  * SURVEY.md section 2.4 F5). Delete-variants of depth <= 2 on both the
+  * dictionary and the query cover every pair within Levenshtein
+  * distance 2; candidates are verified with the true distance.
+  */
+object SymSpell {
+  final val MaxDistance = 2
+
+  /** All strings obtained from `s` by deleting up to `d` chars (incl. s). */
+  def deletes(s: String, d: Int = MaxDistance): Set[String] = {
+    var cur = Set(s)
+    var all = Set(s)
+    var i = 0
+    while (i < d) {
+      cur = cur.flatMap { t =>
+        if (t.length <= 1) Set.empty[String]
+        else (0 until t.length).map(j => t.substring(0, j) + t.substring(j + 1)).toSet
+      }
+      all ++= cur
+      i += 1
+    }
+    all
+  }
+
+  /** Deterministic best correction among verified candidates:
+    * min distance, then max df, then lexicographic term.
+    */
+  def pickBest(query: String, cands: Seq[(String, Long)]): Option[String] = {
+    val verified = cands.flatMap { case (term, df) =>
+      val d = Levenshtein.distance(query, term, MaxDistance)
+      if (d <= MaxDistance) Some((d, -df, term)) else None
+    }
+    if (verified.isEmpty) None else Some(verified.min._3)
+  }
+}

@@ -1,0 +1,267 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.analyze.{Analyzer, Levenshtein, SymSpell}
+import graft.index.BuiltIndex
+
+/** Search clauses: the WHERE-clause surface of the lnx SQL dialect
+  * (SURVEY.md section 2.4; lnx-server/src/apis/mod.rs:200-281). Each
+  * clause is one clause group; `required = true` composes clauses as a
+  * conjunction whose score is the sum of clause scores (P4).
+  */
+sealed trait SearchClause { def required: Boolean }
+
+/** `fts(col, query)`: BM25; trailing `*` on a term = prefix expansion
+  * (apis/mod.rs:208-222). */
+final case class Fts(field: String, query: String, required: Boolean = true) extends SearchClause
+
+/** `fuzzy(col, query)`: BM25 x edit-distance multiplier
+  * (apis/mod.rs:225-246; worked example pins distance 2 -> 0.6). */
+final case class FuzzyC(field: String, query: String, maxDist: Int = 2,
+    multipliers: Seq[Double] = Seq(1.0, 0.8, 0.6), required: Boolean = true) extends SearchClause
+
+/** `levenshtein(col, query)`: pure fuzzy match, 1.0/0.0, no BM25
+  * (apis/mod.rs:249-266). */
+final case class LevC(field: String, query: String, maxDist: Int = 2,
+    required: Boolean = true) extends SearchClause
+
+/** `regex(col, pattern)`: pattern vs whole terms, 1.0/0.0
+  * (apis/mod.rs:269-281). */
+final case class RegexC(field: String, pattern: String, required: Boolean = true) extends SearchClause
+
+/** lnx fast-fuzzy: pre-computed spell correction of the query, then
+  * plain BM25 (README.md:28; SURVEY.md F5). */
+final case class FastFuzzy(field: String, query: String, required: Boolean = true) extends SearchClause
+
+/** more-like-this: top tf-idf terms of a seed doc as a disjunction
+  * (README.md:29; SURVEY.md F6). */
+final case class MoreLikeThis(field: String, docId: Long, topTerms: Int = 8,
+    required: Boolean = true) extends SearchClause
+
+/** Compiles search clauses against an index's term dictionary and runs
+  * them through the distributed scorers. Term-dictionary lookups
+  * (df, prefix/fuzzy/regex expansion) execute as pushdown filters on
+  * the termStats Dataset and collect only the matched entries — the
+  * Spark analogue of tantivy consulting its FST term dictionary at
+  * plan time.
+  */
+final class QueryEngine(val index: BuiltIndex) {
+  import SearchDefaults._
+
+  /** field -> (term -> df) for an exact term batch. */
+  private def dfLookup(keys: Seq[(String, String)]): Map[(String, String), Long] = {
+    if (keys.isEmpty) return Map.empty
+    val fields = keys.map(_._1).distinct
+    val terms = keys.map(_._2).distinct
+    index.termStats
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+      .filter { case (k, _) => keys.contains(k) }
+  }
+
+  private def prefixExpand(field: String, prefix: String): Seq[(String, Long)] =
+    index.termStats
+      .filter(col("field") === field && col("term").startsWith(prefix))
+      .orderBy(col("term"))
+      .limit(MaxExpansions)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+
+  /** Distributed fuzzy expansion: length-banded dictionary scan with the
+    * built-in levenshtein filter, verified driver-side with the banded
+    * DP (both must agree; LevenshteinSpec).
+    */
+  private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] =
+    index.termStats
+      .filter(col("field") === field &&
+        length(col("term")).between(tok.length - maxDist, tok.length + maxDist) &&
+        levenshtein(col("term"), lit(tok)) <= maxDist)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), Levenshtein.distance(tok, r.getString(1), maxDist)))
+      .filter(_._3 <= maxDist)
+      .sortBy(t => (t._3, t._1))
+      .take(MaxExpansions)
+      .toSeq
+
+  private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
+    index.termStats
+      .filter(col("field") === field && col("term").rlike("^(?:" + pattern + ")$"))
+      .orderBy(col("term"))
+      .limit(MaxExpansions)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+
+  /** Lazy SymSpell delete-variant dictionary, one per index
+    * (field, variant, term, df) — the build-time artifact behind
+    * fast-fuzzy. Persisted like the postings.
+    */
+  lazy val symspellDict: DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val d = index.termStats
+      .as[(String, String, Long)]
+      .flatMap { case (f, t, df) => SymSpell.deletes(t).iterator.map(v => (f, v, t, df)) }
+      .toDF("field", "variant", "term", "df")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    d
+  }
+
+  /** Fast-fuzzy correction of one token (deterministic: min distance,
+    * max df, lexicographic).
+    */
+  def correct(field: String, tok: String): String = {
+    val variants = SymSpell.deletes(tok).toSeq
+    val cands = symspellDict
+      .filter(col("field") === field && col("variant").isin(variants: _*))
+      .select(col("term"), col("df")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    SymSpell.pickBest(tok, cands).getOrElse(tok)
+  }
+
+  /** Top tf-idf terms of a seed document (more-like-this). */
+  def seedTerms(field: String, docId: Long, topTerms: Int): Seq[String] = {
+    val rows = index.docs.filter(col("docId") === docId).select(col(field)).collect()
+    if (rows.isEmpty) return Nil
+    val (counts, _) = Analyzer.tokenCounts(Option(rows(0).getString(0)).getOrElse(""))
+    val dfs = dfLookup(counts.keys.map(t => (field, t)).toSeq)
+    counts.toSeq
+      .flatMap { case (t, tf) =>
+        dfs.get((field, t)).map(df => (tf.toDouble * Bm25.idfF64(df, index.numDocs), t))
+      }
+      .sortBy { case (tfidf, t) => (-tfidf, t) }
+      .take(topTerms)
+      .map(_._2)
+  }
+
+  /** Compile clauses to weighted terms. Group ids = clause positions. */
+  def compile(clauses: Seq[SearchClause]): CompiledQuery = {
+    require(clauses.size <= 32, "at most 32 clause groups")
+    val n = index.numDocs
+    val groups = clauses.zipWithIndex.map { case (c, i) =>
+      CompiledGroup(i, c.required, c match {
+        case _: LevC | _: RegexC => true
+        case _ => false
+      })
+    }
+    val terms = clauses.zipWithIndex.flatMap { case (c, g) =>
+      c match {
+        case Fts(field, query, _) =>
+          val toks = tokenizeQuery(query)
+          val (prefixToks, exactToks) = toks.partition(_.endsWith("*"))
+          val exact = dfLookup(exactToks.map(t => (field, t)).distinct)
+            .map { case ((f, t), df) => (f, t, df, 1.0) }
+          val pre = prefixToks.flatMap(p => prefixExpand(field, p.dropRight(1)))
+            .map { case (t, df) => (field, t, df, 1.0) }
+          (exact ++ pre).map { case (f, t, df, m) => mkTerm(f, t, df, m, g, n) }
+        case FuzzyC(field, query, maxDist, mult, _) =>
+          tokenizeQuery(query).flatMap { tok =>
+            fuzzyExpand(field, tok, maxDist).map { case (t, df, d) =>
+              mkTerm(field, t, df, mult(math.min(d, mult.size - 1)), g, n)
+            }
+          }
+        case LevC(field, query, maxDist, _) =>
+          tokenizeQuery(query).flatMap { tok =>
+            fuzzyExpand(field, tok, maxDist).map { case (t, df, _) => mkTerm(field, t, df, 1.0, g, n) }
+          }
+        case RegexC(field, pattern, _) =>
+          regexExpand(field, pattern).map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
+        case FastFuzzy(field, query, _) =>
+          val toks = tokenizeQuery(query).map(t => correct(field, t)).distinct
+          dfLookup(toks.map(t => (field, t))).map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }
+        case MoreLikeThis(field, docId, topTerms, _) =>
+          val toks = seedTerms(field, docId, topTerms)
+          dfLookup(toks.map(t => (field, t))).map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }
+      }
+    }
+    // dedupe (field, term, group); keep first
+    val seen = scala.collection.mutable.HashSet.empty[(String, String, Int)]
+    val uniq = terms.filter(t => seen.add((t.field, t.term, t.group)))
+    CompiledQuery(uniq, groups)
+  }
+
+  private def mkTerm(f: String, t: String, df: Long, mult: Double, g: Int, n: Long): CompiledTerm =
+    CompiledTerm(f, t, g, Bm25.weightF32(df, n) * mult.toFloat, Bm25.weightF64(df, n) * mult)
+
+  /** Query tokenization: same analyzer as the indexed column
+    * (apis/mod.rs:211-213), except a trailing `*` survives as a prefix
+    * marker on its token.
+    */
+  def tokenizeQuery(q: String): Seq[String] = {
+    q.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { raw =>
+      val isPrefix = raw.endsWith("*")
+      val toks = Analyzer.tokenize(if (isPrefix) raw.dropRight(1) else raw)
+      if (toks.isEmpty) Nil
+      else if (isPrefix) toks.init ++ Seq(toks.last + "*")
+      else toks.toSeq
+    }
+  }
+
+  /** (docId, score float) — rank-identity path (f32 + optional WAND). */
+  def searchF32(clauses: Seq[SearchClause], k: Int = DefaultLimit, useWand: Boolean = false): DataFrame = {
+    val cq = compile(clauses)
+    if (cq.terms.isEmpty) return emptyResultF32
+    val scored =
+      if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore) Wand.topK(index, cq, k)
+      else Scorer.scoreF32(index, cq)
+    Scorer.topK(scored.toDF("docId", "score"), k)
+  }
+
+  /** (docId, score double) — oracle-parity path. */
+  def searchF64(clauses: Seq[SearchClause], k: Int = DefaultLimit,
+      threshold: Option[Double] = None): DataFrame =
+    Scorer.topK(matchF64(clauses, threshold), k)
+
+  /** Unlimited (docId, score double) match set (facet counting, custom
+    * ordering at the call site).
+    */
+  def matchF64(clauses: Seq[SearchClause], threshold: Option[Double] = None): DataFrame = {
+    val cq = compile(clauses)
+    if (cq.terms.isEmpty) return emptyResultF64
+    val scored = Scorer.scoreF64(index, cq).toDF("docId", "score")
+    threshold.map(t => scored.filter(col("score") > lit(t))).getOrElse(scored)
+  }
+
+  /** Join scored docIds back to stored fields (the only docId join the
+    * engine needs, SURVEY.md section 2.3). The scored side is <= k rows
+    * after topK — broadcast it.
+    */
+  def withDocs(scored: DataFrame, docCols: Seq[String]): DataFrame = {
+    val cols = docCols.map(col) :+ col("score")
+    index.docs.join(broadcast(scored), "docId").select(cols: _*)
+  }
+
+  /** Hierarchical facet counting over a match set (the `facet` type's
+    * drill-down aggregation, apis/mod.rs:177): count matching docs per
+    * facet path prefix.
+    */
+  def facetCounts(matchedDocIds: DataFrame, facetCol: Column): DataFrame = {
+    val matched = index.docs.join(broadcast(matchedDocIds.select("docId")), "docId")
+    matched
+      .withColumn("__parts", split(regexp_replace(facetCol, "^/", ""), "/"))
+      .withColumn("__lvl", explode(sequence(lit(1), size(col("__parts")))))
+      .withColumn("facet", concat(lit("/"), concat_ws("/", slice(col("__parts"), lit(1), col("__lvl")))))
+      .groupBy(col("facet")).agg(count(lit(1)).as("cnt"))
+  }
+
+  private def emptyResultF32: DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    spark.emptyDataset[ScoredDocF32].toDF("docId", "score")
+  }
+
+  private def emptyResultF64: DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    spark.emptyDataset[ScoredDocF64].toDF("docId", "score")
+  }
+}
+
+object SearchDefaults {
+  /** lnx injects LIMIT 1000 when absent (lnx-server/src/apis/query.rs:15-17). */
+  final val DefaultLimit = 1000
+  /** cap on dictionary expansions per prefix/fuzzy/regex token (deterministic order). */
+  final val MaxExpansions = 1024
+}

@@ -1,0 +1,176 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.index.{BuiltIndex, PostingCodec, PostingRow}
+
+/** A compiled search term: one dictionary term contributing to one
+  * clause group. `weightF32` is the full precomputed BM25 term weight
+  * idf * (1 + k1) * userMultiplier (fuzzy distance multipliers bake in
+  * here), computed driver-side from the term dictionary — the Spark
+  * analogue of tantivy building a Bm25Weight per term.
+  */
+final case class CompiledTerm(
+    field: String,
+    term: String,
+    group: Int,
+    weightF32: Float,
+    weightF64: Double)
+
+/** One clause group = one search-function call in the WHERE clause
+  * (fts/fuzzy/levenshtein/regex). Terms within a group are a
+  * disjunction; groups compose as a conjunction when `required`
+  * (tantivy BooleanQuery: conjunction score = sum of clause scores,
+  * SURVEY.md section 2.2 P4). `constScore` groups contribute a flat
+  * 1.0 on match (levenshtein/regex semantics, apis/mod.rs:249-281).
+  */
+final case class CompiledGroup(id: Int, required: Boolean, constScore: Boolean)
+
+final case class CompiledQuery(terms: Seq[CompiledTerm], groups: Seq[CompiledGroup]) {
+  def requiredMask: Int = groups.filter(_.required).map(g => 1 << g.id).sum
+}
+
+final case class ScoredDocF32(docId: Long, score: Float)
+final case class ScoredDocF64(docId: Long, score: Double)
+
+/** Distributed scoring over the sharded posting lists.
+  *
+  * Plan shape (scale rationale): the posting rows matching the query's
+  * terms are a *tiny* Dataset (#terms x #shards rows) selected with a
+  * pushed-down `term IN (...)` filter against the term-sorted parquet;
+  * they are then re-grouped by docId shard so each task merges all
+  * clause postings for a disjoint docId range — per-doc aggregation
+  * happens in-task with zero per-hit shuffle, and the global top-k is a
+  * TakeOrdered over per-shard candidates. No shuffle ever scales with
+  * corpus size, only with (matched terms x shards).
+  */
+object Scorer {
+
+  /** Pushdown-friendly selection of the query's posting rows. */
+  def matchedPostings(index: BuiltIndex, terms: Seq[CompiledTerm]): Dataset[PostingRow] = {
+    val termKeys = terms.map(_.term).distinct
+    val fieldKeys = terms.map(_.field).distinct
+    val wanted = terms.map(t => (t.field, t.term)).toSet
+    index.postings
+      .filter(col("term").isin(termKeys: _*) && col("field").isin(fieldKeys: _*))
+      .filter(p => wanted.contains((p.field, p.term)))
+  }
+
+  /** Exhaustive f32 path: tantivy-arithmetic scores, deterministic
+    * accumulation order (groups/terms sorted), exact conjunction masks.
+    */
+  def scoreF32(index: BuiltIndex, cq: CompiledQuery): Dataset[ScoredDocF32] = {
+    val spark = index.spark
+    import spark.implicits._
+    val weights: Map[(String, String, Int), Float] =
+      cq.terms.map(t => (t.field, t.term, t.group) -> t.weightF32).toMap
+    val groupOf: Map[(String, String), Seq[Int]] =
+      cq.terms.groupBy(t => (t.field, t.term)).map { case (k, v) => k -> v.map(_.group).sorted }
+    val constMask = cq.groups.filter(_.constScore).map(g => 1 << g.id).sum
+    val reqMask = cq.requiredMask
+    val caches: Map[String, Array[Float]] =
+      cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
+    matchedPostings(index, cq.terms)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask)
+      }
+  }
+
+  private def mergeShardF32(
+      rows: Iterator[PostingRow],
+      weights: Map[(String, String, Int), Float],
+      groupOf: Map[(String, String), Seq[Int]],
+      caches: Map[String, Array[Float]],
+      constMask: Int,
+      reqMask: Int): Iterator[ScoredDocF32] = {
+    // deterministic accumulation order: (minGroup, field, term)
+    val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
+    val score = new java.util.HashMap[Long, Array[Float]]() // [score]
+    val mask = new java.util.HashMap[Long, Array[Int]]()
+    sorted.foreach { p =>
+      val cache = caches(p.field)
+      val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+      groupOf((p.field, p.term)).foreach { g =>
+        val gBit = 1 << g
+        val isConst = (constMask & gBit) != 0
+        val w = weights((p.field, p.term, g))
+        var i = 0
+        while (i < dec.docIds.length) {
+          val d = dec.docIds(i)
+          val sAcc = score.computeIfAbsent(d, _ => Array(0.0f))
+          val mAcc = mask.computeIfAbsent(d, _ => Array(0))
+          if (isConst) {
+            if ((mAcc(0) & gBit) == 0) sAcc(0) += 1.0f
+          } else {
+            sAcc(0) += Bm25.tfScoreF32(w, dec.tfs(i), cache(dec.norms(i)))
+          }
+          mAcc(0) |= gBit
+          i += 1
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    score.entrySet().iterator().asScala
+      .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask)
+      .map(e => ScoredDocF32(e.getKey, e.getValue()(0)))
+  }
+
+  /** Oracle-parity f64 path: identical structure, pure double math
+    * (mirrors the DuckDB oracle SQL exactly; see SparkEntry.oracleSql).
+    */
+  def scoreF64(index: BuiltIndex, cq: CompiledQuery): Dataset[ScoredDocF64] = {
+    val spark = index.spark
+    import spark.implicits._
+    val weights: Map[(String, String, Int), Double] =
+      cq.terms.map(t => (t.field, t.term, t.group) -> t.weightF64).toMap
+    val groupOf: Map[(String, String), Seq[Int]] =
+      cq.terms.groupBy(t => (t.field, t.term)).map { case (k, v) => k -> v.map(_.group).sorted }
+    val constMask = cq.groups.filter(_.constScore).map(g => 1 << g.id).sum
+    val reqMask = cq.requiredMask
+    val caches: Map[String, Array[Double]] =
+      cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF64(index.avgFieldnormF64(f))).toMap
+    matchedPostings(index, cq.terms)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
+        val score = new java.util.HashMap[Long, Array[Double]]()
+        val mask = new java.util.HashMap[Long, Array[Int]]()
+        sorted.foreach { p =>
+          val cache = caches(p.field)
+          val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+          groupOf((p.field, p.term)).foreach { g =>
+            val gBit = 1 << g
+            val isConst = (constMask & gBit) != 0
+            val w = weights((p.field, p.term, g))
+            var i = 0
+            while (i < dec.docIds.length) {
+              val d = dec.docIds(i)
+              val sAcc = score.computeIfAbsent(d, _ => Array(0.0d))
+              val mAcc = mask.computeIfAbsent(d, _ => Array(0))
+              if (isConst) {
+                if ((mAcc(0) & gBit) == 0) sAcc(0) += 1.0d
+              } else {
+                sAcc(0) += Bm25.tfScoreF64(w, dec.tfs(i), cache(dec.norms(i)))
+              }
+              mAcc(0) |= gBit
+              i += 1
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        score.entrySet().iterator().asScala
+          .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask)
+          .map(e => ScoredDocF64(e.getKey, e.getValue()(0)))
+      }
+  }
+
+  /** Global top-k with the engine's total order (score desc, docId asc
+    * — tantivy breaks score ties by doc address; we pin docId,
+    * SURVEY.md section 2.7 T1). Catalyst plans TakeOrderedAndProject:
+    * per-partition heaps + driver merge = distributed top-k.
+    */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("docId").asc).limit(k)
+}

@@ -1,0 +1,198 @@
+package graft.query
+
+import org.apache.spark.sql.Dataset
+
+import graft.index.{BuiltIndex, DecodedBlock, PostingCodec, PostingRow}
+
+/** Block-max WAND top-k pruning (SURVEY.md section 2.7 T4): the
+  * performance semantics of tantivy 0.22's top-k execution, re-expressed
+  * for a dataflow engine. Each docId shard runs an independent WAND with
+  * its own heap (threshold starts at -inf); per-shard pruning is
+  * conservative, so merging the per-shard top-k candidates by the global
+  * total order (score desc, docId asc) is exact — asserted equal to the
+  * exhaustive scorer in WandSpec.
+  *
+  * Applies to single-group sum-scored disjunctions (the hot top-k fts
+  * path). Conjunctions and const-score groups use the exhaustive scorer.
+  */
+object Wand {
+
+  /** Streaming block-decoding cursor over one term's posting row. */
+  private final class Cursor(
+      val p: PostingRow,
+      val weight: Float,
+      val cache: Array[Float],
+      val ord: Int) {
+    private var blockIdx = 0
+    private var dec: DecodedBlock = _
+    private var pos = 0
+    private var exhausted = false
+    decodeCurrent()
+
+    // suffix max of block UBs, precomputed once: remainingUB is O(1)
+    private val ubSuffix: Array[Float] = {
+      val n = p.blockOffset.length
+      val a = new Array[Float](n)
+      var b = n - 1
+      var m = 0.0f
+      while (b >= 0) {
+        val ub = Bm25.tfScoreF32(weight, p.blockMaxTf(b), cache(p.blockMinNorm(b)))
+        if (ub > m) m = ub
+        a(b) = m
+        b -= 1
+      }
+      a
+    }
+
+    /** UB of any doc still reachable from this cursor. */
+    def remainingUB: Float = if (exhausted) 0.0f else ubSuffix(blockIdx)
+
+    def currentBlockUB: Float =
+      Bm25.tfScoreF32(weight, p.blockMaxTf(blockIdx), cache(p.blockMinNorm(blockIdx)))
+
+    def currentBlockLast: Long = p.blockLast(blockIdx)
+
+    private def decodeCurrent(): Unit = {
+      dec = PostingCodec.decodeBlock(
+        p.bytes, p.blockOffset(blockIdx),
+        if (blockIdx == 0) -1L else p.blockLast(blockIdx - 1))
+      pos = 0
+    }
+
+    def done: Boolean = exhausted
+    def curDoc: Long = if (exhausted) Long.MaxValue else dec.docIds(pos)
+    def curScore: Float = Bm25.tfScoreF32(weight, dec.tfs(pos), cache(dec.norms(pos)))
+
+    def next(): Unit = {
+      pos += 1
+      if (pos >= dec.docIds.length) {
+        blockIdx += 1
+        if (blockIdx >= p.blockOffset.length) exhausted = true
+        else decodeCurrent()
+      }
+    }
+
+    /** Skip to the first doc >= target, decoding only the landing block. */
+    def advanceTo(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      if (p.blockLast(blockIdx) < target) {
+        var b = blockIdx
+        while (b < p.blockLast.length && p.blockLast(b) < target) b += 1
+        if (b >= p.blockLast.length) { exhausted = true; return }
+        blockIdx = b
+        decodeCurrent()
+      }
+      while (pos < dec.docIds.length && dec.docIds(pos) < target) pos += 1
+      if (pos >= dec.docIds.length) { // target falls between blocks
+        blockIdx += 1
+        if (blockIdx >= p.blockOffset.length) exhausted = true
+        else decodeCurrent()
+      }
+    }
+  }
+
+  private final case class Hit(docId: Long, score: Float)
+
+  /** Heap entry comparison: keep the k best under (score desc, docId
+    * asc); the heap root is the *worst* kept entry.
+    */
+  private def worseThan(aScore: Float, aDoc: Long, bScore: Float, bDoc: Long): Boolean =
+    aScore < bScore || (aScore == bScore && aDoc > bDoc)
+
+  /** Exact per-shard top-k via WAND with block-max skipping. */
+  private def wandShard(rows: Array[PostingRow], weights: Map[(String, String), Float],
+      caches: Map[String, Array[Float]], k: Int): Iterator[ScoredDocF32] = {
+    // scoring order must match the exhaustive scorer: (field, term) sorted
+    val sortedRows = rows.sortBy(p => (p.field, p.term))
+    val cursors = sortedRows.zipWithIndex.map { case (p, i) =>
+      new Cursor(p, weights((p.field, p.term)), caches(p.field), i)
+    }
+    val heap = new java.util.PriorityQueue[Hit](k, (a: Hit, b: Hit) =>
+      if (worseThan(a.score, a.docId, b.score, b.docId)) -1
+      else if (worseThan(b.score, b.docId, a.score, a.docId)) 1
+      else 0)
+
+    def thresholdScore: Float = if (heap.size() < k) Float.NegativeInfinity else heap.peek().score
+    def thresholdDoc: Long = if (heap.size() < k) Long.MaxValue else heap.peek().docId
+
+    def offer(docId: Long, score: Float): Unit = {
+      if (heap.size() < k) heap.add(Hit(docId, score))
+      else if (worseThan(heap.peek().score, heap.peek().docId, score, docId)) {
+        heap.poll(); heap.add(Hit(docId, score))
+      }
+    }
+
+    val live = scala.collection.mutable.ArrayBuffer(cursors: _*)
+    while (live.nonEmpty) {
+      live.filterInPlace(!_.done)
+      if (live.nonEmpty) {
+        val byDoc = live.sortBy(_.curDoc).toArray
+        // pivot: shortest prefix whose UB sum could still beat the heap
+        // (>= not >: an equal score with a smaller docId still wins)
+        var ubSum = 0.0f
+        var p = -1
+        var i = 0
+        while (i < byDoc.length && p < 0) {
+          ubSum += byDoc(i).remainingUB
+          if (ubSum >= thresholdScore) p = i
+          i += 1
+        }
+        if (p < 0) {
+          live.clear() // no doc can enter the heap anymore
+        } else {
+          val pivotDoc = byDoc(p).curDoc
+          // include every cursor already sitting on the pivot doc, so the
+          // block-max skip target is strictly beyond pivotDoc (progress)
+          while (p + 1 < byDoc.length && byDoc(p + 1).curDoc == pivotDoc) p += 1
+          if (byDoc(0).curDoc == pivotDoc) {
+            // shallow block-max refinement over cursors at/before pivot
+            var bmSum = 0.0f
+            var j = 0
+            while (j <= p) { bmSum += byDoc(j).currentBlockUB; j += 1 }
+            if (bmSum < thresholdScore) {
+              // no doc up to the nearest block boundary can win: skip
+              var boundary = Long.MaxValue
+              j = 0
+              while (j <= p) { boundary = math.min(boundary, byDoc(j).currentBlockLast); j += 1 }
+              var nextDoc = boundary + 1
+              j = p + 1
+              while (j < byDoc.length) { nextDoc = math.min(nextDoc, byDoc(j).curDoc); j += 1 }
+              j = 0
+              while (j <= p) { byDoc(j).advanceTo(nextDoc); j += 1 }
+            } else {
+              // full score of pivotDoc: f32 sum in (field, term) order
+              val contrib = cursors.filter(c => !c.done && c.curDoc == pivotDoc)
+              var s = 0.0f
+              contrib.foreach(c => s += c.curScore)
+              offer(pivotDoc, s)
+              contrib.foreach(_.next())
+            }
+          } else {
+            var j = 0
+            while (j < p && byDoc(j).curDoc < pivotDoc) { byDoc(j).advanceTo(pivotDoc); j += 1 }
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heap.iterator().asScala.map(h => ScoredDocF32(h.docId, h.score)).toArray.iterator
+  }
+
+  /** Top-k for a single-group disjunction; exact w.r.t. the exhaustive
+    * scorer under the (score desc, docId asc) total order.
+    */
+  def topK(index: BuiltIndex, cq: CompiledQuery, k: Int): Dataset[ScoredDocF32] = {
+    require(cq.groups.size == 1 && !cq.groups.head.constScore,
+      "WAND path covers single-group sum-scored queries; use Scorer for the rest")
+    val spark = index.spark
+    import spark.implicits._
+    val weights: Map[(String, String), Float] =
+      cq.terms.map(t => (t.field, t.term) -> t.weightF32).toMap
+    val caches: Map[String, Array[Float]] =
+      cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
+    val kk = k
+    Scorer.matchedPostings(index, cq.terms)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) => wandShard(rows.toArray, weights, caches, kk) }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analyze.Analyzer
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("code-aware tokenization semantics") {
+    assert(Analyzer.tokenize("FooBar baz_qux").toSeq === Seq("foo", "bar", "baz", "qux"))
+    assert(Analyzer.tokenize("binarySearch(x_1);").toSeq === Seq("binary", "search", "x", "1"))
+    assert(Analyzer.tokenize("").toSeq === Seq.empty)
+    assert(Analyzer.tokenize("  ,,;  ").toSeq === Seq.empty)
+    assert(Analyzer.tokenize("a" * 41).toSeq === Seq.empty) // >40 chars dropped
+    assert(Analyzer.tokenize("a" * 40).toSeq === Seq("a" * 40))
+    assert(Analyzer.tokenize("HTTPServer2 ok").toSeq === Seq("httpserver2", "ok"))
+  }
+
+  test("Scala and Spark Column tokenizers agree") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val samples = Seq(
+      "FooBar baz_qux", "binarySearch(x_1);", "", "  ,,;  ", "a" * 41, "a" * 40,
+      "let mut x = HashMap::new(); // comment",
+      "SELECT * FROM t WHERE a=1", "snake_case camelCase MixedUPPERCase",
+      "0 1 22 333 4444", "fn main() { return 0; }\n\tuse std::io;") ++
+      (0 until 50).map(i => graft.corpus.CodeCorpus.genDoc(i.toLong).content)
+    val df = samples.toDF("text")
+    val got = df.select(Analyzer.tokensCol(col("text"))).collect().map(_.getSeq[String](0))
+    samples.zip(got).foreach { case (s, colToks) =>
+      assert(colToks === Analyzer.tokenize(s).toSeq, s"mismatch on: ${s.take(60)}")
+    }
+  }
+
+  test("tokenCounts matches tokenize") {
+    val s = graft.corpus.CodeCorpus.genDoc(7L).content
+    val (counts, len) = Analyzer.tokenCounts(s)
+    val toks = Analyzer.tokenize(s)
+    assert(len === toks.length)
+    assert(counts === toks.groupBy(identity).view.mapValues(_.length).toMap)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analyze.Analyzer
+import graft.index.{IndexBuilder, IndexConfig}
+
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val documents = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+  lazy val config = IndexConfig(Seq("doc_id"), Seq("text"), shardDocs = 64, buildPartitions = 4)
+  lazy val index = IndexBuilder.build(documents, config)
+
+  test("docIds are dense, unique, and ordered by key") {
+    val ids = index.docs.select("docId", "doc_id").orderBy("docId").collect()
+    assert(ids.map(_.getLong(0)).toSeq === (0L until ids.length.toLong))
+    // docId order == doc_id (key) order
+    assert(ids.map(_.getLong(1)).toSeq === ids.map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("docId assignment is invariant to input partitioning") {
+    val a = IndexBuilder.assignDocIds(documents.repartition(3), Seq("doc_id"), 4)
+      .select("doc_id", "docId").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = IndexBuilder.assignDocIds(documents.repartition(11), Seq("doc_id"), 7)
+      .select("doc_id", "docId").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+  }
+
+  test("df in the term dictionary equals distinct (term, doc) pairs in raw text") {
+    val expected = documents.select(col("doc_id"), explode(Analyzer.tokensCol(col("text"))).as("term"))
+      .distinct().groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = index.termStats.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("field token totals equal the sum of raw token counts") {
+    val expected = documents.select(sum(size(Analyzer.tokensCol(col("text"))))).collect()(0).getLong(0)
+    assert(index.fieldTokens("text") === expected)
+  }
+
+  test("per-row content sha256 invariant vs the source table") {
+    // BASELINE.json input_hint: per-row content sha256 equality
+    val src = documents.select(col("doc_id"), sha2(col("text"), 256).as("h_src"))
+    val idx = index.docs.select(col("doc_id"), sha2(col("text"), 256).as("h_idx"))
+    val mismatches = src.join(idx, "doc_id")
+      .filter(col("h_src") =!= col("h_idx")).count()
+    assert(mismatches === 0L)
+    assert(src.count() === index.numDocs)
+  }
+
+  test("posting lists cover every (term, doc) occurrence with exact tf") {
+    import graft.index.PostingCodec
+    val rows = index.postings.collect()
+    val fromPostings = rows.flatMap { p =>
+      val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+      dec.docIds.indices.map(i => ((p.term, dec.docIds(i)), dec.tfs(i)))
+    }.toMap
+    val idToDocId = index.docs.select("doc_id", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = documents.select("doc_id", "text").collect().flatMap { r =>
+      val (counts, _) = Analyzer.tokenCounts(r.getString(1))
+      counts.map { case (t, tf) => ((t, idToDocId(r.getLong(0))), tf) }
+    }.toMap
+    assert(fromPostings === expected)
+    // shard bounds respected
+    rows.foreach { p =>
+      val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+      assert(dec.docIds.forall(d => (d / config.shardDocs).toInt == p.shard))
+    }
+  }
+}
