@@ -59,7 +59,8 @@ final class BuiltIndex(
     val termStats: DataFrame, // field, term, df
     val numDocs: Long,
     val fieldTokens: Map[String, Long],
-    val config: IndexConfig) {
+    val config: IndexConfig,
+    val deletes: Option[DataFrame] = None) { // upsert tombstones (docId)
 
   def spark: SparkSession = docs.sparkSession
 
@@ -90,7 +91,7 @@ object IndexBuilder {
     * key order, not on parallelism or input partitioning — required for
     * rank-identity and resume (SURVEY.md section 7 hard part 2).
     */
-  def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int): DataFrame = {
+  def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame = {
     val keys = keyCols.map(col)
     val sorted = df
       .repartitionByRange(parts, keys: _*)
@@ -101,7 +102,7 @@ object IndexBuilder {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val nParts = sorted.rdd.getNumPartitions
     val offsets = new Array[Long](nParts)
-    var acc = 0L
+    var acc = base
     for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
     val outSchema = StructType(df.schema.fields :+ StructField("docId", LongType, nullable = false))
     val enc = Encoders.row(outSchema)
@@ -167,9 +168,9 @@ object IndexBuilder {
   /** Full build: docs -> hits -> one shuffle on (field, term, shard) ->
     * sorted streaming encode -> postings + term dictionary + stats.
     */
-  def build(df: DataFrame, config: IndexConfig): BuiltIndex = {
+  def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex = {
     val spark = df.sparkSession
-    val docs = assignDocIds(df, config.keyCols, config.buildPartitions)
+    val docs = assignDocIds(df, config.keyCols, config.buildPartitions, docIdBase)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hits = termHits(docs, config)
     val postings = hits

@@ -1,0 +1,278 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent multi-segment index layout — the Spark-native analogue of
+  * lnx's tablet store + SQLite metastore (SURVEY.md sections 1.3, 3.2):
+  *
+  *   dir/seg-NNNNN/{postings,docs,termstats}.parquet   segment data
+  *   dir/_deletes/epoch=N/                              upsert tombstones
+  *   dir/_lineage/epoch=N/                              per-partition metrics
+  *   dir/_manifest/vNNNNN/{epochs,config,checkpoints}.parquet
+  *   dir/_manifest/LATEST                               atomic pointer
+  *
+  * Commit ordering mirrors the reference's write path (data durable
+  * first, then the metastore record, bucket.rs:223-237): segment files
+  * are written before the new manifest version; the LATEST pointer is
+  * swapped last via atomic rename. Data without a manifest entry is
+  * invisible garbage awaiting GC — the same crash-consistency contract
+  * as dead tablets (bucket.rs:72-74). On a real cluster the manifest
+  * role is played by Iceberg snapshot commits (no Iceberg jars in this
+  * sandbox; the seam is this object).
+  */
+object IndexStore {
+
+  /** docIdEnd = exclusive upper bound of docIds in this epoch; after
+    * compaction numDocs < docIdEnd (ids are never renumbered).
+    */
+  final case class EpochMeta(epoch: Int, path: String, numDocs: Long, docIdBase: Long,
+      docIdEnd: Long, field: String, fieldTokens: Long)
+  final case class CheckpointRow(epoch: Int, snapshotId: String, committedAtEpochMs: Long)
+  final case class LineageRow(epoch: Int, partitionId: Int, postingRows: Long,
+      postingDocs: Long, tokens: Long)
+  final case class ConfigRow(keyCols: Seq[String], fields: Seq[String], shardDocs: Int,
+      buildPartitions: Int)
+
+  private def latestPath(dir: String) = Paths.get(dir, "_manifest", "LATEST")
+
+  def currentVersion(dir: String): Int = {
+    val p = latestPath(dir)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  private def manifestDir(dir: String, v: Int) = f"$dir/_manifest/v$v%05d"
+
+  /** Atomically advance the LATEST pointer (tmp file + rename). */
+  private def commitVersion(dir: String, v: Int): Unit = {
+    Files.createDirectories(Paths.get(dir, "_manifest"))
+    val tmp = Paths.get(dir, "_manifest", s".LATEST.tmp$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, latestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, v: Int,
+      epochs: Seq[EpochMeta], config: IndexConfig, checkpoints: Seq[CheckpointRow]): Unit = {
+    val md = manifestDir(dir, v)
+    spark.createDataset(epochs)(Encoders.product[EpochMeta])
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/epochs.parquet")
+    spark.createDataset(Seq(ConfigRow(config.keyCols, config.fields, config.shardDocs,
+      config.buildPartitions)))(Encoders.product[ConfigRow])
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
+    spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
+    commitVersion(dir, v)
+  }
+
+  def readManifest(spark: SparkSession, dir: String): (Seq[EpochMeta], IndexConfig, Seq[CheckpointRow]) = {
+    val v = currentVersion(dir)
+    require(v > 0, s"no committed manifest at $dir")
+    val md = manifestDir(dir, v)
+    val epochs = spark.read.parquet(s"$md/epochs.parquet")
+      .as(Encoders.product[EpochMeta]).collect().toSeq.sortBy(e => (e.epoch, e.field))
+    val c = spark.read.parquet(s"$md/config.parquet")
+      .as(Encoders.product[ConfigRow]).collect().head
+    val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions)
+    val cps = spark.read.parquet(s"$md/checkpoints.parquet")
+      .as(Encoders.product[CheckpointRow]).collect().toSeq.sortBy(_.epoch)
+    (epochs, config, cps)
+  }
+
+  /** Write one epoch's segment data (no manifest commit yet):
+    * postings range-partitioned + sorted by (field, term) so term
+    * lookups prune parquet row groups (the FST/sstable term-dictionary
+    * analogue, SURVEY.md section 4 O3); docs sorted by docId.
+    */
+  private def writeSegment(idx: BuiltIndex, segDir: String): Unit = {
+    val parts = math.max(1, idx.config.buildPartitions / 4)
+    idx.postings
+      .repartitionByRange(parts, col("field"), col("term"))
+      .sortWithinPartitions("field", "term", "shard")
+      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/postings.parquet")
+    idx.docs
+      .repartitionByRange(parts, col("docId"))
+      .sortWithinPartitions("docId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/docs.parquet")
+    idx.termStats
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$segDir/termstats.parquet")
+  }
+
+  private def writeLineage(idx: BuiltIndex, dir: String, epoch: Int): Unit = {
+    val spark = idx.spark
+    import spark.implicits._
+    idx.postings
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var (nRows, nDocs, nToks) = (0L, 0L, 0L)
+        rows.foreach { p => nRows += 1; nDocs += p.numDocs; nToks += p.sumTf }
+        Iterator.single(LineageRow(epoch, pid, nRows, nDocs, nToks))
+      }(Encoders.product[LineageRow])
+      .filter(col("postingRows") > 0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_lineage/epoch=$epoch")
+  }
+
+  /** Create a new index directory with epoch 0. */
+  def create(df: DataFrame, config: IndexConfig, dir: String,
+      snapshotId: String = "epoch-0"): BuiltIndex = {
+    val idx = IndexBuilder.build(df, config)
+    writeSegment(idx, s"$dir/seg-00000")
+    writeLineage(idx, dir, 0)
+    val epochs = config.fields.map(f =>
+      EpochMeta(0, "seg-00000", idx.numDocs, 0L, idx.numDocs, f, idx.fieldTokens.getOrElse(f, 0L)))
+    writeManifest(idx.spark, dir, 1, epochs, config, Seq(CheckpointRow(0, snapshotId, 0L)))
+    idx.unpersist()
+    load(df.sparkSession, dir)
+  }
+
+  /** Load the committed view: union of all segments, with upsert
+    * tombstones applied. df/avgdl statistics include not-yet-compacted
+    * deleted docs — the same semantics as Lucene/tantivy segment
+    * deletes before a merge.
+    */
+  def load(spark: SparkSession, dir: String): BuiltIndex = {
+    val (epochs, config, _) = readManifest(spark, dir)
+    val segPaths = epochs.map(_.path).distinct
+    val postings = segPaths.map(p => spark.read.parquet(s"$dir/$p/postings.parquet"))
+      .reduce(_ unionByName _).as(Encoders.product[PostingRow])
+    val docsAll = segPaths.map(p => spark.read.parquet(s"$dir/$p/docs.parquet"))
+      .reduce(_ unionByName _)
+    val deletes = loadDeletes(spark, dir)
+    val docs = deletes match {
+      case Some(d) => docsAll.join(d, Seq("docId"), "left_anti")
+      case None => docsAll
+    }
+    val termStats = segPaths.map(p => spark.read.parquet(s"$dir/$p/termstats.parquet"))
+      .reduce(_ unionByName _)
+      .groupBy("field", "term").agg(sum("df").as("df"))
+    val byField = epochs.groupBy(_.field)
+    val fieldTokens = byField.map { case (f, es) => f -> es.map(_.fieldTokens).sum }
+    val numDocs = epochs.groupBy(_.epoch).map(_._2.head.numDocs).sum
+    new BuiltIndex(docs, postings, termStats, numDocs, fieldTokens, config,
+      deletes).persist()
+  }
+
+  def loadDeletes(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = Paths.get(dir, "_deletes")
+    if (!Files.exists(p)) None
+    else {
+      val sub = Files.list(p).iterator()
+      var dirs = List.empty[String]
+      while (sub.hasNext) {
+        val d = sub.next()
+        if (Files.isDirectory(d)) dirs ::= d.toString
+      }
+      if (dirs.isEmpty) None
+      else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _).select("docId").distinct())
+    }
+  }
+
+  def lineage(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/_lineage")
+
+  def checkpoints(spark: SparkSession, dir: String): Seq[CheckpointRow] =
+    readManifest(spark, dir)._3
+
+  /** Append one ingest epoch (INSERT-as-UPSERT by primary key,
+    * apis/mod.rs:81-82): new docs get docIds above all existing ones;
+    * rows whose key already exists tombstone the old docId. Idempotent
+    * per snapshotId — re-running a committed snapshot is a no-op, which
+    * is the resume contract (north rule: resumable from snapshot
+    * checkpoints; SURVEY.md section 2.10).
+    */
+  def appendEpoch(newDocs: DataFrame, dir: String, snapshotId: String): Boolean = {
+    val spark = newDocs.sparkSession
+    val (epochs, config, cps) = readManifest(spark, dir)
+    if (cps.exists(_.snapshotId == snapshotId)) return false // already committed: resume no-op
+    val epoch = epochs.map(_.epoch).max + 1
+    val base = epochs.map(_.docIdEnd).max
+    val idx = IndexBuilder.build(newDocs, config, base)
+    val segName = f"seg-$epoch%05d"
+    writeSegment(idx, s"$dir/$segName")
+    writeLineage(idx, dir, epoch)
+    // upsert tombstones: previous docIds whose key reappears in this epoch
+    val old = load(spark, dir)
+    val keyCols = config.keyCols
+    val tombstones = old.docs.select((col("docId") +: keyCols.map(col)): _*)
+      .join(idx.docs.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select("docId")
+    tombstones.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$epoch")
+    old.unpersist()
+    val newEpochs = epochs ++ config.fields.map(f =>
+      EpochMeta(epoch, segName, idx.numDocs, base, base + idx.numDocs, f,
+        idx.fieldTokens.getOrElse(f, 0L)))
+    val newCps = cps :+ CheckpointRow(epoch, snapshotId, 0L)
+    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, newCps)
+    idx.unpersist()
+    true
+  }
+
+  /** Segment merge / compaction (the reference's tablet compaction+GC,
+    * bucket.rs:72-74): merge all segments' posting rows per
+    * (field, term, shard), drop tombstoned docIds, rewrite as one
+    * segment — postings-level, no re-tokenization.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (epochs, config, cps) = readManifest(spark, dir)
+    val idx = load(spark, dir)
+    val deleted: Set[Long] = idx.deletes match {
+      case Some(d) => d.collect().map(_.getLong(0)).toSet
+      case None => Set.empty
+    }
+    val delBc = spark.sparkContext.broadcast(deleted)
+    import org.apache.spark.sql.Encoders
+    val merged = idx.postings
+      .groupByKey(p => (p.field, p.term, p.shard))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaInt))
+      .flatMapGroups { (key, rows) =>
+        val (field, term, shard) = key
+        val all = rows.flatMap { p =>
+          val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+          dec.docIds.indices.map(i => (dec.docIds(i), dec.tfs(i), dec.norms(i)))
+        }.toArray.sortBy(_._1).filter(t => !delBc.value.contains(t._1))
+        if (all.isEmpty) Iterator.empty
+        else {
+          var sumTf = 0L
+          all.foreach(t => sumTf += t._2)
+          val enc = PostingCodec.encode(all.map(_._1), all.map(_._2), all.map(_._3))
+          Iterator.single(PostingRow(field, term, shard, all.length, sumTf,
+            enc.bytes, enc.blockOffset, enc.blockLast, enc.blockMaxTf, enc.blockMinNorm))
+        }
+      }(Encoders.product[PostingRow])
+    val mergedEpoch = epochs.map(_.epoch).max + 1
+    val segName = f"seg-$mergedEpoch%05d"
+    val parts = math.max(1, config.buildPartitions / 4)
+    merged
+      .repartitionByRange(parts, col("field"), col("term"))
+      .sortWithinPartitions("field", "term", "shard")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/postings.parquet")
+    idx.docs
+      .repartitionByRange(parts, col("docId"))
+      .sortWithinPartitions("docId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/docs.parquet")
+    val newTermStats = merged.groupBy("field", "term").agg(sum("numDocs").as("df"))
+    newTermStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/termstats.parquet")
+    val newFieldTokens = merged.groupBy("field").agg(sum("sumTf").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val liveDocs = idx.docs.count()
+    // drop all _deletes (absorbed) by committing a manifest that points
+    // only at the merged segment; old segment dirs become dead data
+    // (GC'able), mirroring dead tablets
+    val docIdEnd = epochs.map(_.docIdEnd).max
+    val newEpochs = config.fields.map(f =>
+      EpochMeta(mergedEpoch, segName, liveDocs, 0L, docIdEnd, f,
+        newFieldTokens.getOrElse(f, 0L)))
+    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, cps)
+    val delDir = Paths.get(dir, "_deletes")
+    if (Files.exists(delDir)) {
+      // tombstones are absorbed into the merged segment
+      Files.walk(delDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    idx.unpersist()
+  }
+}

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import OpsSql._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * Every operator has an exact DuckDB SQL twin (the *Sql members) used
+  * as the correctness oracle. Scale notes inline per operator.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the smallest id per sha256 group.
+    * One hash-shuffle; at 100 TB this is the cheapest dedup pass and
+    * runs map-side partial aggregation.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+      .select("keep_id", "group_size")
+      .orderBy("keep_id")
+
+  def exactGroupsSqlDuck(rel: String, idCol: String, textCol: String): String =
+    s"""SELECT min($idCol) AS keep_id, count(*)::BIGINT AS group_size
+       |FROM $rel GROUP BY sha256($textCol)
+       |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+
+  /** (id, distinct 3-shingle) pairs. */
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles3(tokens(col(textCol))))).as("sh"))
+      .distinct()
+
+  private def shingleSetDuck(idCol: String, textCol: String): String =
+    s"""t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
+       |sh AS (SELECT DISTINCT id, unnest(${shingles3Duck("toks")}) AS sh FROM t)""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs (SURVEY-adjacent scale path):
+    * shingle -> 60-bit hash -> numPerm permuted mins -> band signatures
+    * -> bucket self-join for candidates -> exact Jaccard verification.
+    * Shuffles scale with (docs x numPerm), never with doc-pairs; the
+    * band join is the only quadratic-risk step and is bounded by bucket
+    * collisions (band width tunes precision/recall).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol).persist()
+    val hashed = sh.withColumn("h", hash60(col("sh")))
+    val mh = hashed
+      .withColumn("perm", explode(sequence(lit(0), lit(numPerm - 1))))
+      .groupBy(col("id"), col("perm"))
+      .agg(min(minhashPerm(col("h"), col("perm"))).as("mh"))
+    val sig = mh
+      .withColumn("band", expr(s"perm div $rowsPerBand"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh").cast("string")), "-").as("s"))
+    val a = sig.select(col("id").as("a"), col("band"), col("s"))
+    val b = sig.select(col("id").as("b"), col("band"), col("s"))
+    val cand = a.join(b, Seq("band", "s")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("id").as("a"), col("sh"))
+    val shB = sh.select(col("id").as("b"), col("sh"))
+    val common = cand.join(shA, "a").join(shB, Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+    common
+      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  def minhashPairsSqlDuck(idCol: String, textCol: String,
+      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): String =
+    s"""WITH ${shingleSetDuck(idCol, textCol)},
+       |hh AS (SELECT id, sh, ${hash60Duck("sh")} AS h FROM sh),
+       |mh AS (SELECT id, i AS perm, min(${minhashPermDuck("h", "i")}) AS mh
+       |       FROM hh, range(0, $numPerm) r(i) GROUP BY 1, 2),
+       |sig AS (SELECT id, perm // $rowsPerBand AS band,
+       |               string_agg(mh::VARCHAR, '-' ORDER BY perm) AS s
+       |        FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.id AS a, b.id AS b FROM sig a
+       |         JOIN sig b ON a.band = b.band AND a.s = b.s AND a.id < b.id),
+       |sz AS (SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT c.a, c.b, count(*)::BIGINT AS cm FROM cand c
+       |       JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
+       |       GROUP BY 1, 2)
+       |SELECT cm.a, cm.b,
+       |       round(cm::DOUBLE / (za.n + zb.n - cm), 4) AS jaccard
+       |FROM cm JOIN sz za ON za.id = cm.a JOIN sz zb ON zb.id = cm.b
+       |WHERE cm::DOUBLE / (za.n + zb.n - cm) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  /** n-gram Jaccard with rare-shingle blocking: candidates share at
+    * least one shingle with global df <= maxShingleDf (bounds the
+    * self-join fan-out under hot shingles — the skew lever).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      maxShingleDf: Int = 20, threshold: Double = 0.4): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol).persist()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("sh")
+    val rsh = sh.join(rare, "sh")
+    val cand = rsh.select(col("id").as("a"), col("sh"))
+      .join(rsh.select(col("id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("id").as("a"), col("sh")), "a")
+      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+    common
+      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  def ngramJaccardPairsSqlDuck(idCol: String, textCol: String,
+      maxShingleDf: Int = 20, threshold: Double = 0.4): String =
+    s"""WITH ${shingleSetDuck(idCol, textCol)},
+       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxShingleDf),
+       |rsh AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),
+       |cand AS (SELECT DISTINCT a.id AS a, b.id AS b FROM rsh a
+       |         JOIN rsh b ON a.sh = b.sh AND a.id < b.id),
+       |sz AS (SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT c.a, c.b, count(*)::BIGINT AS cm FROM cand c
+       |       JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
+       |       GROUP BY 1, 2)
+       |SELECT cm.a, cm.b,
+       |       round(cm::DOUBLE / (za.n + zb.n - cm), 4) AS jaccard
+       |FROM cm JOIN sz za ON za.id = cm.a JOIN sz zb ON zb.id = cm.b
+       |WHERE cm::DOUBLE / (za.n + zb.n - cm) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  /** 60-bit SimHash per doc: tf-weighted sum of hash bit contributions.
+    * Pure integer arithmetic (no float tie ambiguity); 60 codegen'd sum
+    * aggregates in one pass.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", hash60(col("term")))
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"((shiftright(h, $j) & 1) * 2 - 1) * tf")).as(s"b$j"))
+    val agg = tf.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN shiftleft(cast(1 AS BIGINT), $j) ELSE 0 END)").mkString(" + ")
+    agg.select(col("id"), expr(hashExpr).as("simhash")).orderBy("id")
+  }
+
+  def simhashSqlDuck(idCol: String, textCol: String): String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(((((h >> $j) & 1) * 2) - 1) * tf) AS b$j").mkString(", ")
+    val hashExpr = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
+       |tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM
+       |         (SELECT id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |hh AS (SELECT id, tf, ${hash60Duck("term")} AS h FROM tf),
+       |agg AS (SELECT id, $bitSums FROM hh GROUP BY id)
+       |SELECT id, ($hashExpr)::BIGINT AS simhash FROM agg ORDER BY id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: 4 x 15-bit band blocking (any pair within
+    * hamming distance 3 matches exactly on >= 1 band), verified with
+    * bit_count(xor) <= maxHamming.
+    */
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sim.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
+    val a = banded.select(col("id").as("a"), col("simhash").as("ha"), col("band"), col("key"))
+    val b = banded.select(col("id").as("b"), col("simhash").as("hb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  def simhashPairsSqlDuck(idCol: String, textCol: String, maxHamming: Int = 3): String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(((((h >> $j) & 1) * 2) - 1) * tf) AS b$j").mkString(", ")
+    val hashExpr = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
+       |tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM
+       |         (SELECT id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |hh AS (SELECT id, tf, ${hash60Duck("term")} AS h FROM tf),
+       |agg AS (SELECT id, $bitSums FROM hh GROUP BY id),
+       |simq AS (SELECT id, ($hashExpr)::BIGINT AS simhash FROM agg),
+       |banded AS (SELECT id, simhash, i AS band, (simhash >> (i * 15)) & 32767 AS key
+       |           FROM simq, range(0, 4) r(i)),
+       |pairs AS (SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS ha, b.simhash AS hb
+       |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming FROM pairs
+       |WHERE bit_count(xor(ha, hb)) <= $maxHamming ORDER BY a, b""".stripMargin
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.analyze.Analyzer
+
+/** Shared primitives implemented twice — as Spark Columns and as DuckDB
+  * SQL text — so every training-data operator is oracle-checkable.
+  * The 60-bit hash is the first 15 hex chars of md5: both engines parse
+  * the same digest, so values agree exactly.
+  */
+object OpsSql {
+
+  /** 60-bit non-negative hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def hash60Duck(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Analyzer tokens. */
+  def tokens(c: Column): Column = Analyzer.tokensCol(c)
+  def tokensDuck(e: String): String = Analyzer.tokensSqlDuck(e)
+
+  /** Word 3-shingles over analyzer tokens (1-based element access in
+    * both engines). Empty when fewer than 3 tokens.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  def shingles3Duck(toks: String): String =
+    s"list_transform(range(1, greatest(len($toks) - 1, 1)), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])"
+
+  /** MinHash permutation h_i(x) = (a_i * (x mod P) + b_i) mod P with
+    * P = 2^31 - 1, a_i = 2i + 1, b_i = (101 i + 17) mod P: overflow-free
+    * int64 arithmetic in both engines.
+    */
+  final val MinhashP = 2147483647L
+  def minhashPerm(h: Column, i: Column): Column =
+    (((i * 2 + 1) * (h % MinhashP)) + (i * 101 + 17)) % MinhashP
+  def minhashPermDuck(h: String, i: String): String =
+    s"((($i * 2 + 1) * (($h) % $MinhashP)) + ($i * 101 + 17)) % $MinhashP"
+}

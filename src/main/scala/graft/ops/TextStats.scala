@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import OpsSql._
+
+/** Text-analysis operators for training-data curation: language-ID
+  * (stopword-profile heuristic), quality scoring, token counting,
+  * document fingerprinting. Dual Spark/DuckDB implementations.
+  */
+object TextStats {
+
+  /** Per-language stopword profiles (n-gram heuristic stand-in). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  private def ratio(toks: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    when(size(toks) === 0, lit(0.0d))
+      .otherwise(size(filter(toks, t => array_contains(arr, t))).cast("double") / size(toks))
+  }
+
+  private def ratioDuck(toks: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"(CASE WHEN len($toks) = 0 THEN 0.0 ELSE " +
+      s"len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks) END)"
+  }
+
+  /** Language ID: argmax stopword ratio with fixed precedence order at
+    * ties (profile order), 'und' when no profile matches.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withScores = profiles.foldLeft(df.select(col(idCol).as("id"), toks.as("toks"))) {
+      case (d, (lang, words)) => d.withColumn(s"s_$lang", ratio(col("toks"), words))
+    }
+    val langs = profiles.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val geqRest = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val cond = (geqRest :+ "true").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    withScores
+      .withColumn("lang_pred", expr(s"CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END"))
+      .withColumn("conf", expr(s"round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4)"))
+      .select(col("id").as("doc_id"), col("lang_pred"), col("conf"))
+      .orderBy("doc_id")
+  }
+
+  def langIdSqlDuck(idCol: String, textCol: String): String = {
+    val langs = profiles.map(_._1)
+    val scoreCols = profiles.map { case (l, ws) => s"${ratioDuck("toks", ws)} AS s_$l" }.mkString(", ")
+    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
+       |s AS (SELECT id, $scoreCols FROM t)
+       |SELECT id AS doc_id,
+       |       (CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END) AS lang_pred,
+       |       round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4) AS conf
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Composite quality score in [0,1]: length, alpha ratio, punctuation
+    * penalty, stopword presence — the usual cheap pretraining filters.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val alpha = size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]', 0)")).cast("double")
+    val punct = size(expr(s"regexp_extract_all($textCol, '[^a-zA-Z0-9 ]', 0)")).cast("double")
+    val toks = tokens(t)
+    val stopR = ratio(toks, profiles.head._2)
+    df.select(
+        col(idCol).as("doc_id"),
+        round(
+          (least(lit(1.0), length(t).cast("double") / 200.0) +
+            when(nChars === 0, 0.0).otherwise(alpha / nChars) +
+            (lit(1.0) - when(nChars === 0, 0.0).otherwise(punct / nChars)) +
+            least(lit(1.0), stopR * 5.0)) / 4.0, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def qualitySqlDuck(idCol: String, textCol: String): String =
+    s"""WITH t AS (SELECT $idCol AS id, $textCol AS txt,
+       |             ${tokensDuck(textCol)} AS toks FROM documents),
+       |m AS (SELECT id,
+       |        length(txt)::DOUBLE AS nc,
+       |        len(regexp_extract_all(txt, '[a-zA-Z]'))::DOUBLE AS alpha,
+       |        len(regexp_extract_all(txt, '[^a-zA-Z0-9 ]'))::DOUBLE AS punct,
+       |        ${ratioDuck("toks", profiles.head._2)} AS stopr
+       |      FROM t)
+       |SELECT id AS doc_id,
+       |  round((least(1.0, nc / 200.0)
+       |       + (CASE WHEN nc = 0 THEN 0.0 ELSE alpha / nc END)
+       |       + (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE punct / nc END))
+       |       + least(1.0, stopr * 5.0)) / 4.0, 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Token counting three ways: whitespace split, the code-aware
+    * analyzer, and a BPE-ish regex segmentation.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("ws_tokens"),
+        size(tokens(col(textCol))).cast("long").as("analyzer_tokens"),
+        size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  def tokenCountsSqlDuck(idCol: String, textCol: String): String =
+    s"""SELECT $idCol AS doc_id,
+       |  len(list_filter(string_split($textCol, ' '), t -> t <> ''))::BIGINT AS ws_tokens,
+       |  len(${tokensDuck(textCol)})::BIGINT AS analyzer_tokens,
+       |  len(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_ish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: min/max shingle digests (rolling-hash
+    * analogue over md5) + shingle count.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles3(tokens(col(textCol))))).as("sh"))
+      .withColumn("d", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(min(col("d")).as("fp_min"), max(col("d")).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+
+  def fingerprintSqlDuck(idCol: String, textCol: String): String =
+    s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
+       |sh AS (SELECT DISTINCT id, unnest(${shingles3Duck("toks")}) AS sh FROM t)
+       |SELECT id AS doc_id, min(md5(sh)) AS fp_min, max(md5(sh)) AS fp_max,
+       |       count(*)::BIGINT AS n_shingles
+       |FROM sh GROUP BY id ORDER BY doc_id""".stripMargin
+}

@@ -51,6 +51,13 @@ final case class MoreLikeThis(field: String, docId: Long, topTerms: Int = 8,
 final class QueryEngine(val index: BuiltIndex) {
   import SearchDefaults._
 
+  /** Upsert tombstones (docIds superseded by later epochs), collected
+    * once — scoring skips them (Lucene/tantivy delete-bitset analogue;
+    * compaction absorbs them, bounding the set).
+    */
+  private lazy val deletedSet: Set[Long] =
+    index.deletes.map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+
   /** field -> (term -> df) for an exact term batch. */
   private def dfLookup(keys: Seq[(String, String)]): Map[(String, String), Long] = {
     if (keys.isEmpty) return Map.empty
@@ -204,8 +211,9 @@ final class QueryEngine(val index: BuiltIndex) {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF32
     val scored =
-      if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore) Wand.topK(index, cq, k)
-      else Scorer.scoreF32(index, cq)
+      if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore)
+        Wand.topK(index, cq, k, deletedSet)
+      else Scorer.scoreF32(index, cq, deletedSet)
     Scorer.topK(scored.toDF("docId", "score"), k)
   }
 
@@ -220,7 +228,7 @@ final class QueryEngine(val index: BuiltIndex) {
   def matchF64(clauses: Seq[SearchClause], threshold: Option[Double] = None): DataFrame = {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF64
-    val scored = Scorer.scoreF64(index, cq).toDF("docId", "score")
+    val scored = Scorer.scoreF64(index, cq, deletedSet).toDF("docId", "score")
     threshold.map(t => scored.filter(col("score") > lit(t))).getOrElse(scored)
   }
 

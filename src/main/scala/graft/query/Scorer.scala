@@ -60,7 +60,8 @@ object Scorer {
   /** Exhaustive f32 path: tantivy-arithmetic scores, deterministic
     * accumulation order (groups/terms sorted), exact conjunction masks.
     */
-  def scoreF32(index: BuiltIndex, cq: CompiledQuery): Dataset[ScoredDocF32] = {
+  def scoreF32(index: BuiltIndex, cq: CompiledQuery,
+      deleted: Set[Long] = Set.empty): Dataset[ScoredDocF32] = {
     val spark = index.spark
     import spark.implicits._
     val weights: Map[(String, String, Int), Float] =
@@ -74,7 +75,7 @@ object Scorer {
     matchedPostings(index, cq.terms)
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
-        mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask)
+        mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, deleted)
       }
   }
 
@@ -84,7 +85,8 @@ object Scorer {
       groupOf: Map[(String, String), Seq[Int]],
       caches: Map[String, Array[Float]],
       constMask: Int,
-      reqMask: Int): Iterator[ScoredDocF32] = {
+      reqMask: Int,
+      deleted: Set[Long]): Iterator[ScoredDocF32] = {
     // deterministic accumulation order: (minGroup, field, term)
     val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
     val score = new java.util.HashMap[Long, Array[Float]]() // [score]
@@ -113,14 +115,15 @@ object Scorer {
     }
     import scala.jdk.CollectionConverters._
     score.entrySet().iterator().asScala
-      .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask)
+      .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask && !deleted.contains(e.getKey))
       .map(e => ScoredDocF32(e.getKey, e.getValue()(0)))
   }
 
   /** Oracle-parity f64 path: identical structure, pure double math
     * (mirrors the DuckDB oracle SQL exactly; see SparkEntry.oracleSql).
     */
-  def scoreF64(index: BuiltIndex, cq: CompiledQuery): Dataset[ScoredDocF64] = {
+  def scoreF64(index: BuiltIndex, cq: CompiledQuery,
+      deleted: Set[Long] = Set.empty): Dataset[ScoredDocF64] = {
     val spark = index.spark
     import spark.implicits._
     val weights: Map[(String, String, Int), Double] =
@@ -161,7 +164,7 @@ object Scorer {
         }
         import scala.jdk.CollectionConverters._
         score.entrySet().iterator().asScala
-          .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask)
+          .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask && !deleted.contains(e.getKey))
           .map(e => ScoredDocF64(e.getKey, e.getValue()(0)))
       }
   }

@@ -101,7 +101,7 @@ object Wand {
 
   /** Exact per-shard top-k via WAND with block-max skipping. */
   private def wandShard(rows: Array[PostingRow], weights: Map[(String, String), Float],
-      caches: Map[String, Array[Float]], k: Int): Iterator[ScoredDocF32] = {
+      caches: Map[String, Array[Float]], k: Int, deleted: Set[Long]): Iterator[ScoredDocF32] = {
     // scoring order must match the exhaustive scorer: (field, term) sorted
     val sortedRows = rows.sortBy(p => (p.field, p.term))
     val cursors = sortedRows.zipWithIndex.map { case (p, i) =>
@@ -162,9 +162,11 @@ object Wand {
             } else {
               // full score of pivotDoc: f32 sum in (field, term) order
               val contrib = cursors.filter(c => !c.done && c.curDoc == pivotDoc)
-              var s = 0.0f
-              contrib.foreach(c => s += c.curScore)
-              offer(pivotDoc, s)
+              if (!deleted.contains(pivotDoc)) {
+                var s = 0.0f
+                contrib.foreach(c => s += c.curScore)
+                offer(pivotDoc, s)
+              }
               contrib.foreach(_.next())
             }
           } else {
@@ -181,7 +183,8 @@ object Wand {
   /** Top-k for a single-group disjunction; exact w.r.t. the exhaustive
     * scorer under the (score desc, docId asc) total order.
     */
-  def topK(index: BuiltIndex, cq: CompiledQuery, k: Int): Dataset[ScoredDocF32] = {
+  def topK(index: BuiltIndex, cq: CompiledQuery, k: Int,
+      deleted: Set[Long] = Set.empty): Dataset[ScoredDocF32] = {
     require(cq.groups.size == 1 && !cq.groups.head.constScore,
       "WAND path covers single-group sum-scored queries; use Scorer for the rest")
     val spark = index.spark
@@ -193,6 +196,6 @@ object Wand {
     val kk = k
     Scorer.matchedPostings(index, cq.terms)
       .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) => wandShard(rows.toArray, weights, caches, kk) }
+      .flatMapGroups { (_, rows) => wandShard(rows.toArray, weights, caches, kk, deleted) }
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, IndexConfig, IndexStore}
+import graft.query._
+
+/** Persistence, incremental upsert epochs, checkpoint resume, and
+  * compaction (SURVEY.md sections 2.10, 3.2; north rule resumability).
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graftidx").toString
+
+  private def topDocs(e: QueryEngine, q: String, k: Int = 10): Seq[(Long, Float)] =
+    e.searchF32(Seq(Fts("content", q)), k).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+
+  val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"), shardDocs = 256, buildPartitions = 4)
+
+  test("save/load roundtrip preserves query results exactly") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 800, 4)
+    val mem = IndexBuilder.build(corpus, config)
+    val loaded = IndexStore.create(corpus, config, dir)
+    val em = new QueryEngine(mem)
+    val el = new QueryEngine(loaded)
+    for (q <- Seq("binary search", "fn license", "needle")) {
+      assert(topDocs(el, q) === topDocs(em, q))
+    }
+    assert(loaded.numDocs === mem.numDocs)
+    assert(loaded.fieldTokens === mem.fieldTokens)
+  }
+
+  test("term lookups on the persisted postings push filters to parquet") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 500, 4)
+    val idx = IndexStore.create(corpus, config, dir)
+    val plan = idx.postings.filter(col("term") === "license").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("license"), plan.take(2000))
+  }
+
+  test("appendEpoch upserts by primary key and is idempotent per snapshot") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 400, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    // epoch 1: re-ingest 50 docs with modified content (same PK) + 20 new docs
+    val modified = corpus.filter(col("path").contains("file_1")) // file_1, file_1x...
+      .withColumn("content", concat(col("content"), lit(" upserted marker freshterm")))
+    val fresh = CodeCorpus.generate(spark, 420, 4).filter(col("path").contains("file_40")) // new ids 400..419
+    val epoch1 = modified.unionByName(fresh)
+    val nMod = modified.count()
+    val nFresh = fresh.count()
+    assert(IndexStore.appendEpoch(epoch1, dir, "snap-1"))
+    // resume: same snapshot id is a no-op
+    assert(!IndexStore.appendEpoch(epoch1, dir, "snap-1"))
+    val idx = IndexStore.load(spark, dir)
+    val e = new QueryEngine(idx)
+    // upserted docs found under the new content...
+    val hits = e.searchF32(Seq(Fts("content", "freshterm")), 1000).count()
+    assert(hits === nMod)
+    // ...and exactly one live version per primary key
+    val dupKeys = idx.docs.groupBy("repo", "path", "commit").count().filter(col("count") > 1).count()
+    assert(dupKeys === 0L)
+    val expectedLive = corpus.select("repo", "path", "commit")
+      .unionByName(epoch1.select("repo", "path", "commit")).distinct().count()
+    assert(idx.docs.count() === expectedLive)
+    // checkpoint lineage recorded
+    val cps = IndexStore.checkpoints(spark, dir)
+    assert(cps.map(_.snapshotId) === Seq("snap-0", "snap-1"))
+    val lineage = IndexStore.lineage(spark, dir)
+    assert(lineage.filter(col("epoch") === 1).count() > 0)
+  }
+
+  test("compaction absorbs tombstones and preserves query results") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 400, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    val modified = corpus.filter(col("path").contains("file_1"))
+      .withColumn("content", concat(col("content"), lit(" upserted marker freshterm")))
+    IndexStore.appendEpoch(modified, dir, "snap-1")
+    val before = IndexStore.load(spark, dir)
+    val eBefore = new QueryEngine(before)
+    val resBefore = topDocs(eBefore, "freshterm", 50)
+    val docsBefore = before.docs.count()
+    IndexStore.compact(spark, dir)
+    val after = IndexStore.load(spark, dir)
+    val eAfter = new QueryEngine(after)
+    assert(after.deletes.isEmpty || after.deletes.get.count() == 0)
+    assert(after.docs.count() === docsBefore)
+    // stats change at merge (deleted docs leave df/N) — matches
+    // Lucene/tantivy semantics — so compare match SETS, not scores
+    assert(topDocs(eAfter, "freshterm", 50).map(_._1).toSet === resBefore.map(_._1).toSet)
+    // single live segment
+    val (epochs, _, _) = IndexStore.readManifest(spark, dir)
+    assert(epochs.map(_.path).distinct.size === 1)
+  }
+}
