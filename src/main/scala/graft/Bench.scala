@@ -1,23 +1,99 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query._
+
+/** Driver-run benchmark: one JSON line on stdout.
+  *
+  * Headline numbers: index-build throughput over the synthetic
+  * source-code corpus (the BASELINE.json north-star metric), top-k BM25
+  * latency (exhaustive vs block-max WAND), fuzzy/fast-fuzzy, and the
+  * training-data ops on the driver tables. Build time is reported as
+  * its own entry so query latencies aren't polluted by it.
+  */
 object Bench {
+
+  def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // shuffle/spill on tmpfs: the sandbox VM disk thrashes under many
+    // concurrent shuffle writers (BENCH.md)
+    val localDir = try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
+      "/dev/shm/graft-tmp"
+    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val sf = sfDir.split("sf").last.toDouble
+    val nCorpus = math.max(5000L, (sf * 500000).toLong) // sf0.1 -> 50k files
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // 1. index-build throughput on the synthetic source-code corpus
+    val corpus = CodeCorpus.generate(spark, nCorpus, cpus * 2)
+    val (idx, tBuild) = time {
+      IndexBuilder.build(corpus,
+        IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
+          shardDocs = 8192, buildPartitions = cpus * 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    results(s"build_index_${nCorpus}_files") = tBuild
+    val engine = new QueryEngine(idx)
+
+    // 2. top-k BM25 latency: hot/mixed/rare terms, WAND vs exhaustive
+    val queries = Seq(
+      "hot" -> "fn return license",
+      "mixed" -> "binary search merge segment",
+      "rare" -> "needle checkpoint epoch")
+    // warm-up every path once (codegen + cache materialization +
+    // symspell dictionary); timed runs below are steady-state latency
+    queries.foreach { case (_, q) =>
+      engine.searchF32(Seq(Fts("content", q)), 10, useWand = true).collect()
+      engine.searchF32(Seq(Fts("content", q)), 10, useWand = false).collect()
+    }
+    engine.searchF32(Seq(FuzzyC("content", "serach")), 10).collect()
+    engine.searchF32(Seq(FastFuzzy("content", "serach")), 10).collect()
+
+    queries.foreach { case (name, q) =>
+      val (_, tw) = time(engine.searchF32(Seq(Fts("content", q)), 10, useWand = true).collect())
+      val (_, te) = time(engine.searchF32(Seq(Fts("content", q)), 10, useWand = false).collect())
+      results(s"q_fts_${name}_wand") = tw
+      results(s"q_fts_${name}_exhaustive") = te
+    }
+    val (_, tFuzzy) = time(engine.searchF32(Seq(FuzzyC("content", "serach mrege")), 10).collect())
+    results("q_fuzzy") = tFuzzy
+    val (_, tFast) = time(engine.searchF32(Seq(FastFuzzy("content", "serach mrege")), 10).collect())
+    results("q_fastfuzzy") = tFast
+
+    // 3. training-data ops on the driver tables
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (_, tMinhash) = time(graft.ops.Dedup.minhashPairs(docs, "doc_id", "text").count())
+    results("op_dedup_minhash") = tMinhash
+    val (_, tSim) = time(graft.ops.Dedup.simhash(docs, "doc_id", "text").count())
+    results("op_simhash") = tSim
+    val (_, tAnn) = time(graft.ops.Similarity.bruteTopK(emb, "vec_id", "embedding").count())
+    results("op_ann_brute") = tAnn
+
+    val filesPerSec = nCorpus.toDouble / tBuild
+    results("build_files_per_sec") = filesPerSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.filterNot(_._1 == "build_files_per_sec").values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,12 +21,53 @@ object Analyzer {
   final val MaxTokenLen = 40
   private final val CamelRe = "([a-z0-9])([A-Z])"
   private final val SplitRe = "[^a-z0-9]+"
+  private val CamelPat = java.util.regex.Pattern.compile(CamelRe)
+  private val SplitPat = java.util.regex.Pattern.compile(SplitRe)
 
-  def tokenize(s: String): Array[String] =
-    s.replaceAll(CamelRe, "$1 $2")
-      .toLowerCase(java.util.Locale.ROOT)
-      .split(SplitRe)
+  /** Reference implementation: literally the regex pipeline the Column
+    * and DuckDB variants express. Used as the semantic oracle in
+    * AnalyzerSpec and as the fallback for non-ASCII input.
+    */
+  def tokenizeRegex(s: String): Array[String] =
+    SplitPat.split(CamelPat.matcher(s).replaceAll("$1 $2")
+        .toLowerCase(java.util.Locale.ROOT))
       .filter(t => t.nonEmpty && t.length <= MaxTokenLen)
+
+  /** Hot-path tokenizer: single-pass scanner, no regex, no intermediate
+    * strings — equivalent to tokenizeRegex for ASCII input (asserted in
+    * AnalyzerSpec); non-ASCII input falls back to the regex pipeline.
+    */
+  def tokenize(s: String): Array[String] = {
+    var i = 0
+    val n = s.length
+    while (i < n) { if (s.charAt(i) >= 128) return tokenizeRegex(s); i += 1 }
+    val out = Array.newBuilder[String]
+    val cur = new java.lang.StringBuilder(16)
+    var prevLowerDigit = false
+    def flush(): Unit = {
+      val len = cur.length()
+      if (len > 0 && len <= MaxTokenLen) out += cur.toString
+      cur.setLength(0)
+    }
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        cur.append(c)
+        prevLowerDigit = true
+      } else if (c >= 'A' && c <= 'Z') {
+        if (prevLowerDigit) flush() // camelCase boundary
+        cur.append((c + 32).toChar)
+        prevLowerDigit = false
+      } else {
+        flush()
+        prevLowerDigit = false
+      }
+      i += 1
+    }
+    flush()
+    out.result()
+  }
 
   /** (token -> tf) and total token count, one pass. */
   def tokenCounts(s: String): (collection.Map[String, Int], Int) = {

@@ -47,6 +47,23 @@ final case class PostingRow(
 /** Per-field corpus statistics needed by BM25. */
 final case class FieldStats(field: String, totalTokens: Long)
 
+/** A partial posting list covering one input partition's slice of one
+  * (field, term, shard): already delta+bitpack encoded at the map side.
+  * Because docIds are assigned contiguously per range partition, the
+  * partials of a shard have disjoint, ordered docId ranges — the merge
+  * is a concatenation, never an interleave (firstDoc orders them).
+  */
+final case class PartialRow(
+    field: String,
+    term: String,
+    shard: Int,
+    firstDoc: Long,
+    numDocs: Int,
+    sumTf: Long,
+    bytes: Array[Byte],
+    blockOffset: Array[Int],
+    blockLast: Array[Long])
+
 /** An immutable index segment: the Spark-native analogue of a tantivy
   * segment (posting lists + term dictionary + fieldnorms + doc store,
   * SURVEY.md section 1.3/1.4). All members are lazy Spark datasets;
@@ -91,7 +108,15 @@ object IndexBuilder {
     * key order, not on parallelism or input partitioning — required for
     * rank-identity and resume (SURVEY.md section 7 hard part 2).
     */
-  def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame = {
+  def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame =
+    assignDocIdsWithHandle(df, keyCols, parts, base)._1
+
+  /** Returns (docs-with-ids, sorted-intermediate handle): the caller
+    * should unpersist the handle once the downstream result is
+    * materialized, so the corpus isn't cached twice.
+    */
+  def assignDocIdsWithHandle(df: DataFrame, keyCols: Seq[String], parts: Int,
+      base: Long = 0L): (DataFrame, DataFrame) = {
     val keys = keyCols.map(col)
     val sorted = df
       .repartitionByRange(parts, keys: _*)
@@ -106,77 +131,120 @@ object IndexBuilder {
     for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
     val outSchema = StructType(df.schema.fields :+ StructField("docId", LongType, nullable = false))
     val enc = Encoders.row(outSchema)
-    sorted.mapPartitions { it =>
+    val withIds = sorted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var next = offsets(pid)
       it.map { r => val id = next; next += 1; Row.fromSeq(r.toSeq :+ id) }
     }(enc)
+    (withIds, sorted)
   }
 
-  /** Tokenize every indexed field of every doc; one pass, no shuffle:
-    * tf aggregation happens within the row (a doc's tokens are local).
+  /** In-memory posting accumulator per map partition — the Spark-native
+    * analogue of tantivy's indexing-time term hashmap (tantivy-stacker,
+    * Cargo.lock:2890). Docs arrive in docId order (range partition +
+    * in-partition sort), so per-term buffers are born sorted; buffers
+    * flush at every shard boundary, bounding memory to one shard's
+    * activity. Output rows carry already-encoded posting bytes, so the
+    * one shuffle moves ~2-4 bytes per (term, doc) occurrence instead of
+    * a ~70-byte row — the difference between a DRAM/shuffle-bound build
+    * and a CPU-bound one (measured 4x task-CPU inflation at high
+    * parallelism with the naive hit shuffle).
     */
-  private def termHits(docs: DataFrame, config: IndexConfig): Dataset[TermHit] = {
+  private def partialPostings(docs: DataFrame, config: IndexConfig): Dataset[PartialRow] = {
     val fields = config.fields
     val shardDocs = config.shardDocs
     val cols = col("docId") +: fields.map(col)
     val projected = docs.select(cols: _*)
     projected.mapPartitions { rows =>
-      rows.flatMap { r =>
+      final class Buf {
+        val docIds = new scala.collection.mutable.ArrayBuffer[Long](8)
+        val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
+        val norms = new scala.collection.mutable.ArrayBuffer[Int](8)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[PartialRow]
+      val acc = new java.util.HashMap[(String, String), Buf]()
+      var curShard = -1
+      def flush(): Unit = {
+        if (!acc.isEmpty) {
+          val it = acc.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val (field, term) = e.getKey
+            val b = e.getValue
+            val docIds = b.docIds.toArray
+            val tfArr = b.tfs.toArray
+            var sumTf = 0L
+            var i = 0
+            while (i < tfArr.length) { sumTf += tfArr(i); i += 1 }
+            val enc = PostingCodec.encode(docIds, tfArr, b.norms.toArray)
+            out += PartialRow(field, term, curShard, docIds(0), docIds.length, sumTf,
+              enc.bytes, enc.blockOffset, enc.blockLast)
+          }
+          acc.clear()
+        }
+      }
+      rows.foreach { r =>
         val docId = r.getLong(0)
         val shard = (docId / shardDocs).toInt
-        fields.indices.iterator.flatMap { fi =>
+        if (shard != curShard) { flush(); curShard = shard }
+        var fi = 0
+        while (fi < fields.length) {
           val text = if (r.isNullAt(fi + 1)) "" else r.getString(fi + 1)
           val (counts, len) = Analyzer.tokenCounts(text)
           val norm = Fieldnorm.encode(len.toLong)
-          counts.iterator.map { case (t, tf) => TermHit(fields(fi), t, shard, docId, tf, norm) }
+          val field = fields(fi)
+          counts.foreach { case (t, tf) =>
+            var b = acc.get((field, t))
+            if (b == null) { b = new Buf; acc.put((field, t), b) }
+            b.docIds += docId; b.tfs += tf; b.norms += norm
+          }
+          fi += 1
         }
       }
-    }(Encoders.product[TermHit])
+      flush()
+      out.iterator
+    }(Encoders.product[PartialRow])
   }
 
-  /** Streaming sorted-run encoder: consecutive hits with the same
-    * (field, term, shard) — guaranteed by sortWithinPartitions — fold
-    * into one encoded PostingRow. Memory is bounded by shardDocs.
+  /** Merge the (few, docId-range-disjoint) partials of one
+    * (field, term, shard) into the final PostingRow.
     */
-  private def encodeRuns(it: Iterator[TermHit]): Iterator[PostingRow] = new Iterator[PostingRow] {
-    private val buf = it.buffered
-    override def hasNext: Boolean = buf.hasNext
-    override def next(): PostingRow = {
-      val head = buf.next()
-      val docIds = Array.newBuilder[Long]
-      val tfs = Array.newBuilder[Int]
-      val norms = Array.newBuilder[Int]
-      docIds += head.docId; tfs += head.tf; norms += head.norm
-      var n = 1
-      while (buf.hasNext && buf.head.field == head.field &&
-        buf.head.term == head.term && buf.head.shard == head.shard) {
-        val h = buf.next()
-        docIds += h.docId; tfs += h.tf; norms += h.norm
-        n += 1
-      }
-      val tfArr = tfs.result()
-      var sumTf = 0L
-      var i = 0
-      while (i < tfArr.length) { sumTf += tfArr(i); i += 1 }
-      val enc = PostingCodec.encode(docIds.result(), tfArr, norms.result())
-      PostingRow(head.field, head.term, head.shard, n, sumTf,
-        enc.bytes, enc.blockOffset, enc.blockLast, enc.blockMaxTf, enc.blockMinNorm)
+  private def mergePartials(key: (String, String, Int), parts: Iterator[PartialRow]): PostingRow = {
+    val sorted = parts.toArray.sortBy(_.firstDoc)
+    val n = sorted.map(_.numDocs).sum
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val norms = new Array[Int](n)
+    var off = 0
+    var sumTf = 0L
+    sorted.foreach { p =>
+      val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+      System.arraycopy(dec.docIds, 0, docIds, off, p.numDocs)
+      System.arraycopy(dec.tfs, 0, tfs, off, p.numDocs)
+      System.arraycopy(dec.norms, 0, norms, off, p.numDocs)
+      off += p.numDocs
+      sumTf += p.sumTf
     }
+    val enc = PostingCodec.encode(docIds, tfs, norms)
+    PostingRow(key._1, key._2, key._3, n, sumTf,
+      enc.bytes, enc.blockOffset, enc.blockLast, enc.blockMaxTf, enc.blockMinNorm)
   }
 
-  /** Full build: docs -> hits -> one shuffle on (field, term, shard) ->
-    * sorted streaming encode -> postings + term dictionary + stats.
+  /** Full build: docs -> map-side encoded partials -> one compact
+    * shuffle on (field, term, shard) -> concat-merge -> postings +
+    * term dictionary + stats.
     */
   def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex = {
     val spark = df.sparkSession
-    val docs = assignDocIds(df, config.keyCols, config.buildPartitions, docIdBase)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hits = termHits(docs, config)
-    val postings = hits
-      .repartition(config.buildPartitions, col("field"), col("term"), col("shard"))
-      .sortWithinPartitions("field", "term", "shard", "docId")
-      .mapPartitions(encodeRuns)(Encoders.product[PostingRow])
+    val (withIds, sortedHandle) =
+      assignDocIdsWithHandle(df, config.keyCols, config.buildPartitions, docIdBase)
+    val docs = withIds.persist(StorageLevel.MEMORY_AND_DISK)
+    val numDocs = docs.count() // materializes the docs cache from the sorted intermediate
+    sortedHandle.unpersist(blocking = false) // corpus is cached once, not twice
+    val postings = partialPostings(docs, config)
+      .groupByKey(p => (p.field, p.term, p.shard))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaInt))
+      .mapGroups { (key, parts) => mergePartials(key, parts) }(Encoders.product[PostingRow])
     val pPersisted = postings.persist(StorageLevel.MEMORY_AND_DISK)
     val termStats = pPersisted.groupBy(col("field"), col("term"))
       .agg(sum(col("numDocs")).as("df"))
@@ -185,7 +253,6 @@ object IndexBuilder {
     val fieldTokens = pPersisted
       .groupBy(col("field")).agg(sum(col("sumTf")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val numDocs = docs.count()
     new BuiltIndex(docs, pPersisted, termStats, numDocs, fieldTokens, config).persist()
   }
 }

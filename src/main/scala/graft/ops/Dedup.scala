@@ -27,10 +27,14 @@ object Dedup {
        |FROM $rel GROUP BY sha256($textCol)
        |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
-  /** (id, distinct 3-shingle) pairs. */
+  /** (id, distinct 3-shingle) pairs. The token array is materialized as
+    * its own projection first: inlining `tokens(text)` into the shingle
+    * lambda would re-tokenize the text per element_at call (measured
+    * ~20x slowdown).
+    */
   private def shingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles3(tokens(col(textCol))))).as("sh"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(array_distinct(shingles3(col("toks")))).as("sh"))
       .distinct()
 
   private def shingleSetDuck(idCol: String, textCol: String): String =
@@ -47,16 +51,19 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSet(df, idCol, textCol).persist()
-    val hashed = sh.withColumn("h", hash60(col("sh")))
-    val mh = hashed
-      .withColumn("perm", explode(sequence(lit(0), lit(numPerm - 1))))
-      .groupBy(col("id"), col("perm"))
-      .agg(min(minhashPerm(col("h"), col("perm"))).as("mh"))
-    val sig = mh
-      .withColumn("band", expr(s"perm div $rowsPerBand"))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
-        s => s.getField("mh").cast("string")), "-").as("s"))
+    val hashed = sh.select(col("id"), hash60(col("sh")).as("h"))
+    // all numPerm minima as one map-side partial aggregation (no
+    // perm-explode: rows stay at |shingles|, not |shingles| x numPerm)
+    val minCols = (0 until numPerm).map(i => min(minhashPerm(col("h"), lit(i))).as(s"m$i"))
+    // persist the per-doc signature: the band self-join and verification
+    // would otherwise recompute the whole shingle+hash pipeline per side
+    val sig0 = hashed.groupBy("id").agg(minCols.head, minCols.tail: _*).persist()
+    val bandStrings = (0 until numPerm / rowsPerBand).map { band =>
+      concat_ws("-",
+        (band * rowsPerBand until (band + 1) * rowsPerBand).map(i => col(s"m$i").cast("string")): _*)
+    }
+    val sig = sig0.select(col("id"), posexplode(array(bandStrings: _*)))
+      .toDF("id", "band", "s")
     val a = sig.select(col("id").as("a"), col("band"), col("s"))
     val b = sig.select(col("id").as("b"), col("band"), col("s"))
     val cand = a.join(b, Seq("band", "s")).filter(col("a") < col("b"))
@@ -64,7 +71,7 @@ object Dedup {
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("a"), col("sh"))
     val shB = sh.select(col("id").as("b"), col("sh"))
-    val common = cand.join(shA, "a").join(shB, Seq("b", "sh"))
+    val common = broadcast(cand).join(shA, "a").join(shB, Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
     common
       .join(sz.select(col("id").as("a"), col("n").as("na")), "a")

@@ -127,8 +127,8 @@ object TextStats {
     * analogue over md5) + shingle count.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles3(tokens(col(textCol))))).as("sh"))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("toks")))).as("sh"))
       .withColumn("d", md5(col("sh")))
       .groupBy("doc_id")
       .agg(min(col("d")).as("fp_min"), max(col("d")).as("fp_max"),

@@ -222,6 +222,13 @@ final class QueryEngine(val index: BuiltIndex) {
       threshold: Option[Double] = None): DataFrame =
     Scorer.topK(matchF64(clauses, threshold), k)
 
+  /** Unlimited (docId, score float) match set on the rank-identity path. */
+  def matchF32(clauses: Seq[SearchClause]): DataFrame = {
+    val cq = compile(clauses)
+    if (cq.terms.isEmpty) return emptyResultF32
+    Scorer.scoreF32(index, cq, deletedSet).toDF("docId", "score")
+  }
+
   /** Unlimited (docId, score double) match set (facet counting, custom
     * ordering at the call site).
     */

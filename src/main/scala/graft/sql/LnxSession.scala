@@ -1,0 +1,259 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.index.{BuiltIndex, IndexBuilder, IndexConfig}
+import graft.query._
+import LnxSql._
+
+/** Executable session for the lnx SQL dialect: CREATE TABLE registers a
+  * schema + per-column tokenizer config; INSERT is always UPSERT by
+  * primary key (apis/mod.rs:81-82); SELECT compiles the search functions
+  * onto the inverted-index engine. Mutations invalidate the table's
+  * index, which is rebuilt lazily on the next query — the incremental
+  * path for large tables is IndexStore.appendEpoch; this session is the
+  * small-table REST-API analogue.
+  */
+final class LnxSession(val spark: SparkSession) {
+
+  final case class TableState(
+      var rows: DataFrame,
+      config: IndexConfig,
+      columns: Seq[ColumnDef],
+      var engine: Option[QueryEngine])
+
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, TableState]
+
+  /** lnx type -> Spark type (SURVEY.md section 1.2 table). */
+  def sparkType(t: String): DataType = t match {
+    case "text" | "string" | "ip" | "facet" => StringType
+    case "bigint" | "int64" | "uint64" | "uint32" => LongType
+    case "integer" | "int32" => IntegerType
+    case "float64" | "double" => DoubleType
+    case "float32" | "float" => FloatType
+    case "bytes" | "bytea" => BinaryType
+    case "datetime" | "timestamp" => TimestampType
+    case "date" => DateType
+    case "bool" | "boolean" => BooleanType
+    case other => throw ParseException(s"unsupported type $other", -1)
+  }
+
+  def execute(sql: String, params: Seq[Lit] = Nil): DataFrame = {
+    val stmts = LnxSql.parse(sql)
+    stmts.map(run(_, params)).last
+  }
+
+  def table(name: String): TableState =
+    tables.getOrElse(name, throw ParseException(s"unknown table $name", -1))
+
+  /** Register an existing DataFrame as an lnx table. */
+  def register(name: String, df: DataFrame, keyCols: Seq[String], fields: Seq[String],
+      shardDocs: Int = 4096): Unit = {
+    val defs = df.schema.fields.map(f =>
+      ColumnDef(f.name, f.dataType.simpleString, keyCols.contains(f.name), false, None, false))
+    tables.put(name, TableState(df,
+      IndexConfig(keyCols, fields, shardDocs,
+        spark.conf.get("spark.sql.shuffle.partitions", "8").toInt), defs.toSeq, None))
+  }
+
+  private def run(st: Statement, params: Seq[Lit]): DataFrame = st match {
+    case ct: CreateTable => runCreate(ct)
+    case in: Insert => runInsert(in, params)
+    case d: Delete => runDelete(d, params)
+    case u: Update => runUpdate(u, params)
+    case s: Select => runSelect(s, params)
+  }
+
+  private def status(msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("status")
+  }
+
+  private def runCreate(ct: CreateTable): DataFrame = {
+    if (tables.contains(ct.table)) {
+      if (ct.ifNotExists) return status(s"table ${ct.table} exists")
+      throw ParseException(s"table ${ct.table} already exists", -1)
+    }
+    val schema = StructType(ct.columns.map { c =>
+      val base = sparkType(c.tpe)
+      StructField(c.name, if (c.isArray) ArrayType(base) else base, nullable = !c.primaryKey)
+    })
+    val pk = ct.columns.filter(_.primaryKey).map(_.name)
+    require(pk.nonEmpty, "a primary key column is required")
+    // indexed fields: text columns whose tokenizer isn't 'raw' (sql.rs:110)
+    val fields = ct.columns
+      .filter(c => Set("text", "string").contains(c.tpe) && !c.isArray)
+      .filter(c => ct.tokenizers.getOrElse(c.name, "default") != "raw")
+      .map(_.name)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    tables.put(ct.table, TableState(empty,
+      IndexConfig(pk, fields, 4096, spark.conf.get("spark.sql.shuffle.partitions", "8").toInt),
+      ct.columns, None))
+    status(s"created ${ct.table}")
+  }
+
+  private def litValue(l: Lit, dt: DataType): Any = l match {
+    case SLit(s) => dt match {
+      case StringType => s
+      case BinaryType => s.getBytes("UTF-8")
+      case TimestampType => java.sql.Timestamp.valueOf(s)
+      case DateType => java.sql.Date.valueOf(s)
+      case _ => s
+    }
+    case NLit(v) => dt match {
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case FloatType => v.toFloat
+      case DoubleType => v
+      case _ => v
+    }
+    case BLit(b) => b
+    case NullLit => null
+    case p: Param => throw ParseException("unbound parameter", -1)
+  }
+
+  private def runInsert(in: Insert, params: Seq[Lit]): DataFrame = {
+    val t = table(in.table)
+    val schema = t.rows.schema
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val defaults: Map[String, Any] = t.columns.flatMap(c =>
+      c.default.map(d => c.name -> litValue(d, byName(c.name).dataType))).toMap
+    val newRows = in.rows.map { vals =>
+      require(vals.length == in.cols.length, "column/value arity mismatch")
+      val m = in.cols.zip(vals.map(v => LnxSql.bind(v, params))).toMap
+      Row.fromSeq(schema.fields.toSeq.map { f =>
+        m.get(f.name).map(l => litValue(l, f.dataType))
+          .orElse(defaults.get(f.name))
+          .getOrElse(null) // missing nullable columns default to null (apis/mod.rs:124-127)
+      })
+    }
+    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(newRows.toList), schema)
+    val pk = t.config.keyCols
+    // INSERT is always UPSERT by PK (apis/mod.rs:81-82)
+    t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
+    t.engine = None
+    status(s"upserted ${newRows.size} rows into ${in.table}")
+  }
+
+  private def colFilter(p: ColPred, params: Seq[Lit], schema: StructType): Column = {
+    val dt = schema.fields.find(_.name == p.col)
+      .getOrElse(throw ParseException(s"unknown column ${p.col}", -1)).dataType
+    val v = lit(litValue(LnxSql.bind(p.value, params), dt))
+    p.op match {
+      case "=" => col(p.col) === v
+      case ">" => col(p.col) > v
+      case "<" => col(p.col) < v
+      case ">=" => col(p.col) >= v
+      case "<=" => col(p.col) <= v
+      case "<>" | "!=" => col(p.col) =!= v
+    }
+  }
+
+  private def runDelete(d: Delete, params: Seq[Lit]): DataFrame = {
+    val t = table(d.table)
+    require(d.where.forall(_.isInstanceOf[ColPred]), "DELETE supports column predicates")
+    val cond = d.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t.rows.schema))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    t.rows = t.rows.filter(!cond)
+    t.engine = None
+    status(s"deleted from ${d.table}")
+  }
+
+  private def runUpdate(u: Update, params: Seq[Lit]): DataFrame = {
+    val t = table(u.table)
+    require(u.where.forall(_.isInstanceOf[ColPred]), "UPDATE supports column predicates")
+    val cond = u.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t.rows.schema))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val schema = t.rows.schema
+    u.sets.foreach { case (c, l) =>
+      val dt = schema.fields.find(_.name == c)
+        .getOrElse(throw ParseException(s"unknown column $c", -1)).dataType
+      t.rows = t.rows.withColumn(c,
+        when(cond, lit(litValue(LnxSql.bind(l, params), dt))).otherwise(col(c)))
+    }
+    t.engine = None
+    status(s"updated ${u.table}")
+  }
+
+  private def engineFor(t: TableState): QueryEngine = t.engine.getOrElse {
+    val e = new QueryEngine(IndexBuilder.build(t.rows, t.config))
+    t.engine = Some(e)
+    e
+  }
+
+  private def toClause(p: SearchPred, params: Seq[Lit]): SearchClause = {
+    val q = LnxSql.bind(p.arg, params) match {
+      case SLit(s) => s
+      case other => throw ParseException(s"search argument must be a string, got $other", -1)
+    }
+    p.func match {
+      case "fts" => Fts(p.col, q)
+      case "fuzzy" => FuzzyC(p.col, q)
+      case "levenshtein" => LevC(p.col, q)
+      case "regex" => RegexC(p.col, q)
+      case "fastfuzzy" => FastFuzzy(p.col, q)
+    }
+  }
+
+  private def runSelect(s: Select, params: Seq[Lit]): DataFrame = {
+    val t = table(s.table)
+    val searches = s.where.collect { case sp: SearchPred => sp }
+    val colPreds = s.where.collect { case cp: ColPred => cp }
+    val scorePreds = s.where.collect { case sp: ScorePred => sp }
+    val limit = s.limit.getOrElse(SearchDefaults.DefaultLimit) // default 1000 (query.rs:15-17)
+
+    val base: DataFrame =
+      if (searches.nonEmpty) {
+        val e = engineFor(t)
+        val clauses = searches.map(toClause(_, params))
+        var scored = e.matchF32(clauses)
+        // per-clause thresholds: supported when there is a single search
+        // clause (then clause score == total score, apis/mod.rs:221)
+        searches.flatMap(_.cmp).foreach { case (op, v) =>
+          require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
+          scored = applyCmp(scored, op, v)
+        }
+        scorePreds.foreach(sp => scored = applyCmp(scored, sp.op, sp.value))
+        e.index.docs.join(scored, "docId")
+      } else {
+        t.rows.withColumn("score", lit(0.0f))
+      }
+    val filtered = colPreds.foldLeft(base)((df, p) => df.filter(colFilter(p, params, t.rows.schema)))
+
+    // ORDER BY may reference a SELECT alias (e.g. score() AS s)
+    val aliasTarget: Map[String, String] = s.cols.collect {
+      case NamedCol(n, Some(a)) => a -> n
+      case ScoreCol(Some(a)) => a -> "score"
+    }.toMap
+    val resolvedOrder = s.orderBy.map { case (n, asc) => (aliasTarget.getOrElse(n, n), asc) }
+    val ordered = resolvedOrder match {
+      case Some(("score", asc)) =>
+        if (asc) filtered.orderBy(col("score").asc) else orderByScore(filtered)
+      case Some((c, asc)) => filtered.orderBy(if (asc) col(c).asc else col(c).desc)
+      case None if searches.nonEmpty => orderByScore(filtered)
+      case None => filtered
+    }
+    val limited = ordered.limit(limit)
+    val projected = s.cols.flatMap {
+      case StarCol => t.rows.columns.toSeq.map(c => col(c))
+      case NamedCol(n, a) => Seq(a.fold(col(n))(al => col(n).as(al)))
+      case ScoreCol(a) => Seq(a.fold(col("score"))(al => col("score").as(al)))
+    }
+    limited.select(projected: _*)
+  }
+
+  private def orderByScore(df: DataFrame): DataFrame =
+    if (df.columns.contains("docId")) df.orderBy(col("score").desc, col("docId").asc)
+    else df.orderBy(col("score").desc)
+
+  private def applyCmp(df: DataFrame, op: String, v: Double): DataFrame = op match {
+    case ">" => df.filter(col("score") > v)
+    case ">=" => df.filter(col("score") >= v)
+    case "<" => df.filter(col("score") < v)
+    case "<=" => df.filter(col("score") <= v)
+    case "=" => df.filter(col("score") === v)
+    case _ => df.filter(col("score") =!= v)
+  }
+}

@@ -32,6 +32,19 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("scanner tokenizer equals the regex reference on fuzzed ASCII") {
+    val rnd = new scala.util.Random(11)
+    val chars = "abcXYZ019 _-.;(){}\n\tQ"
+    for (_ <- 0 until 2000) {
+      val s = (0 until rnd.nextInt(80)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      assert(Analyzer.tokenize(s).toSeq === Analyzer.tokenizeRegex(s).toSeq, s"input: '$s'")
+    }
+    // long-token boundary
+    assert(Analyzer.tokenize("x" * 41).toSeq === Analyzer.tokenizeRegex("x" * 41).toSeq)
+    // non-ASCII falls back to the regex path
+    assert(Analyzer.tokenize("café bar").toSeq === Analyzer.tokenizeRegex("café bar").toSeq)
+  }
+
   test("tokenCounts matches tokenize") {
     val s = graft.corpus.CodeCorpus.genDoc(7L).content
     val (counts, len) = Analyzer.tokenCounts(s)

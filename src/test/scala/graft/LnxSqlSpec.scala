@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.LnxSql
+import graft.sql.LnxSql._
+import graft.sql.LnxSession
+import graft.query.{Fts, QueryEngine}
+import graft.index.{IndexBuilder, IndexConfig}
+
+/** Parse-table tests mirror the reference's rstest cases
+  * (lnx-query/src/sql.rs:105-118); execution tests check the dialect
+  * drives the real engine with lnx semantics (upsert, default limit,
+  * score(), params).
+  */
+class LnxSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("parses SELECT with parameters (sql.rs:106)") {
+    val Seq(s: Select) =
+      LnxSql.parse("SELECT * FROM foobar WHERE foo = 'bar' AND example = $1")
+    assert(s.table === "foobar")
+    assert(s.where === Seq(ColPred("foo", "=", SLit("bar")), ColPred("example", "=", Param(1))))
+  }
+
+  test("parses INSERT (sql.rs:107)") {
+    val Seq(i: Insert) =
+      LnxSql.parse("INSERT INTO foobar (foo, bar) VALUES ('one', 1), ($1, $2)")
+    assert(i.cols === Seq("foo", "bar"))
+    assert(i.rows === Seq(Seq(SLit("one"), NLit(1.0)), Seq(Param(1), Param(2))))
+  }
+
+  test("parses DELETE (sql.rs:108)") {
+    val Seq(d: Delete) = LnxSql.parse("DELETE FROM foobar WHERE foo = 'bar'")
+    assert(d.table === "foobar")
+  }
+
+  test("parses CREATE TABLE with PK/NOT NULL/DEFAULT/arrays (create_table.sql)") {
+    val Seq(c: CreateTable) = LnxSql.parse(
+      """CREATE TABLE IF NOT EXISTS books (
+        |  id bigint PRIMARY KEY,
+        |  title text NOT NULL,
+        |  description text NOT NULL DEFAULT '',
+        |  rating float,
+        |  category text[]
+        |)""".stripMargin)
+    assert(c.ifNotExists)
+    assert(c.columns.map(_.name) === Seq("id", "title", "description", "rating", "category"))
+    assert(c.columns.head.primaryKey)
+    assert(c.columns(2).default === Some(SLit("")))
+    assert(c.columns(4).isArray)
+  }
+
+  test("parses CREATE TABLE WITH tokenizers (sql.rs:110)") {
+    val Seq(c: CreateTable) = LnxSql.parse(
+      "CREATE TABLE foobar (id bigint PRIMARY KEY, example text) WITH (tokenizers = (example = 'raw'))")
+    assert(c.tokenizers === Map("example" -> "raw"))
+  }
+
+  test("rejects invalid statements (sql.rs:111)") {
+    intercept[ParseException](LnxSql.parse("SELECT FROM WHERE"))
+    intercept[ParseException](LnxSql.parse("this is not sql"))
+    intercept[ParseException](LnxSql.parse(""))
+  }
+
+  test("parses multiple ;-separated statements (sql.rs:112-118)") {
+    val stmts = LnxSql.parse(
+      "CREATE TABLE t (id bigint PRIMARY KEY, x text); INSERT INTO t (id, x) VALUES (1, 'a'); SELECT * FROM t")
+    assert(stmts.size === 3)
+  }
+
+  test("end-to-end: DDL, upsert, search with score(), params, default limit") {
+    val sess = new LnxSession(spark)
+    sess.execute(
+      "CREATE TABLE books (id bigint PRIMARY KEY, title text NOT NULL, description text NOT NULL DEFAULT '', rating float)")
+    sess.execute(
+      "INSERT INTO books (id, title, rating) VALUES (1, 'the binary search handbook', 4.5), " +
+        "(2, 'cooking for hackers', 3.0), (3, 'search engines in depth', 5.0)")
+    // upsert: same PK replaces (apis/mod.rs:81-82)
+    sess.execute("INSERT INTO books (id, title, rating) VALUES (2, 'searching and sorting', 3.5)")
+    assert(sess.execute("SELECT id FROM books").count() === 3)
+    val r = sess.execute(
+      "SELECT id, title, score() AS s FROM books WHERE fts(title, $1) ORDER BY s DESC LIMIT 10",
+      Seq(SLit("search")))
+    val rows = r.collect()
+    // exact term match: doc 2's 'searching' is a different term
+    assert(rows.map(_.getLong(0)).toSet === Set(1L, 3L))
+    // prefix form reaches the upserted doc 2
+    val pre = sess.execute("SELECT id FROM books WHERE fts(title, 'search*')")
+    assert(pre.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(rows.map(_.getFloat(2)).toSeq === rows.map(_.getFloat(2)).toSeq.sorted.reverse)
+    // parameterized column predicate + fuzzy
+    val f = sess.execute(
+      "SELECT id FROM books WHERE fuzzy(title, 'serch') AND rating >= $1",
+      Seq(NLit(4.0)))
+    assert(f.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // UPDATE / DELETE
+    sess.execute("UPDATE books SET rating = 1.0 WHERE id = 3")
+    sess.execute("DELETE FROM books WHERE rating < 2")
+    assert(sess.execute("SELECT id FROM books").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("SQL results match the programmatic engine exactly") {
+    val sess = new LnxSession(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    sess.register("documents", docs, Seq("doc_id"), Seq("text"))
+    val viaSql = sess.execute(
+      "SELECT doc_id, score() AS s FROM documents WHERE fts(text, 'merge sort data') ORDER BY score() DESC LIMIT 10")
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val idx = IndexBuilder.build(docs, IndexConfig(Seq("doc_id"), Seq("text"), 4096, 4))
+    val eng = new QueryEngine(idx)
+    val direct = eng.withDocs(eng.searchF32(Seq(Fts("text", "merge sort data")), 10), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(viaSql.toSet === direct.toSet)
+  }
+
+  test("default LIMIT is 1000 (query.rs:15-17)") {
+    val sess = new LnxSession(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    sess.register("documents", docs, Seq("doc_id"), Seq("text"))
+    val n = sess.execute("SELECT doc_id FROM documents WHERE fts(text, 'the')").count()
+    val expected = math.min(1000L,
+      sess.execute("SELECT doc_id FROM documents WHERE fts(text, 'the') LIMIT 100000").count())
+    assert(n === expected)
+  }
+}
