@@ -99,6 +99,25 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(sess.execute("SELECT id FROM books").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("multi-field index: conjunction across title and description (fuzzy.sql:9-12)") {
+    val sess = new LnxSession(spark)
+    sess.execute(
+      "CREATE TABLE b2 (id bigint PRIMARY KEY, title text NOT NULL, description text NOT NULL DEFAULT '')")
+    sess.execute("INSERT INTO b2 (id, title, description) VALUES " +
+      "(1, 'binary search trees', 'a deep dive into balanced search structures'), " +
+      "(2, 'binary stars', 'astrophysics of paired suns'), " +
+      "(3, 'cooking basics', 'search no further for simple recipes')")
+    // both clauses required: only doc 1 matches 'search' in BOTH fields
+    val r = sess.execute(
+      "SELECT id, score() AS s FROM b2 WHERE fts(title, 'search') AND fts(description, 'search')")
+    assert(r.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // clause scores sum: conjunction score > either single-clause score
+    val both = r.collect()(0).getFloat(1)
+    val tOnly = sess.execute("SELECT id, score() AS s FROM b2 WHERE fts(title, 'search')")
+      .collect().find(_.getLong(0) == 1L).get.getFloat(1)
+    assert(both > tOnly)
+  }
+
   test("SQL results match the programmatic engine exactly") {
     val sess = new LnxSession(spark)
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")

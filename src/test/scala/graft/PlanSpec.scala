@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.query._
+
+/** Physical-plan audits: the shapes that matter at 100 TB must be in
+  * the plan, not just in the design doc — pushed-down scans, broadcast
+  * for the k-row doc join, whole-stage codegen on the column paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stored-field projection pushes filters and prunes columns at the parquet scan") {
+    val df = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .filter(col("lang") === "en" && col("n_chars").between(100, 300))
+      .select("doc_id", "n_chars")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,en)"), plan.take(1500))
+    val readSchema = plan.split("ReadSchema:").last.takeWhile(_ != '\n')
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars") &&
+      readSchema.contains("lang") && !readSchema.contains("text"),
+      s"scan reads more than it needs: $readSchema")
+  }
+
+  test("the docId->stored-fields join broadcasts the k-row scored side") {
+    val e = SparkEntry.docEngine(spark, TestSpark.sf0001)
+    val out = e.withDocs(e.searchF64(Seq(Fts("text", "merge sort")), 10), Seq("doc_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("column-expression paths stay inside whole-stage codegen") {
+    val df = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val q = graft.ops.TextStats.tokenCounts(df, "doc_id", "text")
+    q.collect() // AQE shows codegen spans only in the final executed plan
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the tree string
+    assert(plan.contains("*("), plan.take(1500))
+  }
+
+  test("facet counting over matches is a hash aggregate, not a sort-based plan") {
+    val e = SparkEntry.docEngine(spark, TestSpark.sf0001)
+    val matches = e.matchF64(Seq(Fts("text", "data")))
+    val f = e.facetCounts(matches, concat(lit("/"), col("source"), lit("/"), col("lang")))
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+  }
+}
