@@ -98,8 +98,13 @@ object IndexStore {
       .repartitionByRange(parts, col("docId"))
       .sortWithinPartitions("docId")
       .write.mode(SaveMode.Overwrite).parquet(s"$segDir/docs.parquet")
+    // term dictionary: range-partitioned like the postings so prefix /
+    // exact lookups prune row groups (tiny at test scale, but a single
+    // file would bottleneck a 10^12-doc dictionary)
     idx.termStats
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$segDir/termstats.parquet")
+      .repartitionByRange(math.max(1, parts / 4), col("field"), col("term"))
+      .sortWithinPartitions("field", "term")
+      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/termstats.parquet")
   }
 
   private def writeLineage(idx: BuiltIndex, dir: String, epoch: Int): Unit = {

@@ -160,6 +160,16 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("f32 rank path and f64 oracle path agree on top-k membership and order") {
+    for (q <- Seq("binary search", "fn return license", "needle", "prefab*")) {
+      val f32 = engine.searchF32(Seq(Fts("content", q)), 10)
+        .collect().map(_.getLong(0)).toSeq
+      val f64 = engine.searchF64(Seq(Fts("content", q)), 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(f32 === f64, s"query '$q'")
+    }
+  }
+
   test("default limit is 1000") {
     val got = engine.searchF32(Seq(Fts("content", "fn")))
     assert(got.count() === 1000L)
