@@ -206,8 +206,11 @@ final class QueryEngine(val index: BuiltIndex) {
     }
   }
 
-  /** (docId, score float) — rank-identity path (f32 + optional WAND). */
-  def searchF32(clauses: Seq[SearchClause], k: Int = DefaultLimit, useWand: Boolean = false): DataFrame = {
+  /** (docId, score float) — rank-identity path. Block-max WAND handles
+    * eligible queries (single sum-scored group) by default; it is exact
+    * w.r.t. the exhaustive scorer (WandSpec).
+    */
+  def searchF32(clauses: Seq[SearchClause], k: Int = DefaultLimit, useWand: Boolean = true): DataFrame = {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF32
     val scored =
