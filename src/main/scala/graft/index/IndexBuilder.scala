@@ -28,9 +28,6 @@ final case class IndexConfig(
     shardDocs: Int = 8192,
     buildPartitions: Int = 32)
 
-/** One (field, term, doc) occurrence with its tf and the doc's u8 norm. */
-final case class TermHit(field: String, term: String, shard: Int, docId: Long, tf: Int, norm: Int)
-
 /** Encoded posting list for one (field, term, shard). */
 final case class PostingRow(
     field: String,

@@ -50,6 +50,17 @@ class IndexSpec extends AnyFunSuite {
     assert(src.count() === index.numDocs)
   }
 
+  test("ultra-hot terms are bounded by shardDocs (skew salting, SURVEY §4 O11)") {
+    // 'the' appears in most documents; its posting list must be split
+    // into docId-range shards, each row bounded by shardDocs — the
+    // salted-repartition guarantee that no task or group scales with a
+    // term's total df
+    val hot = index.postings.filter(col("term") === "the").collect()
+    assert(hot.length > 1, "expected the hot term to span multiple shards")
+    assert(hot.forall(_.numDocs <= config.shardDocs))
+    assert(hot.map(_.shard).distinct.length === hot.length)
+  }
+
   test("posting lists cover every (term, doc) occurrence with exact tf") {
     import graft.index.PostingCodec
     val rows = index.postings.collect()
