@@ -146,7 +146,7 @@ object IndexStore {
       .reduce(_ unionByName _).as(Encoders.product[PostingRow])
     val docsAll = segPaths.map(p => spark.read.parquet(s"$dir/$p/docs.parquet"))
       .reduce(_ unionByName _)
-    val deletes = loadDeletes(spark, dir)
+    val deletes = loadDeletes(spark, dir, epochs.map(_.epoch).toSet)
     val docs = deletes match {
       case Some(d) => docsAll.join(d, Seq("docId"), "left_anti")
       case None => docsAll
@@ -161,7 +161,15 @@ object IndexStore {
       deletes).persist()
   }
 
-  def loadDeletes(spark: SparkSession, dir: String): Option[DataFrame] = {
+  /** Tombstones of committed epochs only: appendEpoch writes
+    * _deletes/epoch=N before the manifest commit, so a crash in between
+    * leaves an orphan tombstone dir. Applying it against the old
+    * committed view would vanish upserted docs with no replacement —
+    * the same 'data without a manifest entry is invisible' contract as
+    * segment files.
+    */
+  def loadDeletes(spark: SparkSession, dir: String,
+      committedEpochs: Set[Int]): Option[DataFrame] = {
     val p = Paths.get(dir, "_deletes")
     if (!Files.exists(p)) None
     else {
@@ -169,7 +177,10 @@ object IndexStore {
       var dirs = List.empty[String]
       while (sub.hasNext) {
         val d = sub.next()
-        if (Files.isDirectory(d)) dirs ::= d.toString
+        val name = d.getFileName.toString
+        val committed = name.startsWith("epoch=") &&
+          scala.util.Try(name.stripPrefix("epoch=").toInt).toOption.exists(committedEpochs)
+        if (Files.isDirectory(d) && committed) dirs ::= d.toString
       }
       if (dirs.isEmpty) None
       else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _).select("docId").distinct())
@@ -221,24 +232,47 @@ object IndexStore {
     * (field, term, shard), drop tombstoned docIds, rewrite as one
     * segment — postings-level, no re-tokenization.
     */
+  /** One posting row joined with its shard's tombstones (the dels array
+    * is bounded by the shard width, never corpus-sized).
+    */
+  final case class CompactRow(field: String, term: String, shard: Int,
+      bytes: Array[Byte], blockOffset: Array[Int], blockLast: Array[Long],
+      dels: Option[Seq[Long]])
+
   def compact(spark: SparkSession, dir: String): Unit = {
     val (epochs, config, cps) = readManifest(spark, dir)
     val idx = load(spark, dir)
-    val deleted: Set[Long] = idx.deletes match {
-      case Some(d) => d.collect().map(_.getLong(0)).toSet
-      case None => Set.empty
-    }
-    val delBc = spark.sparkContext.broadcast(deleted)
     import org.apache.spark.sql.Encoders
-    val merged = idx.postings
+    // tombstones join the merge as a per-shard sorted array column — a
+    // plain shuffle join keyed on shard, so the delete set stays
+    // distributed (a heavy-churn table between compactions would blow
+    // a driver-collected Set / task closure)
+    val delByShard = idx.deletes match {
+      case Some(d) => d
+        .select((col("docId") / config.shardDocs).cast("int").as("shard"), col("docId"))
+        .groupBy("shard").agg(sort_array(collect_list("docId")).as("dels"))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("dels",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    }
+    val merged = idx.postings.toDF()
+      .select("field", "term", "shard", "bytes", "blockOffset", "blockLast")
+      .join(delByShard, Seq("shard"), "left")
+      .as(Encoders.product[CompactRow])
       .groupByKey(p => (p.field, p.term, p.shard))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaInt))
       .flatMapGroups { (key, rows) =>
         val (field, term, shard) = key
+        var deleted: Set[Long] = Set.empty
         val all = rows.flatMap { p =>
+          if (deleted.isEmpty) deleted = p.dels.map(_.toSet).getOrElse(Set.empty)
           val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
           dec.docIds.indices.map(i => (dec.docIds(i), dec.tfs(i), dec.norms(i)))
-        }.toArray.sortBy(_._1).filter(t => !delBc.value.contains(t._1))
+        }.toArray.sortBy(_._1).filter(t => !deleted.contains(t._1))
         if (all.isEmpty) Iterator.empty
         else {
           var sumTf = 0L

@@ -11,15 +11,30 @@ object BitPack {
   def bitsNeeded(maxVal: Long): Int =
     if (maxVal <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxVal)
 
-  /** Append `values` (each < 2^bits) to `out` as a packed bit stream. */
+  /** Append `values` (each < 2^bits) to `out` as a packed bit stream.
+    * Handles the full 1..64-bit range: when a value straddles the
+    * 64-bit accumulator (accBits + bits > 64), the low part is flushed
+    * as 8 whole bytes and the value's high bits carry over — without
+    * this, `values(i) << accBits` silently drops high bits for
+    * bits > 56 with a non-empty accumulator.
+    */
   def pack(values: Array[Long], bits: Int, out: ByteArrayOutputStream): Unit = {
     if (bits == 0) return
     var acc = 0L
     var accBits = 0
     var i = 0
     while (i < values.length) {
-      acc |= values(i) << accBits
-      accBits += bits
+      val v = values(i)
+      acc |= v << accBits // low (64 - accBits) bits of v
+      val total = accBits + bits
+      if (total >= 64) {
+        var f = 0
+        while (f < 8) { out.write((acc & 0xff).toInt); acc >>>= 8; f += 1 }
+        acc = if (accBits == 0) 0L else v >>> (64 - accBits)
+        accBits = total - 64
+      } else {
+        accBits = total
+      }
       while (accBits >= 8) {
         out.write((acc & 0xff).toInt)
         acc >>>= 8
@@ -32,25 +47,48 @@ object BitPack {
 
   def packedBytes(n: Int, bits: Int): Int = (n * bits + 7) / 8
 
-  /** Read `n` `bits`-wide values starting at byte `off`. */
+  /** Read `n` `bits`-wide values starting at byte `off`. Fast word-wise
+    * path for bits <= 56 (byte shifts stay below 64); bit-addressed
+    * general path for wider values (rare: only huge docId gaps).
+    */
   def unpack(bytes: Array[Byte], off: Int, n: Int, bits: Int): Array[Long] = {
     val res = new Array[Long](n)
     if (bits == 0) return res
-    var acc = 0L
-    var accBits = 0
-    var p = off
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
-    var i = 0
-    while (i < n) {
-      while (accBits < bits) {
-        acc |= (bytes(p) & 0xffL) << accBits
-        p += 1
-        accBits += 8
+    if (bits <= 56) {
+      var acc = 0L
+      var accBits = 0
+      var p = off
+      val mask = (1L << bits) - 1
+      var i = 0
+      while (i < n) {
+        while (accBits < bits) {
+          acc |= (bytes(p) & 0xffL) << accBits
+          p += 1
+          accBits += 8
+        }
+        res(i) = acc & mask
+        acc >>>= bits
+        accBits -= bits
+        i += 1
       }
-      res(i) = acc & mask
-      acc >>>= bits
-      accBits -= bits
-      i += 1
+    } else {
+      var bitPos = 0L
+      var i = 0
+      while (i < n) {
+        var v = 0L
+        var got = 0
+        while (got < bits) {
+          val byteIdx = off + (bitPos >>> 3).toInt
+          val bitOff = (bitPos & 7).toInt
+          val take = math.min(8 - bitOff, bits - got)
+          val chunk = ((bytes(byteIdx) & 0xff) >>> bitOff) & ((1 << take) - 1)
+          v |= chunk.toLong << got
+          got += take
+          bitPos += take
+        }
+        res(i) = v
+        i += 1
+      }
     }
     res
   }

@@ -51,12 +51,18 @@ final case class MoreLikeThis(field: String, docId: Long, topTerms: Int = 8,
 final class QueryEngine(val index: BuiltIndex) {
   import SearchDefaults._
 
-  /** Upsert tombstones (docIds superseded by later epochs), collected
-    * once — scoring skips them (Lucene/tantivy delete-bitset analogue;
-    * compaction absorbs them, bounding the set).
+  /** Upsert tombstones (docIds superseded by later epochs) as a typed
+    * Dataset — cogrouped with the posting shards inside the scoring
+    * plan (Lucene/tantivy delete-bitset analogue), never collected to
+    * the driver: a heavy-churn table between compactions stays a
+    * distributed column, not a task-closure Set.
     */
-  private lazy val deletedSet: Set[Long] =
-    index.deletes.map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+  private lazy val deletesDs: Option[org.apache.spark.sql.Dataset[Long]] =
+    index.deletes.map { d =>
+      val spark = index.spark
+      import spark.implicits._
+      d.select(col("docId")).as[Long]
+    }
 
   /** field -> (term -> df) for an exact term batch. */
   private def dfLookup(keys: Seq[(String, String)]): Map[(String, String), Long] = {
@@ -80,18 +86,23 @@ final class QueryEngine(val index: BuiltIndex) {
 
   /** Distributed fuzzy expansion: length-banded dictionary scan with the
     * built-in levenshtein filter, verified driver-side with the banded
-    * DP (both must agree; LevenshteinSpec).
+    * DP (both must agree; LevenshteinSpec). The (distance, term) sort +
+    * MaxExpansions truncation happen INSIDE the plan (TakeOrdered), so
+    * the driver collects at most MaxExpansions rows even when a short
+    * token matches a huge slice of a billion-term dictionary.
     */
   private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] =
     index.termStats
       .filter(col("field") === field &&
         length(col("term")).between(tok.length - maxDist, tok.length + maxDist) &&
         levenshtein(col("term"), lit(tok)) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), lit(tok)))
+      .orderBy(col("dist").asc, col("term").asc)
+      .limit(MaxExpansions)
       .collect()
       .map(r => (r.getString(1), r.getLong(2), Levenshtein.distance(tok, r.getString(1), maxDist)))
       .filter(_._3 <= maxDist)
       .sortBy(t => (t._3, t._1))
-      .take(MaxExpansions)
       .toSeq
 
   private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
@@ -116,17 +127,33 @@ final class QueryEngine(val index: BuiltIndex) {
     d
   }
 
-  /** Fast-fuzzy correction of one token (deterministic: min distance,
-    * max df, lexicographic).
+  /** Fast-fuzzy correction of ALL query tokens in one lookup job —
+    * fast-fuzzy is the reference's *fast* path (README.md:28,41), so a
+    * per-token Spark job would invert its 30x property on multi-token
+    * queries. All tokens' delete-variants union into a single pushed-
+    * down filter; best-per-token (min distance, max df, lexicographic)
+    * is picked driver-side from the one collected candidate batch.
     */
-  def correct(field: String, tok: String): String = {
-    val variants = SymSpell.deletes(tok).toSeq
-    val cands = symspellDict
-      .filter(col("field") === field && col("variant").isin(variants: _*))
-      .select(col("term"), col("df")).distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    SymSpell.pickBest(tok, cands).getOrElse(tok)
+  def correctAll(field: String, toks: Seq[String]): Map[String, String] = {
+    if (toks.isEmpty) return Map.empty
+    val variantsByTok: Map[String, Set[String]] =
+      toks.distinct.map(t => t -> SymSpell.deletes(t)).toMap
+    val allVariants = variantsByTok.values.flatten.toSeq.distinct
+    val hits = symspellDict
+      .filter(col("field") === field && col("variant").isin(allVariants: _*))
+      .select(col("variant"), col("term"), col("df")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byVariant = hits.groupBy(_._1)
+    variantsByTok.map { case (tok, vars) =>
+      val cands = vars.iterator
+        .flatMap(v => byVariant.getOrElse(v, Array.empty[(String, String, Long)]))
+        .map(h => (h._2, h._3)).toSeq.distinct
+      tok -> SymSpell.pickBest(tok, cands).getOrElse(tok)
+    }
   }
+
+  /** Single-token convenience over correctAll. */
+  def correct(field: String, tok: String): String = correctAll(field, Seq(tok))(tok)
 
   /** Top tf-idf terms of a seed document (more-like-this). */
   def seedTerms(field: String, docId: Long, topTerms: Int): Seq[String] = {
@@ -176,7 +203,9 @@ final class QueryEngine(val index: BuiltIndex) {
         case RegexC(field, pattern, _) =>
           regexExpand(field, pattern).map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
         case FastFuzzy(field, query, _) =>
-          val toks = tokenizeQuery(query).map(t => correct(field, t)).distinct
+          val raw = tokenizeQuery(query)
+          val corrected = correctAll(field, raw)
+          val toks = raw.map(t => corrected.getOrElse(t, t)).distinct
           dfLookup(toks.map(t => (field, t))).map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }
         case MoreLikeThis(field, docId, topTerms, _) =>
           val toks = seedTerms(field, docId, topTerms)
@@ -215,8 +244,8 @@ final class QueryEngine(val index: BuiltIndex) {
     if (cq.terms.isEmpty) return emptyResultF32
     val scored =
       if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore)
-        Wand.topK(index, cq, k, deletedSet)
-      else Scorer.scoreF32(index, cq, deletedSet)
+        Wand.topK(index, cq, k, deletesDs)
+      else Scorer.scoreF32(index, cq, deletesDs)
     Scorer.topK(scored.toDF("docId", "score"), k)
   }
 
@@ -229,7 +258,7 @@ final class QueryEngine(val index: BuiltIndex) {
   def matchF32(clauses: Seq[SearchClause]): DataFrame = {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF32
-    Scorer.scoreF32(index, cq, deletedSet).toDF("docId", "score")
+    Scorer.scoreF32(index, cq, deletesDs).toDF("docId", "score")
   }
 
   /** Unlimited (docId, score double) match set (facet counting, custom
@@ -238,25 +267,36 @@ final class QueryEngine(val index: BuiltIndex) {
   def matchF64(clauses: Seq[SearchClause], threshold: Option[Double] = None): DataFrame = {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF64
-    val scored = Scorer.scoreF64(index, cq, deletedSet).toDF("docId", "score")
+    val scored = Scorer.scoreF64(index, cq, deletesDs).toDF("docId", "score")
     threshold.map(t => scored.filter(col("score") > lit(t))).getOrElse(scored)
   }
 
   /** Join scored docIds back to stored fields (the only docId join the
-    * engine needs, SURVEY.md section 2.3). The scored side is <= k rows
-    * after topK — broadcast it.
+    * engine needs, SURVEY.md section 2.3). Callers MUST pass a limited
+    * scored side (apply Scorer.topK / a threshold + limit first): the
+    * broadcast hint is only sound because the scored side is <= k rows.
+    * For unlimited match sets use `withDocsUnlimited`.
     */
   def withDocs(scored: DataFrame, docCols: Seq[String]): DataFrame = {
     val cols = docCols.map(col) :+ col("score")
     index.docs.join(broadcast(scored), "docId").select(cols: _*)
   }
 
+  /** Same join without the broadcast hint, for match sets that are not
+    * provably small (AQE picks the strategy from runtime sizes).
+    */
+  def withDocsUnlimited(scored: DataFrame, docCols: Seq[String]): DataFrame = {
+    val cols = docCols.map(col) :+ col("score")
+    index.docs.join(scored, "docId").select(cols: _*)
+  }
+
   /** Hierarchical facet counting over a match set (the `facet` type's
     * drill-down aggregation, apis/mod.rs:177): count matching docs per
-    * facet path prefix.
+    * facet path prefix. The match set is unlimited (every doc matching
+    * the query), so no broadcast hint — AQE decides from runtime sizes.
     */
   def facetCounts(matchedDocIds: DataFrame, facetCol: Column): DataFrame = {
-    val matched = index.docs.join(broadcast(matchedDocIds.select("docId")), "docId")
+    val matched = index.docs.join(matchedDocIds.select("docId"), "docId")
     matched
       .withColumn("__parts", split(regexp_replace(facetCol, "^/", ""), "/"))
       .withColumn("__lvl", explode(sequence(lit(1), size(col("__parts")))))

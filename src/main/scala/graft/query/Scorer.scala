@@ -47,21 +47,39 @@ final case class ScoredDocF64(docId: Long, score: Double)
   */
 object Scorer {
 
-  /** Pushdown-friendly selection of the query's posting rows. */
+  /** Pushdown-friendly selection of the query's posting rows. The exact
+    * (field, term) pair match stays a Column expression (codegen'd, on
+    * top of the pushed-down isin scans) instead of a typed filter that
+    * would force row deserialization.
+    */
   def matchedPostings(index: BuiltIndex, terms: Seq[CompiledTerm]): Dataset[PostingRow] = {
     val termKeys = terms.map(_.term).distinct
     val fieldKeys = terms.map(_.field).distinct
-    val wanted = terms.map(t => (t.field, t.term)).toSet
-    index.postings
+    val base = index.postings
       .filter(col("term").isin(termKeys: _*) && col("field").isin(fieldKeys: _*))
-      .filter(p => wanted.contains((p.field, p.term)))
+    if (fieldKeys.size <= 1) base
+    else {
+      val pairKeys = terms.map(t => t.field + "\u0000" + t.term).distinct
+      base.filter(concat_ws("\u0000", col("field"), col("term")).isin(pairKeys: _*))
+    }
+  }
+
+  /** Tombstones keyed by docId shard, for cogrouping with the posting
+    * shards — the delete set stays distributed (bounded per shard by the
+    * shard width) instead of a driver-collected closure Set.
+    */
+  def deletesByShard(index: BuiltIndex, deletes: Dataset[Long]) = {
+    val spark = index.spark
+    import spark.implicits._
+    val width = index.config.shardDocs
+    deletes.groupByKey(id => (id / width).toInt)
   }
 
   /** Exhaustive f32 path: tantivy-arithmetic scores, deterministic
     * accumulation order (groups/terms sorted), exact conjunction masks.
     */
   def scoreF32(index: BuiltIndex, cq: CompiledQuery,
-      deleted: Set[Long] = Set.empty): Dataset[ScoredDocF32] = {
+      deletes: Option[Dataset[Long]] = None): Dataset[ScoredDocF32] = {
     val spark = index.spark
     import spark.implicits._
     val weights: Map[(String, String, Int), Float] =
@@ -72,11 +90,17 @@ object Scorer {
     val reqMask = cq.requiredMask
     val caches: Map[String, Array[Float]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
-    matchedPostings(index, cq.terms)
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) =>
-        mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, deleted)
-      }
+    val grouped = matchedPostings(index, cq.terms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
+          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet)
+        }
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, Set.empty)
+        }
+    }
   }
 
   private def mergeShardF32(
@@ -123,7 +147,7 @@ object Scorer {
     * (mirrors the DuckDB oracle SQL exactly; see SparkEntry.oracleSql).
     */
   def scoreF64(index: BuiltIndex, cq: CompiledQuery,
-      deleted: Set[Long] = Set.empty): Dataset[ScoredDocF64] = {
+      deletes: Option[Dataset[Long]] = None): Dataset[ScoredDocF64] = {
     val spark = index.spark
     import spark.implicits._
     val weights: Map[(String, String, Int), Double] =
@@ -134,39 +158,56 @@ object Scorer {
     val reqMask = cq.requiredMask
     val caches: Map[String, Array[Double]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF64(index.avgFieldnormF64(f))).toMap
-    matchedPostings(index, cq.terms)
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) =>
-        val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
-        val score = new java.util.HashMap[Long, Array[Double]]()
-        val mask = new java.util.HashMap[Long, Array[Int]]()
-        sorted.foreach { p =>
-          val cache = caches(p.field)
-          val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
-          groupOf((p.field, p.term)).foreach { g =>
-            val gBit = 1 << g
-            val isConst = (constMask & gBit) != 0
-            val w = weights((p.field, p.term, g))
-            var i = 0
-            while (i < dec.docIds.length) {
-              val d = dec.docIds(i)
-              val sAcc = score.computeIfAbsent(d, _ => Array(0.0d))
-              val mAcc = mask.computeIfAbsent(d, _ => Array(0))
-              if (isConst) {
-                if ((mAcc(0) & gBit) == 0) sAcc(0) += 1.0d
-              } else {
-                sAcc(0) += Bm25.tfScoreF64(w, dec.tfs(i), cache(dec.norms(i)))
-              }
-              mAcc(0) |= gBit
-              i += 1
-            }
-          }
+    val grouped = matchedPostings(index, cq.terms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
+          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet)
         }
-        import scala.jdk.CollectionConverters._
-        score.entrySet().iterator().asScala
-          .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask && !deleted.contains(e.getKey))
-          .map(e => ScoredDocF64(e.getKey, e.getValue()(0)))
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, Set.empty)
+        }
+    }
+  }
+
+  private def mergeShardF64(
+      rows: Iterator[PostingRow],
+      weights: Map[(String, String, Int), Double],
+      groupOf: Map[(String, String), Seq[Int]],
+      caches: Map[String, Array[Double]],
+      constMask: Int,
+      reqMask: Int,
+      deleted: Set[Long]): Iterator[ScoredDocF64] = {
+    val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
+    val score = new java.util.HashMap[Long, Array[Double]]()
+    val mask = new java.util.HashMap[Long, Array[Int]]()
+    sorted.foreach { p =>
+      val cache = caches(p.field)
+      val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+      groupOf((p.field, p.term)).foreach { g =>
+        val gBit = 1 << g
+        val isConst = (constMask & gBit) != 0
+        val w = weights((p.field, p.term, g))
+        var i = 0
+        while (i < dec.docIds.length) {
+          val d = dec.docIds(i)
+          val sAcc = score.computeIfAbsent(d, _ => Array(0.0d))
+          val mAcc = mask.computeIfAbsent(d, _ => Array(0))
+          if (isConst) {
+            if ((mAcc(0) & gBit) == 0) sAcc(0) += 1.0d
+          } else {
+            sAcc(0) += Bm25.tfScoreF64(w, dec.tfs(i), cache(dec.norms(i)))
+          }
+          mAcc(0) |= gBit
+          i += 1
+        }
       }
+    }
+    import scala.jdk.CollectionConverters._
+    score.entrySet().iterator().asScala
+      .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask && !deleted.contains(e.getKey))
+      .map(e => ScoredDocF64(e.getKey, e.getValue()(0)))
   }
 
   /** Global top-k with the engine's total order (score desc, docId asc

@@ -184,7 +184,7 @@ object Wand {
     * scorer under the (score desc, docId asc) total order.
     */
   def topK(index: BuiltIndex, cq: CompiledQuery, k: Int,
-      deleted: Set[Long] = Set.empty): Dataset[ScoredDocF32] = {
+      deletes: Option[Dataset[Long]] = None): Dataset[ScoredDocF32] = {
     require(cq.groups.size == 1 && !cq.groups.head.constScore,
       "WAND path covers single-group sum-scored queries; use Scorer for the rest")
     val spark = index.spark
@@ -194,8 +194,17 @@ object Wand {
     val caches: Map[String, Array[Float]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
     val kk = k
-    Scorer.matchedPostings(index, cq.terms)
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) => wandShard(rows.toArray, weights, caches, kk, deleted) }
+    val grouped = Scorer.matchedPostings(index, cq.terms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        // tombstones cogrouped per shard (bounded by the shard width):
+        // WAND must exclude them DURING scoring so the heap fills with
+        // live docs — a post-hoc anti-join would under-fill the top-k
+        grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
+          wandShard(rows.toArray, weights, caches, kk, dels.toSet)
+        }
+      case None =>
+        grouped.flatMapGroups { (_, rows) => wandShard(rows.toArray, weights, caches, kk, Set.empty) }
+    }
   }
 }

@@ -167,12 +167,17 @@ final class LnxSession(val spark: SparkSession) {
     val cond = u.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t.rows.schema))
       .reduceOption(_ && _).getOrElse(lit(true))
     val schema = t.rows.schema
+    // materialize WHERE once: SET columns may rewrite columns the
+    // predicate reads, so evaluating `cond` per-SET would re-test it
+    // against post-update values (e.g. SET a = 5, b = 1 WHERE a < 2)
+    var updated = t.rows.withColumn("__cond", cond)
     u.sets.foreach { case (c, l) =>
       val dt = schema.fields.find(_.name == c)
         .getOrElse(throw ParseException(s"unknown column $c", -1)).dataType
-      t.rows = t.rows.withColumn(c,
-        when(cond, lit(litValue(LnxSql.bind(l, params), dt))).otherwise(col(c)))
+      updated = updated.withColumn(c,
+        when(col("__cond"), lit(litValue(LnxSql.bind(l, params), dt))).otherwise(col(c)))
     }
+    t.rows = updated.drop("__cond")
     t.engine = None
     status(s"updated ${u.table}")
   }

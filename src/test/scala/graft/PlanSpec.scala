@@ -31,6 +31,18 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("q09 (stopword query): the broadcast side of the docs join is limited, not the full match set") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+    val df = SparkEntry.queries("q09_default_limit")(spark, TestSpark.sf0001)
+    val joins = df.queryExecution.analyzed.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected a docs join in the q09 plan")
+    joins.foreach { j =>
+      val limited = j.right.collectFirst { case g: GlobalLimit => g }.nonEmpty ||
+        j.left.collectFirst { case g: GlobalLimit => g }.nonEmpty
+      assert(limited, s"docs join has no Limit on either side:\n$j")
+    }
+  }
+
   test("column-expression paths stay inside whole-stage codegen") {
     val df = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
     val q = graft.ops.TextStats.tokenCounts(df, "doc_id", "text")

@@ -37,6 +37,11 @@ class PostingCodecSpec extends AnyFunSuite {
     roundtrip(Array(Long.MaxValue / 2), Array(1 << 20), Array(255))
     roundtrip(Array(5L, Long.MaxValue / 2), Array(1, 1), Array(255, 0))
     roundtrip(Array(0L, 1L, 2L), Array(1, 1, 1), Array(0, 0, 0)) // zero-bit deltas
+    // MULTIPLE >56-bit deltas in one block: exercises the accumulator
+    // spill in BitPack.pack/unpack (a straddled value must carry its
+    // high bits over the 64-bit word boundary)
+    val wide = Array(5L, Long.MaxValue / 2, Long.MaxValue / 2 + 3, Long.MaxValue - 9)
+    roundtrip(wide, Array(1, 2, 3, 4), Array(0, 255, 7, 200))
   }
 
   test("property: random strictly-increasing lists roundtrip (seeded)") {
