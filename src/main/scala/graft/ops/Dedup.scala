@@ -71,7 +71,11 @@ object Dedup {
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("a"), col("sh"))
     val shB = sh.select(col("id").as("b"), col("sh"))
-    val common = broadcast(cand).join(shA, "a").join(shB, Seq("b", "sh"))
+    // verify stage: plain shuffle joins keyed on a/b — the candidate
+    // pair set is unbounded at corpus scale (it grows with near-dup
+    // density), so broadcasting it would OOM; AQE may still pick a
+    // broadcast when runtime sizes allow
+    val common = cand.join(shA, "a").join(shB, Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
     common
       .join(sz.select(col("id").as("a"), col("n").as("na")), "a")

@@ -52,25 +52,43 @@ object Similarity {
        |       round(c, 4) AS cosine
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-style bucketed ANN (the scale path): deterministic centroids
-    * (every `centroidStride`-th vector), assign each vector to its
-    * nearest centroid via a broadcast argmax, probe only the query's
-    * own cluster. Recall < 1 by construction; the exactness contract is
-    * vs. the identically-bucketed oracle.
+  /** Deterministic fixed-size centroid sample: rank every vector by a
+    * Lehmer-style multiplicative hash of its id and keep the first
+    * `numCentroids` — a pseudo-random sample whose SIZE is independent
+    * of N (the previous every-Nth-vector scheme grew linearly with the
+    * corpus, making assignment O(N^2 / stride) at 100 TB). Exact
+    * integer arithmetic, so the DuckDB oracle computes the identical
+    * sample. vid * 48271 stays below 2^63 for vid < 1.9e14.
+    */
+  private def centroidHash(vid: Column): Column =
+    pmod(vid * lit(48271L), lit(2147483647L))
+
+  private def centroidHashDuck(vid: String): String =
+    s"(($vid * 48271) % 2147483647)"
+
+  /** IVF-bucketed ANN (the scale path): fixed-K deterministic
+    * centroids, each vector assigned to its nearest centroid via a
+    * broadcast argmax (K rows, constant), queries probe their `nProbe`
+    * nearest clusters. Recall < 1 by construction; the exactness
+    * contract is vs. the identically-bucketed oracle.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      centroidStride: Int = 50, nQueries: Int = 5, k: Int = 3): DataFrame = {
+      numCentroids: Int = 8, nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val cents = e.filter(col("vid") % centroidStride === 0)
+    val cents = e.withColumn("hk", centroidHash(col("vid")))
+      .orderBy(col("hk").asc, col("vid").asc).limit(numCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"))
     val scoredC = e.join(broadcast(cents), lit(true))
       .withColumn("cc", cosine(col("cv"), col("v")))
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cid").asc)
-    val assigned = scoredC.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vid"), col("v"), col("cid").as("cluster"))
-    val q = assigned.filter(col("vid") < nQueries)
-      .select(col("vid").as("qid"), col("v").as("qv"), col("cluster"))
-    val cand = assigned.join(broadcast(q), Seq("cluster"))
+    val ranked = scoredC.withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid").as("cluster"))
+    // queries probe their nProbe nearest clusters (vectors stay
+    // single-assigned, so probe sets never duplicate a candidate)
+    val qProbe = ranked.filter(col("vid") < nQueries && col("rn") <= nProbe)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("cid").as("cluster"))
+    val cand = assigned.join(broadcast(qProbe), Seq("cluster"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("c", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vid").asc)
@@ -82,17 +100,19 @@ object Similarity {
   }
 
   def ivfTopKSqlDuck(idCol: String, vecCol: String,
-      centroidStride: Int = 50, nQueries: Int = 5, k: Int = 3): String =
+      numCentroids: Int = 8, nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): String =
     s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vid AS cid, v AS cv FROM e WHERE vid % $centroidStride = 0),
+       |cents AS (SELECT vid AS cid, v AS cv FROM e
+       |          ORDER BY ${centroidHashDuck("vid")} ASC, vid ASC LIMIT $numCentroids),
        |sc AS (SELECT e.vid, e.v, c.cid,
        |         list_dot_product(c.cv, e.v) /
        |         (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(e.v, e.v))) AS cc
        |       FROM e CROSS JOIN cents c),
-       |assigned AS (SELECT vid, v, cid AS cluster FROM
-       |  (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cc DESC, cid ASC) AS rn FROM sc)
-       |  WHERE rn = 1),
-       |q AS (SELECT vid AS qid, v AS qv, cluster FROM assigned WHERE vid < $nQueries),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cc DESC, cid ASC) AS rn
+       |           FROM sc),
+       |assigned AS (SELECT vid, v, cid AS cluster FROM ranked WHERE rn = 1),
+       |q AS (SELECT vid AS qid, v AS qv, cid AS cluster FROM ranked
+       |      WHERE vid < $nQueries AND rn <= $nProbe),
        |cand AS (SELECT q.qid, a.vid,
        |           list_dot_product(q.qv, a.v) /
        |           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
@@ -103,14 +123,17 @@ object Similarity {
        |       round(c, 4) AS cosine
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs, IVF-bucketed: only pairs
-    * inside one cluster are compared (the quadratic step is bounded per
-    * cluster), threshold on cosine.
+  /** Embedding-cosine near-duplicate pairs, IVF-bucketed with fixed-K
+    * centroids: only pairs inside one cluster are compared. Expected
+    * cluster size is N/K, so this stays quadratic-in-cluster — for the
+    * true 100 TB path prefer `lshCosineDupPairs` (random-hyperplane
+    * LSH, bucket size set by signature width, not corpus size).
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      centroidStride: Int = 50, threshold: Double = 0.45): DataFrame = {
+      numCentroids: Int = 8, threshold: Double = 0.45): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val cents = e.filter(col("vid") % centroidStride === 0)
+    val cents = e.withColumn("hk", centroidHash(col("vid")))
+      .orderBy(col("hk").asc, col("vid").asc).limit(numCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"))
     val scoredC = e.join(broadcast(cents), lit(true))
       .withColumn("cc", cosine(col("cv"), col("v")))
@@ -127,9 +150,10 @@ object Similarity {
   }
 
   def cosineDupPairsSqlDuck(idCol: String, vecCol: String,
-      centroidStride: Int = 50, threshold: Double = 0.45): String =
+      numCentroids: Int = 8, threshold: Double = 0.45): String =
     s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vid AS cid, v AS cv FROM e WHERE vid % $centroidStride = 0),
+       |cents AS (SELECT vid AS cid, v AS cv FROM e
+       |          ORDER BY ${centroidHashDuck("vid")} ASC, vid ASC LIMIT $numCentroids),
        |sc AS (SELECT e.vid, e.v, c.cid,
        |         list_dot_product(c.cv, e.v) /
        |         (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(e.v, e.v))) AS cc
@@ -142,4 +166,76 @@ object Similarity {
        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
        |      FROM assigned x JOIN assigned y USING (cluster) WHERE x.vid < y.vid)
        |SELECT a, b, round(c, 4) AS cosine FROM p WHERE c >= $threshold ORDER BY a, b""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
+    * +1/-1 from exact integer arithmetic so Spark and DuckDB draw the
+    * identical hyperplanes.
+    */
+  private def hyperplaneSign(p: Int, i: Column): Column =
+    when(pmod((lit(p.toLong * 1000003L) + i) * lit(48271L), lit(2147483647L)) % 2 === 0,
+      lit(1.0d)).otherwise(lit(-1.0d))
+
+  /** Random-hyperplane LSH signature (SimHash over embeddings): bit p =
+    * sign of the dot product with pseudo-random +-1 hyperplane p. Strict
+    * left-to-right fold in both engines, so near-zero dots resolve the
+    * same bit.
+    */
+  def lshSignature(v: Column, nBits: Int): Column = {
+    val idx = sequence(lit(0L), size(v).cast("long") - 1L)
+    val bits = (0 until nBits).map { p =>
+      val dot = aggregate(
+        zip_with(v, idx, (x, i) => x * hyperplaneSign(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0.0d, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH —
+    * the 100 TB path: bucket size is set by the band width (2^bandBits
+    * buckets per band), NOT by corpus/centroid geometry, so the
+    * quadratic verify step is bounded per bucket. Candidates share at
+    * least one band of their signature; verified with exact cosine.
+    */
+  def lshCosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45): DataFrame = {
+    val nBands = nBits / bandBits
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nBits))
+    val mask = (1L << bandBits) - 1
+    val banded = e.withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("key", expr(s"shiftright(sig, band * $bandBits) & $mask"))
+    val a = banded.select(col("vid").as("a"), col("v").as("va"), col("band"), col("key"))
+    val b = banded.select(col("vid").as("b"), col("v").as("vb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select("a", "b", "va", "vb").distinct()
+      .withColumn("c", cosine(col("va"), col("vb")))
+      .filter(col("c") >= threshold)
+      .select(col("a"), col("b"), round(col("c"), 4).as("cosine"))
+      .orderBy("a", "b")
+  }
+
+  def lshCosineDupPairsSqlDuck(idCol: String, vecCol: String,
+      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45): String = {
+    val nBands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bitTerms = (0 until nBits).map { p =>
+      s"""(CASE WHEN list_reduce(list_transform(range(1, len(v)+1), i -> v[i] *
+         |  (CASE WHEN ((($p*1000003 + (i-1)) * 48271) % 2147483647) % 2 = 0
+         |   THEN 1.0 ELSE -1.0 END)), (acc, x) -> acc + x) > 0
+         | THEN (1::BIGINT << $p) ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vid, v, ($bitTerms)::BIGINT AS sig FROM e),
+       |banded AS (SELECT vid, v, sig, i AS band, (sig >> (i * $bandBits)) & $mask AS key
+       |           FROM sig, range(0, $nBands) r(i)),
+       |cand AS (SELECT DISTINCT a.vid AS a, b.vid AS b, a.v AS va, b.v AS vb
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |              AND a.vid < b.vid),
+       |p AS (SELECT a, b,
+       |        list_dot_product(va, vb) /
+       |        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS c
+       |      FROM cand)
+       |SELECT a, b, round(c, 4) AS cosine FROM p WHERE c >= $threshold ORDER BY a, b""".stripMargin
+  }
 }

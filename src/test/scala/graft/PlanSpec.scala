@@ -43,6 +43,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash verify stage carries no forced broadcast of the candidate-pair set") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val df = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text")
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"candidate pairs must not be broadcast (unbounded at scale): $hints")
+  }
+
   test("column-expression paths stay inside whole-stage codegen") {
     val df = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
     val q = graft.ops.TextStats.tokenCounts(df, "doc_id", "text")
