@@ -170,8 +170,34 @@ final class QueryEngine(val index: BuiltIndex) {
       .map(_._2)
   }
 
+  /** Compiled-query LRU: dictionary expansions (prefix/fuzzy/regex,
+    * SymSpell correction) run Spark jobs, so repeated queries must not
+    * re-pay them — the engine-side analogue of the reference caching
+    * compiled query parts across requests (apis/mod.rs:68-69). Keyed on
+    * the clause list (params are already bound into it); the cache dies
+    * with the engine, which mutations invalidate.
+    */
+  private val compileCache =
+    new java.util.LinkedHashMap[Seq[SearchClause], CompiledQuery](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[SearchClause], CompiledQuery]): Boolean = size() > 128
+    }
+
+  /** Observability: compile calls served from the LRU. */
+  @volatile var compileCacheHits: Long = 0L
+
+  def compile(clauses: Seq[SearchClause]): CompiledQuery = compileCache.synchronized {
+    val hit = compileCache.get(clauses)
+    if (hit != null) { compileCacheHits += 1; hit }
+    else {
+      val cq = compileUncached(clauses)
+      compileCache.put(clauses, cq)
+      cq
+    }
+  }
+
   /** Compile clauses to weighted terms. Group ids = clause positions. */
-  def compile(clauses: Seq[SearchClause]): CompiledQuery = {
+  private def compileUncached(clauses: Seq[SearchClause]): CompiledQuery = {
     require(clauses.size <= 32, "at most 32 clause groups")
     val n = index.numDocs
     val groups = clauses.zipWithIndex.map { case (c, i) =>

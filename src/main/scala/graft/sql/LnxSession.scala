@@ -26,7 +26,12 @@ final class LnxSession(val spark: SparkSession) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, TableState]
 
-  /** lnx type -> Spark type (SURVEY.md section 1.2 table). */
+  /** lnx type -> Spark type (SURVEY.md section 1.2 table). Unsigned
+    * types narrow to LongType: uint32 fits losslessly; uint64 values
+    * above Long.MaxValue are REJECTED at insert (checkRange) rather
+    * than silently wrapped — Spark has no unsigned 64-bit type
+    * (apis/mod.rs:168-169).
+    */
   def sparkType(t: String): DataType = t match {
     case "text" | "string" | "ip" | "facet" => StringType
     case "bigint" | "int64" | "uint64" | "uint32" => LongType
@@ -40,8 +45,53 @@ final class LnxSession(val spark: SparkSession) {
     case other => throw ParseException(s"unsupported type $other", -1)
   }
 
+  /** Canonical IP text: lnx stores IPv4/IPv6 in one canonical 16-byte
+    * form (apis/mod.rs:176), so '::1' and '0:0:0:0:0:0:0:1' must
+    * compare equal; IPv4-mapped IPv6 collapses to dotted IPv4. The
+    * literal-characters guard prevents InetAddress hostname lookups.
+    */
+  def canonIp(s: String): String = {
+    require(s.matches("[0-9a-fA-F:.]+"), s"not an IP literal: $s")
+    java.net.InetAddress.getByName(s).getHostAddress
+  }
+
+  /** Per-lnx-type value normalization + range checks at the insert /
+    * predicate boundary.
+    */
+  private def normalize(tpe: String, v: Any): Any = v match {
+    case null => null
+    case s: String if tpe == "ip" => canonIp(s)
+    case l: Long if tpe == "uint64" =>
+      // parser literals arrive as doubles, so > 2^53 loses precision
+      // before this check; the storable range is [0, Long.MaxValue]
+      if (l < 0) throw ParseException(s"uint64 out of range: $l", -1) else l
+    case l: Long if tpe == "uint32" =>
+      if (l < 0 || l > 0xFFFFFFFFL) throw ParseException(s"uint32 out of range: $l", -1) else l
+    case seq: Seq[_] => seq.map(normalize(tpe, _))
+    case other => other
+  }
+
+  /** LRU of parsed statements keyed on SQL text — the session-side
+    * analogue of the reference caching 'different parts of the query'
+    * across requests (apis/mod.rs:68-69). Parameters stay out of the
+    * key: $n binding happens at run time, so one cached plan serves
+    * every binding.
+    */
+  private val parseCache =
+    new java.util.LinkedHashMap[String, Seq[Statement]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Statement]]): Boolean = size() > 256
+    }
+
+  /** Observability: how many executes were served from the parse LRU. */
+  @volatile var parseCacheHits: Long = 0L
+
   def execute(sql: String, params: Seq[Lit] = Nil): DataFrame = {
-    val stmts = LnxSql.parse(sql)
+    val stmts = parseCache.synchronized {
+      val hit = parseCache.get(sql)
+      if (hit != null) { parseCacheHits += 1; hit }
+      else { val p = LnxSql.parse(sql); parseCache.put(sql, p); p }
+    }
     stmts.map(run(_, params)).last
   }
 
@@ -64,6 +114,26 @@ final class LnxSession(val spark: SparkSession) {
     case d: Delete => runDelete(d, params)
     case u: Update => runUpdate(u, params)
     case s: Select => runSelect(s, params)
+    case Explain(inner) => runExplain(inner, params)
+  }
+
+  /** EXPLAIN surface: the compiled search clauses plus Spark's formatted
+    * physical plan, one line per row (query.rs:36-43).
+    */
+  private def runExplain(st: Statement, params: Seq[Lit]): DataFrame = {
+    import spark.implicits._
+    st match {
+      case s: Select =>
+        val clauses = s.where.collect { case sp: SearchPred => sp }
+          .map(sp => s"search clause: ${sp.func}(${sp.col}, ...)" +
+            sp.cmp.map { case (op, v) => s" $op $v" }.getOrElse(""))
+        val df = runSelect(s, params)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        (clauses ++ plan.split('\n').toSeq).toDF("plan")
+      case other =>
+        Seq(other.toString).toDF("plan")
+    }
   }
 
   private def status(msg: String): DataFrame = {
@@ -111,6 +181,10 @@ final class LnxSession(val spark: SparkSession) {
     }
     case BLit(b) => b
     case NullLit => null
+    case ALit(items) => dt match {
+      case ArrayType(et, _) => items.map(i => litValue(i, et))
+      case other => throw ParseException(s"array literal for non-array type $other", -1)
+    }
     case p: Param => throw ParseException("unbound parameter", -1)
   }
 
@@ -120,13 +194,15 @@ final class LnxSession(val spark: SparkSession) {
     val byName = schema.fields.map(f => f.name -> f).toMap
     val defaults: Map[String, Any] = t.columns.flatMap(c =>
       c.default.map(d => c.name -> litValue(d, byName(c.name).dataType))).toMap
+    val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
     val newRows = in.rows.map { vals =>
       require(vals.length == in.cols.length, "column/value arity mismatch")
       val m = in.cols.zip(vals.map(v => LnxSql.bind(v, params))).toMap
       Row.fromSeq(schema.fields.toSeq.map { f =>
-        m.get(f.name).map(l => litValue(l, f.dataType))
+        val raw = m.get(f.name).map(l => litValue(l, f.dataType))
           .orElse(defaults.get(f.name))
           .getOrElse(null) // missing nullable columns default to null (apis/mod.rs:124-127)
+        normalize(tpeByName.getOrElse(f.name, ""), raw)
       })
     }
     val newDf = spark.createDataFrame(spark.sparkContext.parallelize(newRows.toList), schema)
@@ -137,24 +213,54 @@ final class LnxSession(val spark: SparkSession) {
     status(s"upserted ${newRows.size} rows into ${in.table}")
   }
 
-  private def colFilter(p: ColPred, params: Seq[Lit], schema: StructType): Column = {
-    val dt = schema.fields.find(_.name == p.col)
-      .getOrElse(throw ParseException(s"unknown column ${p.col}", -1)).dataType
-    val v = lit(litValue(LnxSql.bind(p.value, params), dt))
-    p.op match {
-      case "=" => col(p.col) === v
-      case ">" => col(p.col) > v
-      case "<" => col(p.col) < v
-      case ">=" => col(p.col) >= v
-      case "<=" => col(p.col) <= v
-      case "<>" | "!=" => col(p.col) =!= v
+  private def colFilter(p: ColPred, params: Seq[Lit], t: TableState): Column = {
+    val field = t.rows.schema.fields.find(_.name == p.col)
+      .getOrElse(throw ParseException(s"unknown column ${p.col}", -1))
+    val tpe = t.columns.find(_.name == p.col).map(_.tpe).getOrElse("")
+    val bound = LnxSql.bind(p.value, params)
+    field.dataType match {
+      // multi-value column semantics (tantivy multivalued fields, the
+      // reference's flagship `category = $2` against `category text[]`,
+      // examples/queries/fuzzy.sql:12): scalar comparison = membership;
+      // array comparison = whole-array equality
+      case ArrayType(et, _) =>
+        bound match {
+          case a: ALit =>
+            val items = litValue(a, field.dataType).asInstanceOf[Seq[Any]]
+              .map(v => lit(normalize(tpe, v)))
+            val arr = if (items.isEmpty) array().cast(field.dataType) else array(items: _*)
+            p.op match {
+              case "=" => col(p.col) === arr
+              case "<>" | "!=" => col(p.col) =!= arr
+              case other =>
+                throw ParseException(s"operator $other not supported on array columns", -1)
+            }
+          case scalar =>
+            val v = lit(normalize(tpe, litValue(scalar, et)))
+            p.op match {
+              case "=" => array_contains(col(p.col), v)
+              case "<>" | "!=" => !array_contains(col(p.col), v)
+              case other =>
+                throw ParseException(s"operator $other not supported on array columns", -1)
+            }
+        }
+      case dt =>
+        val v = lit(normalize(tpe, litValue(bound, dt)))
+        p.op match {
+          case "=" => col(p.col) === v
+          case ">" => col(p.col) > v
+          case "<" => col(p.col) < v
+          case ">=" => col(p.col) >= v
+          case "<=" => col(p.col) <= v
+          case "<>" | "!=" => col(p.col) =!= v
+        }
     }
   }
 
   private def runDelete(d: Delete, params: Seq[Lit]): DataFrame = {
     val t = table(d.table)
     require(d.where.forall(_.isInstanceOf[ColPred]), "DELETE supports column predicates")
-    val cond = d.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t.rows.schema))
+    val cond = d.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t))
       .reduceOption(_ && _).getOrElse(lit(true))
     t.rows = t.rows.filter(!cond)
     t.engine = None
@@ -164,7 +270,7 @@ final class LnxSession(val spark: SparkSession) {
   private def runUpdate(u: Update, params: Seq[Lit]): DataFrame = {
     val t = table(u.table)
     require(u.where.forall(_.isInstanceOf[ColPred]), "UPDATE supports column predicates")
-    val cond = u.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t.rows.schema))
+    val cond = u.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t))
       .reduceOption(_ && _).getOrElse(lit(true))
     val schema = t.rows.schema
     // materialize WHERE once: SET columns may rewrite columns the
@@ -225,7 +331,7 @@ final class LnxSession(val spark: SparkSession) {
       } else {
         t.rows.withColumn("score", lit(0.0f))
       }
-    val filtered = colPreds.foldLeft(base)((df, p) => df.filter(colFilter(p, params, t.rows.schema)))
+    val filtered = colPreds.foldLeft(base)((df, p) => df.filter(colFilter(p, params, t)))
 
     // ORDER BY may reference a SELECT alias (e.g. score() AS s)
     val aliasTarget: Map[String, String] = s.cols.collect {
@@ -243,7 +349,12 @@ final class LnxSession(val spark: SparkSession) {
     val limited = ordered.limit(limit)
     val projected = s.cols.flatMap {
       case StarCol => t.rows.columns.toSeq.map(c => col(c))
-      case NamedCol(n, a) => Seq(a.fold(col(n))(al => col(n).as(al)))
+      case NamedCol(n, a) =>
+        // documents are sparse: a selected field no document carries is
+        // null, not an error (apis/mod.rs:124-127; the reference's own
+        // fuzzy.sql selects `rating`, absent from create_table.sql)
+        val base = if (t.rows.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
+        Seq(a.fold(base)(al => base.as(al)))
       case ScoreCol(a) => Seq(a.fold(col("score"))(al => col("score").as(al)))
     }
     limited.select(projected: _*)

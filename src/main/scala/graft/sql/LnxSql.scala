@@ -27,6 +27,8 @@ object LnxSql {
   final case class BLit(v: Boolean) extends Lit
   case object NullLit extends Lit
   final case class Param(n: Int) extends Lit
+  /** ARRAY[lit, ...] — values for `dtype[]` columns (apis/mod.rs:184-187). */
+  final case class ALit(items: Seq[Lit]) extends Lit
 
   sealed trait Pred
   /** fts/fuzzy/levenshtein/regex/fastfuzzy(col, q) [ <op> num ] */
@@ -51,6 +53,10 @@ object LnxSql {
   final case class Update(table: String, sets: Seq[(String, Lit)], where: Seq[Pred]) extends Statement
   final case class CreateTable(table: String, ifNotExists: Boolean,
       columns: Seq[ColumnDef], tokenizers: Map[String, String]) extends Statement
+  /** EXPLAIN <stmt> — the reference's query-debug surface
+    * (lnx-server/src/apis/query.rs:36-43).
+    */
+  final case class Explain(stmt: Statement) extends Statement
 
   final case class ParseException(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")
 
@@ -139,6 +145,15 @@ object LnxSql {
       case Str(s) => SLit(s)
       case Num(s) => NLit(s.toDouble)
       case Par(i) => Param(i)
+      case Ident(s) if s.equalsIgnoreCase("array") && isPunct("[") =>
+        eatPunct("[")
+        val items = Vector.newBuilder[Lit]
+        if (!isPunct("]")) {
+          items += literal()
+          while (tryPunct(",")) items += literal()
+        }
+        eatPunct("]")
+        ALit(items.result())
       case Ident(s) if s.equalsIgnoreCase("true") => BLit(true)
       case Ident(s) if s.equalsIgnoreCase("false") => BLit(false)
       case Ident(s) if s.equalsIgnoreCase("null") => NullLit
@@ -167,6 +182,10 @@ object LnxSql {
   }
 
   private def parseOne(p: P): Statement = {
+    if (p.tryKw("explain")) {
+      val inner = parseOne(p)
+      return Explain(inner)
+    }
     val s =
       if (p.isKw("select")) parseSelect(p)
       else if (p.isKw("insert")) parseInsert(p)
@@ -356,11 +375,15 @@ object LnxSql {
     CreateTable(table, ifNot, cols.result(), tokenizers)
   }
 
-  /** Substitute $n parameters (1-based, apis/mod.rs:51-69). */
+  /** Substitute $n parameters (1-based, apis/mod.rs:51-69); array
+    * literals bind their elements recursively and a parameter may bind
+    * a whole array value.
+    */
   def bind(l: Lit, params: Seq[Lit]): Lit = l match {
     case Param(i) =>
       if (i < 1 || i > params.length) throw ParseException(s"missing parameter $$$i", -1)
       params(i - 1)
+    case ALit(items) => ALit(items.map(bind(_, params)))
     case other => other
   }
 }

@@ -132,6 +132,108 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(viaSql.toSet === direct.toSet)
   }
 
+  test("reference examples run VERBATIM: create_table.sql + fuzzy.sql with $1/$2 bound") {
+    def ref(name: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/examples/queries/$name")), "UTF-8")
+    val sess = new LnxSession(spark)
+    sess.execute(ref("create_table.sql"))
+    sess.execute(ref("create_table.sql")) // IF NOT EXISTS: second run is a no-op
+    sess.execute("INSERT INTO books (id, title, description, category) VALUES " +
+      "(1, 'the dragon rider', 'a tale of dragons and riders', ARRAY['fantasy', 'epic']), " +
+      "(2, 'dragon cooking', 'recipes inspired by dragons', ARRAY['cooking']), " +
+      "(3, 'the dagron atlas', 'maps of dargon territories', ARRAY['fantasy', 'maps']), " +
+      "(4, 'space operas', 'starships and lasers', ARRAY['scifi'])")
+    // $1 = misspelled query term, $2 = category (array membership)
+    val rows = sess.execute(ref("fuzzy.sql"), Seq(SLit("dragon"), SLit("fantasy"))).collect()
+    // docs 1 and 3 fuzzy-match 'dragon' in BOTH fields and carry 'fantasy';
+    // doc 2 matches both fields but not the category
+    assert(rows.map(_.getLong(0)).toSet === Set(1L, 3L))
+    val scores = rows.map(_.getFloat(5)).toSeq
+    assert(scores === scores.sorted.reverse) // ORDER BY score DESC respected
+    assert(rows.head.schema.fieldNames.toSeq ===
+      Seq("id", "title", "description", "rating", "category", "score"))
+  }
+
+  test("array literals, array params, and whole-array equality") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE at (id bigint PRIMARY KEY, tags text[])")
+    sess.execute("INSERT INTO at (id, tags) VALUES (1, ARRAY['a', 'b']), (2, ARRAY['b']), (3, $1)",
+      Seq(ALit(Seq(SLit("c"), SLit("a")))))
+    // scalar vs text[]: membership (multi-value field semantics)
+    assert(sess.execute("SELECT id FROM at WHERE tags = 'a' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // array param binds through $n
+    assert(sess.execute("SELECT id FROM at WHERE tags = $1", Seq(SLit("b")))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // array literal vs text[]: whole-array equality
+    assert(sess.execute("SELECT id FROM at WHERE tags = ARRAY['a', 'b']")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(sess.execute("SELECT id FROM at WHERE tags <> 'b' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("ip columns canonicalize: '::1' equals '0:0:0:0:0:0:0:1' (apis/mod.rs:176)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ips (id bigint PRIMARY KEY, addr ip)")
+    sess.execute("INSERT INTO ips (id, addr) VALUES (1, '::1'), (2, '127.0.0.1'), " +
+      "(3, '::ffff:10.0.0.1')")
+    assert(sess.execute("SELECT id FROM ips WHERE addr = '0:0:0:0:0:0:0:1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // IPv4-mapped IPv6 collapses to the dotted form
+    assert(sess.execute("SELECT id FROM ips WHERE addr = '10.0.0.1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("unsigned range checks: uint64/uint32 reject out-of-range inserts") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE us (id bigint PRIMARY KEY, a uint64, b uint32)")
+    sess.execute("INSERT INTO us (id, a, b) VALUES (1, 5, 4294967295)")
+    intercept[ParseException](
+      sess.execute("INSERT INTO us (id, a, b) VALUES (2, -1, 0)"))
+    intercept[ParseException](
+      sess.execute("INSERT INTO us (id, a, b) VALUES (3, 0, 4294967296)"))
+    assert(sess.execute("SELECT id FROM us").count() === 1)
+  }
+
+  test("NDJSON ingest: spark.read.json into a registered table (S3 decode path)") {
+    val dir = java.nio.file.Files.createTempDirectory("ndjson").toString
+    val f = java.nio.file.Paths.get(dir, "docs.ndjson")
+    java.nio.file.Files.write(f,
+      ("""{"id": 1, "body": "merge sort in linear passes"}""" + "\n" +
+        """{"id": 2, "body": "binary search over sorted runs"}""" + "\n" +
+        """{"id": 3, "body": "cooking with gas"}""" + "\n").getBytes("UTF-8"))
+    val df = spark.read.json(dir)
+    val sess = new LnxSession(spark)
+    sess.register("nd", df, Seq("id"), Seq("body"))
+    val r = sess.execute("SELECT id FROM nd WHERE fts(body, 'sort*') ORDER BY id")
+    assert(r.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("EXPLAIN surface returns clause summary + physical plan (query.rs:36-43)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ex (id bigint PRIMARY KEY, t text)")
+    sess.execute("INSERT INTO ex (id, t) VALUES (1, 'alpha beta'), (2, 'beta gamma')")
+    val plan = sess.execute("EXPLAIN SELECT id, score() AS s FROM ex WHERE fts(t, 'beta')")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("search clause: fts(t, ...)"))
+    assert(plan.contains("Physical Plan") || plan.contains("Exchange") || plan.contains("Scan"))
+  }
+
+  test("parse LRU + compiled-query LRU serve repeated queries without recompiling") {
+    val sess = new LnxSession(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    sess.register("documents", docs, Seq("doc_id"), Seq("text"))
+    val sql = "SELECT doc_id FROM documents WHERE fuzzy(text, $1) LIMIT 5"
+    sess.execute(sql, Seq(SLit("mrege"))).collect()
+    val hits0 = sess.parseCacheHits
+    val eng = sess.table("documents").engine.get
+    val cHits0 = eng.compileCacheHits
+    sess.execute(sql, Seq(SLit("mrege"))).collect()
+    assert(sess.parseCacheHits > hits0, "second execute should hit the parse LRU")
+    assert(eng.compileCacheHits > cHits0, "identical clauses should hit the compile LRU")
+  }
+
   test("default LIMIT is 1000 (query.rs:15-17)") {
     val sess = new LnxSession(spark)
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
