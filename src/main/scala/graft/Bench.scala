@@ -58,7 +58,9 @@ object Bench {
     val queries = Seq(
       "hot" -> "fn return license",
       "mixed" -> "binary search merge segment",
-      "rare" -> "needle checkpoint epoch")
+      "rare" -> "needle checkpoint epoch",
+      // rare beacon + ultra-hot terms: the block-max skip shape
+      "skew" -> "rareAuditBeacon license fn")
     // warm-up every path once (codegen + cache materialization +
     // symspell dictionary); timed runs below are steady-state latency
     queries.foreach { case (_, q) =>
@@ -74,6 +76,33 @@ object Bench {
       results(s"q_fts_${name}_wand") = tw
       results(s"q_fts_${name}_exhaustive") = te
     }
+    // conjunctions (the reference's flagship WHERE shape): a dense one
+    // (cost heuristic routes it to the exhaustive scorer) and a
+    // selective one (conj-WAND skips the hot side's blocks)
+    val conj = Seq(Fts("content", "binary search"), Fts("content", "license"))
+    val conjSkew = Seq(Fts("content", "rareAuditBeacon"), Fts("content", "license fn"))
+    Seq(conj, conjSkew).foreach { c =>
+      engine.searchF32(c, 10, useWand = true).collect()
+      engine.searchF32(c, 10, useWand = false).collect()
+    }
+    val (_, tcw) = time(engine.searchF32(conj, 10, useWand = true).collect())
+    val (_, tce) = time(engine.searchF32(conj, 10, useWand = false).collect())
+    results("q_conj_wand") = tcw
+    results("q_conj_exhaustive") = tce
+    val (_, tsw) = time(engine.searchF32(conjSkew, 10, useWand = true).collect())
+    val (_, tse) = time(engine.searchF32(conjSkew, 10, useWand = false).collect())
+    results("q_conj_skew_wand") = tsw
+    results("q_conj_skew_exhaustive") = tse
+    // block-skip evidence: counters over the skew (rare+hot) paths
+    val stats = graft.query.Wand.Stats.register(spark)
+    engine.searchF32(Seq(Fts("content", "rareAuditBeacon license fn")), 10,
+      useWand = true, wandStats = Some(stats)).collect()
+    engine.searchF32(conjSkew, 10, useWand = true, wandStats = Some(stats)).collect()
+    results("wand_blocks_decoded") = stats.decodedBlocks.value.toDouble
+    results("wand_blocks_skipped") = stats.skippedBlocks.value.toDouble
+    // fuzzy pair: timed tokens differ from the warm-up tokens, so the
+    // compiled-query LRU can't hide the dictionary-lookup cost being
+    // compared (fast-fuzzy must be the FAST path, README.md:28)
     val (_, tFuzzy) = time(engine.searchF32(Seq(FuzzyC("content", "serach mrege")), 10).collect())
     results("q_fuzzy") = tFuzzy
     val (_, tFast) = time(engine.searchF32(Seq(FastFuzzy("content", "serach mrege")), 10).collect())
@@ -93,7 +122,9 @@ object Bench {
     results("build_files_per_sec") = filesPerSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.filterNot(_._1 == "build_files_per_sec").values.sum
+    val total = results // only latencies sum into the headline (not rates/counters)
+      .filterNot { case (k, _) => k == "build_files_per_sec" || k.startsWith("wand_blocks") }
+      .values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

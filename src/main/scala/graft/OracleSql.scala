@@ -77,17 +77,47 @@ object OracleSql {
 
   /** Fuzzy: dictionary expansion by levenshtein distance with the lnx
     * distance multipliers (1.0 / 0.8 / 0.6; apis/mod.rs:225-246).
+    * Mirrors the engine's FuzzyC semantics exactly: ONE fuzzy(col, q)
+    * clause = one disjunction group over ALL tokens' expansions (not a
+    * conjunction of per-token groups), each token's expansion capped at
+    * 1024 ordered by (distance, term) like QueryEngine.fuzzyExpand, and
+    * a term reached by several tokens keeps the FIRST token's
+    * multiplier (the engine's dedupe keeps the first occurrence).
     */
   def fuzzy(tokens: Seq[String], k: Int): String = {
-    val qts = tokens.zipWithIndex.map { case (tok, g) =>
-      s"""SELECT term, (CASE levenshtein(term, '$tok') WHEN 0 THEN 1.0
-         |  WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $g AS grp
-         |FROM dict WHERE levenshtein(term, '$tok') <= 2""".stripMargin
+    val perTok = tokens.zipWithIndex.map { case (tok, i) =>
+      s"""SELECT * FROM (
+         |  SELECT term, (CASE levenshtein(term, '$tok') WHEN 0 THEN 1.0
+         |    WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $i AS tok_idx
+         |  FROM dict WHERE levenshtein(term, '$tok') <= 2
+         |  ORDER BY levenshtein(term, '$tok') ASC, term ASC LIMIT 1024)""".stripMargin
     }
     s"""WITH $scaffold,
-       |qt AS (${qts.mkString(" UNION ALL ")}),
+       |cand AS (${perTok.mkString(" UNION ALL ")}),
+       |qt AS (SELECT term, w, 0 AS grp FROM
+       |         (SELECT term, w, row_number() OVER
+       |            (PARTITION BY term ORDER BY tok_idx ASC) AS rn FROM cand)
+       |       WHERE rn = 1),
        |$scorer
-       |${topK(k, tokens.size)}""".stripMargin
+       |${topK(k, 1)}""".stripMargin
+  }
+
+  /** Conjunction of single-token fuzzy clauses (the reference's
+    * flagship WHERE shape, fuzzy.sql:10-12): one group per clause, all
+    * groups required, per-clause expansion capped like the engine.
+    */
+  def fuzzyConj(clauseTokens: Seq[String], k: Int): String = {
+    val perClause = clauseTokens.zipWithIndex.map { case (tok, g) =>
+      s"""SELECT * FROM (
+         |  SELECT term, (CASE levenshtein(term, '$tok') WHEN 0 THEN 1.0
+         |    WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $g AS grp
+         |  FROM dict WHERE levenshtein(term, '$tok') <= 2
+         |  ORDER BY levenshtein(term, '$tok') ASC, term ASC LIMIT 1024)""".stripMargin
+    }
+    s"""WITH $scaffold,
+       |qt AS (${perClause.mkString(" UNION ALL ")}),
+       |$scorer
+       |${topK(k, clauseTokens.size)}""".stripMargin
   }
 
   /** levenshtein(): boolean match, score 1.0 (apis/mod.rs:249-266). */

@@ -70,6 +70,10 @@ object CodeCorpus {
     if (id % 37 == 0) sb.append("binarySearchNeedle ")
     if (id % 11 == 0) sb.append("serach ") else if (id % 7 == 0) sb.append("search ")
     if (id % 13 == 0) sb.append(s"prefab${(id % 5)} ")
+    // sparse beacon (gap ~2000 docs > one 128-doc posting block): a
+    // rare+hot query's threshold comes from beacon docs, so block-max
+    // WAND can skip the hot cursors' blocks between them
+    if (id % 1997 == 0) sb.append("rareAuditBeacon ")
     SourceFile(repo, path, hex40(id), langs(li), sb.toString)
   }
 

@@ -193,6 +193,22 @@ object IndexStore {
   def checkpoints(spark: SparkSession, dir: String): Seq[CheckpointRow] =
     readManifest(spark, dir)._3
 
+  /** One-row health/info summary of the committed view — the engine's
+    * analogue of the reference's health/info endpoints (SURVEY.md
+    * section 2.11): manifest version, epoch/segment counts, live docs,
+    * pending tombstones, checkpoint count.
+    */
+  def info(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (epochs, _, cps) = readManifest(spark, dir)
+    val pendingDeletes =
+      loadDeletes(spark, dir, epochs.map(_.epoch).toSet).map(_.count()).getOrElse(0L)
+    val liveDocs = epochs.groupBy(_.epoch).map(_._2.head.numDocs).sum - pendingDeletes
+    Seq((currentVersion(dir), epochs.map(_.epoch).distinct.size,
+      epochs.map(_.path).distinct.size, liveDocs, pendingDeletes, cps.size))
+      .toDF("manifestVersion", "epochs", "segments", "liveDocs", "pendingDeletes", "checkpoints")
+  }
+
   /** Append one ingest epoch (INSERT-as-UPSERT by primary key,
     * apis/mod.rs:81-82): new docs get docIds above all existing ones;
     * rows whose key already exists tombstone the old docId. Idempotent

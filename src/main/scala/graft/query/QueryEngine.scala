@@ -245,7 +245,7 @@ final class QueryEngine(val index: BuiltIndex) {
   }
 
   private def mkTerm(f: String, t: String, df: Long, mult: Double, g: Int, n: Long): CompiledTerm =
-    CompiledTerm(f, t, g, Bm25.weightF32(df, n) * mult.toFloat, Bm25.weightF64(df, n) * mult)
+    CompiledTerm(f, t, g, Bm25.weightF32(df, n) * mult.toFloat, Bm25.weightF64(df, n) * mult, df)
 
   /** Query tokenization: same analyzer as the indexed column
     * (apis/mod.rs:211-213), except a trailing `*` survives as a prefix
@@ -262,17 +262,33 @@ final class QueryEngine(val index: BuiltIndex) {
   }
 
   /** (docId, score float) — rank-identity path. Block-max WAND handles
-    * eligible queries (single sum-scored group) by default; it is exact
-    * w.r.t. the exhaustive scorer (WandSpec).
+    * eligible queries by default — single sum-scored groups AND
+    * all-required conjunctions (the reference's flagship WHERE shape) —
+    * and is exact w.r.t. the exhaustive scorer (WandSpec).
     */
-  def searchF32(clauses: Seq[SearchClause], k: Int = DefaultLimit, useWand: Boolean = true): DataFrame = {
+  def searchF32(clauses: Seq[SearchClause], k: Int = DefaultLimit, useWand: Boolean = true,
+      wandStats: Option[Wand.Stats] = None): DataFrame = {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF32
     val scored =
       if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore)
-        Wand.topK(index, cq, k, deletesDs)
+        Wand.topK(index, cq, k, deletesDs, wandStats)
+      else if (useWand && cq.groups.size > 1 && cq.groups.forall(_.required) && conjSelective(cq))
+        Wand.topKConj(index, cq, k, deletesDs, wandStats)
       else Scorer.scoreF32(index, cq, deletesDs)
     Scorer.topK(scored.toDF("docId", "score"), k)
+  }
+
+  /** Cost gate for conjunction WAND: leapfrog + block-max pays off when
+    * at least one required group is selective (the intersection is
+    * sparse and the other groups' blocks get skipped between its
+    * postings — measured 1.8x at 2M docs). A dense-x-dense conjunction
+    * has nothing to skip and the per-candidate bookkeeping just loses
+    * to the exhaustive hash scorer (measured +24%), so it stays there.
+    */
+  private def conjSelective(cq: CompiledQuery): Boolean = {
+    val minGroupDf = cq.groups.map(g => cq.terms.filter(_.group == g.id).map(_.df).sum).min
+    minGroupDf * 4 <= index.numDocs
   }
 
   /** (docId, score double) — oracle-parity path. */

@@ -16,7 +16,8 @@ final case class CompiledTerm(
     term: String,
     group: Int,
     weightF32: Float,
-    weightF64: Double)
+    weightF64: Double,
+    df: Long = 0L) // document frequency (drives the conj-WAND cost heuristic)
 
 /** One clause group = one search-function call in the WHERE clause
   * (fts/fuzzy/levenshtein/regex). Terms within a group are a

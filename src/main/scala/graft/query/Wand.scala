@@ -13,16 +13,34 @@ import graft.index.{BuiltIndex, DecodedBlock, PostingCodec, PostingRow}
   * exhaustive scorer in WandSpec.
   *
   * Applies to single-group sum-scored disjunctions (the hot top-k fts
-  * path). Conjunctions and const-score groups use the exhaustive scorer.
+  * path) and — via `topKConj` — to multi-group all-required
+  * conjunctions (the reference's flagship WHERE shape, fuzzy.sql:10-12)
+  * including const-score groups. Anything else uses the exhaustive
+  * scorer.
   */
 object Wand {
+
+  /** Skip/decode counters (Spark accumulators, aggregated across
+    * tasks) — the lineage-style evidence that block-max pruning
+    * actually skips work at a given corpus size.
+    */
+  final case class Stats(
+      decodedBlocks: org.apache.spark.util.LongAccumulator,
+      skippedBlocks: org.apache.spark.util.LongAccumulator) extends Serializable
+
+  object Stats {
+    def register(spark: org.apache.spark.sql.SparkSession): Stats = Stats(
+      spark.sparkContext.longAccumulator("wandDecodedBlocks"),
+      spark.sparkContext.longAccumulator("wandSkippedBlocks"))
+  }
 
   /** Streaming block-decoding cursor over one term's posting row. */
   private final class Cursor(
       val p: PostingRow,
       val weight: Float,
       val cache: Array[Float],
-      val ord: Int) {
+      val ord: Int,
+      val stats: Option[Stats] = None) {
     private var blockIdx = 0
     private var dec: DecodedBlock = _
     private var pos = 0
@@ -57,11 +75,21 @@ object Wand {
         p.bytes, p.blockOffset(blockIdx),
         if (blockIdx == 0) -1L else p.blockLast(blockIdx - 1))
       pos = 0
+      stats.foreach(_.decodedBlocks.add(1L))
     }
 
     def done: Boolean = exhausted
     def curDoc: Long = if (exhausted) Long.MaxValue else dec.docIds(pos)
     def curScore: Float = Bm25.tfScoreF32(weight, dec.tfs(pos), cache(dec.norms(pos)))
+    def curTf: Int = dec.tfs(pos)
+    def curNorm: Int = dec.norms(pos)
+
+    /** Account the never-decoded tail when pruning ends this cursor. */
+    def skipRemaining(): Unit = {
+      if (!exhausted)
+        stats.foreach(_.skippedBlocks.add((p.blockOffset.length - blockIdx - 1).toLong))
+      exhausted = true
+    }
 
     def next(): Unit = {
       pos += 1
@@ -78,6 +106,8 @@ object Wand {
       if (p.blockLast(blockIdx) < target) {
         var b = blockIdx
         while (b < p.blockLast.length && p.blockLast(b) < target) b += 1
+        stats.foreach(_.skippedBlocks.add(
+          (math.min(b, p.blockLast.length) - blockIdx - 1).toLong.max(0L)))
         if (b >= p.blockLast.length) { exhausted = true; return }
         blockIdx = b
         decodeCurrent()
@@ -101,11 +131,12 @@ object Wand {
 
   /** Exact per-shard top-k via WAND with block-max skipping. */
   private def wandShard(rows: Array[PostingRow], weights: Map[(String, String), Float],
-      caches: Map[String, Array[Float]], k: Int, deleted: Set[Long]): Iterator[ScoredDocF32] = {
+      caches: Map[String, Array[Float]], k: Int, deleted: Set[Long],
+      stats: Option[Stats] = None): Iterator[ScoredDocF32] = {
     // scoring order must match the exhaustive scorer: (field, term) sorted
     val sortedRows = rows.sortBy(p => (p.field, p.term))
     val cursors = sortedRows.zipWithIndex.map { case (p, i) =>
-      new Cursor(p, weights((p.field, p.term)), caches(p.field), i)
+      new Cursor(p, weights((p.field, p.term)), caches(p.field), i, stats)
     }
     val heap = new java.util.PriorityQueue[Hit](k, (a: Hit, b: Hit) =>
       if (worseThan(a.score, a.docId, b.score, b.docId)) -1
@@ -138,6 +169,7 @@ object Wand {
           i += 1
         }
         if (p < 0) {
+          live.foreach(_.skipRemaining()) // count the never-decoded tails
           live.clear() // no doc can enter the heap anymore
         } else {
           val pivotDoc = byDoc(p).curDoc
@@ -180,11 +212,205 @@ object Wand {
     heap.iterator().asScala.map(h => ScoredDocF32(h.docId, h.score)).toArray.iterator
   }
 
+  /** Exact per-shard top-k for multi-group ALL-REQUIRED conjunctions:
+    * leapfrog intersection over per-group cursor sets (candidate = max
+    * over groups of the group's min docId; blocks between candidates
+    * are skipped via advanceTo), with two conservative prunes — a
+    * global remaining-UB early exit and a per-candidate block-max
+    * refinement before exact scoring. Exact vs the exhaustive scorer:
+    * the intersection enumerates every doc matching all groups, the
+    * prunes only drop docs whose UPPER bound is strictly below the
+    * heap threshold, and exact scores accumulate in the exhaustive
+    * f32 order (rows sorted (minGroup, field, term); groups ascending
+    * within a row; const groups contribute 1.0 once).
+    */
+  private def wandShardConj(rows: Array[PostingRow],
+      weights: Map[(String, String, Int), Float],
+      groupOf: Map[(String, String), Seq[Int]],
+      caches: Map[String, Array[Float]],
+      constMask: Int,
+      nGroups: Int,
+      k: Int,
+      deleted: Set[Long],
+      stats: Option[Stats]): Iterator[ScoredDocF32] = {
+    val sortedRows = rows.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
+    if (sortedRows.isEmpty) return Iterator.empty
+    val rowGroups: Array[Array[Int]] =
+      sortedRows.map(p => groupOf((p.field, p.term)).sorted.toArray)
+    val cursors = sortedRows.zipWithIndex.map { case (p, i) =>
+      // cursor UB weight = the row's total non-const BM25 weight (its
+      // whole contribution to any one doc); const groups add flat 1.0s
+      val w = groupOf((p.field, p.term)).iterator
+        .filter(g => (constMask & (1 << g)) == 0)
+        .map(g => weights((p.field, p.term, g))).sum
+      new Cursor(p, w, caches(p.field), i, stats)
+    }
+    val cursorsOfGroup: Array[Array[Int]] =
+      Array.tabulate(nGroups)(g => cursors.indices.filter(i => rowGroups(i).contains(g)).toArray)
+    if (cursorsOfGroup.exists(_.isEmpty)) {
+      cursors.foreach(_.skipRemaining()) // a required group has no terms here
+      return Iterator.empty
+    }
+    val heap = new java.util.PriorityQueue[Hit](k, (a: Hit, b: Hit) =>
+      if (worseThan(a.score, a.docId, b.score, b.docId)) -1
+      else if (worseThan(b.score, b.docId, a.score, a.docId)) 1
+      else 0)
+    def thresholdScore: Float = if (heap.size() < k) Float.NegativeInfinity else heap.peek().score
+    def offer(docId: Long, score: Float): Unit = {
+      if (heap.size() < k) heap.add(Hit(docId, score))
+      else if (worseThan(heap.peek().score, heap.peek().docId, score, docId)) {
+        heap.poll(); heap.add(Hit(docId, score))
+      }
+    }
+    val constSeen = new Array[Boolean](nGroups)
+
+    var done = false
+    while (!done) {
+      // intersection candidate = max over groups of the group min
+      var cand = 0L
+      var g = 0
+      while (g < nGroups && !done) {
+        var m = Long.MaxValue
+        val cg = cursorsOfGroup(g)
+        var j = 0
+        while (j < cg.length) { val d = cursors(cg(j)).curDoc; if (d < m) m = d; j += 1 }
+        if (m == Long.MaxValue) done = true // group exhausted: no more intersections
+        else if (m > cand) cand = m
+        g += 1
+      }
+      if (!done) {
+        // global remaining-UB prune (equal UB can still win on docId, so <)
+        var ub = 0.0f
+        var ci = 0
+        while (ci < cursors.length) { ub += cursors(ci).remainingUB; ci += 1 }
+        g = 0
+        while (g < nGroups) {
+          if ((constMask & (1 << g)) != 0) ub += 1.0f
+          g += 1
+        }
+        if (ub < thresholdScore) {
+          cursors.foreach(_.skipRemaining())
+          done = true
+        } else {
+          ci = 0
+          while (ci < cursors.length) {
+            val c = cursors(ci); if (c.curDoc < cand) c.advanceTo(cand); ci += 1
+          }
+          var all = true
+          g = 0
+          while (g < nGroups && all) {
+            val cg = cursorsOfGroup(g)
+            var has = false
+            var j = 0
+            while (j < cg.length && !has) { if (cursors(cg(j)).curDoc == cand) has = true; j += 1 }
+            if (!has) all = false
+            g += 1
+          }
+          if (all) {
+            if (!deleted.contains(cand)) {
+              // block-max refinement: UB of cand from block metadata
+              var bub = 0.0f
+              java.util.Arrays.fill(constSeen, false)
+              ci = 0
+              while (ci < cursors.length) {
+                val c = cursors(ci)
+                if (!c.done && c.curDoc == cand) {
+                  bub += c.currentBlockUB
+                  val gs = rowGroups(ci)
+                  var gi = 0
+                  while (gi < gs.length) {
+                    val gg = gs(gi)
+                    if ((constMask & (1 << gg)) != 0 && !constSeen(gg)) {
+                      bub += 1.0f; constSeen(gg) = true
+                    }
+                    gi += 1
+                  }
+                }
+                ci += 1
+              }
+              if (bub >= thresholdScore) {
+                // exact f32 score, exhaustive accumulation order
+                var s = 0.0f
+                java.util.Arrays.fill(constSeen, false)
+                ci = 0
+                while (ci < cursors.length) {
+                  val c = cursors(ci)
+                  if (!c.done && c.curDoc == cand) {
+                    val p = sortedRows(ci)
+                    val gs = rowGroups(ci)
+                    var gi = 0
+                    while (gi < gs.length) {
+                      val gg = gs(gi)
+                      if ((constMask & (1 << gg)) != 0) {
+                        if (!constSeen(gg)) { s += 1.0f; constSeen(gg) = true }
+                      } else {
+                        s += Bm25.tfScoreF32(
+                          weights((p.field, p.term, gg)), c.curTf, c.cache(c.curNorm))
+                      }
+                      gi += 1
+                    }
+                  }
+                  ci += 1
+                }
+                offer(cand, s)
+              }
+            }
+            ci = 0
+            while (ci < cursors.length) {
+              val c = cursors(ci); if (!c.done && c.curDoc == cand) c.next(); ci += 1
+            }
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heap.iterator().asScala.map(h => ScoredDocF32(h.docId, h.score)).toArray.iterator
+  }
+
+  /** Top-k for a multi-group all-required conjunction; exact w.r.t. the
+    * exhaustive scorer under the (score desc, docId asc) total order.
+    */
+  def topKConj(index: BuiltIndex, cq: CompiledQuery, k: Int,
+      deletes: Option[Dataset[Long]] = None,
+      stats: Option[Stats] = None): Dataset[ScoredDocF32] = {
+    require(cq.groups.nonEmpty && cq.groups.forall(_.required),
+      "conjunction WAND covers all-required multi-group queries")
+    val spark = index.spark
+    import spark.implicits._
+    val weights: Map[(String, String, Int), Float] =
+      cq.terms.map(t => (t.field, t.term, t.group) -> t.weightF32).toMap
+    val groupOf: Map[(String, String), Seq[Int]] =
+      cq.terms.groupBy(t => (t.field, t.term)).map { case (kk, v) => kk -> v.map(_.group).sorted }
+    val constMask = cq.groups.filter(_.constScore).map(g => 1 << g.id).sum
+    val nGroups = cq.groups.size
+    val caches: Map[String, Array[Float]] =
+      cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
+    val kk = k
+    // a group with no dictionary matches anywhere → empty intersection
+    val groupsWithTerms = cq.terms.map(_.group).toSet
+    if ((0 until nGroups).exists(g => !groupsWithTerms.contains(g)))
+      return spark.emptyDataset[ScoredDocF32]
+    val grouped = Scorer.matchedPostings(index, cq.terms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
+          wandShardConj(rows.toArray, weights, groupOf, caches, constMask, nGroups, kk,
+            dels.toSet, stats)
+        }
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          wandShardConj(rows.toArray, weights, groupOf, caches, constMask, nGroups, kk,
+            Set.empty, stats)
+        }
+    }
+  }
+
   /** Top-k for a single-group disjunction; exact w.r.t. the exhaustive
     * scorer under the (score desc, docId asc) total order.
     */
   def topK(index: BuiltIndex, cq: CompiledQuery, k: Int,
-      deletes: Option[Dataset[Long]] = None): Dataset[ScoredDocF32] = {
+      deletes: Option[Dataset[Long]] = None,
+      stats: Option[Stats] = None): Dataset[ScoredDocF32] = {
     require(cq.groups.size == 1 && !cq.groups.head.constScore,
       "WAND path covers single-group sum-scored queries; use Scorer for the rest")
     val spark = index.spark
@@ -201,10 +427,12 @@ object Wand {
         // WAND must exclude them DURING scoring so the heap fills with
         // live docs — a post-hoc anti-join would under-fill the top-k
         grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
-          wandShard(rows.toArray, weights, caches, kk, dels.toSet)
+          wandShard(rows.toArray, weights, caches, kk, dels.toSet, stats)
         }
       case None =>
-        grouped.flatMapGroups { (_, rows) => wandShard(rows.toArray, weights, caches, kk, Set.empty) }
+        grouped.flatMapGroups { (_, rows) =>
+          wandShard(rows.toArray, weights, caches, kk, Set.empty, stats)
+        }
     }
   }
 }

@@ -315,6 +315,16 @@ final class LnxSession(val spark: SparkSession) {
     val scorePreds = s.where.collect { case sp: ScorePred => sp }
     val limit = s.limit.getOrElse(SearchDefaults.DefaultLimit) // default 1000 (query.rs:15-17)
 
+    // will the final order be by score? (drives the pre-join top-k)
+    val aliasTargets: Map[String, String] = s.cols.collect {
+      case NamedCol(n, Some(a)) => a -> n
+      case ScoreCol(Some(a)) => a -> "score"
+    }.toMap
+    val orderIsScore = s.orderBy match {
+      case Some((n, asc)) => !asc && aliasTargets.getOrElse(n, n) == "score"
+      case None => searches.nonEmpty
+    }
+
     val base: DataFrame =
       if (searches.nonEmpty) {
         val e = engineFor(t)
@@ -327,6 +337,12 @@ final class LnxSession(val spark: SparkSession) {
           scored = applyCmp(scored, op, v)
         }
         scorePreds.foreach(sp => scored = applyCmp(scored, sp.op, sp.value))
+        // when no column predicate can drop rows after the join and the
+        // final order is the score order, take the top-k on the slim
+        // (docId, score) set BEFORE joining stored fields — the join
+        // side is then <= limit rows instead of the full match set
+        if (colPreds.isEmpty && orderIsScore)
+          scored = Scorer.topK(scored, limit)
         e.index.docs.join(scored, "docId")
       } else {
         t.rows.withColumn("score", lit(0.0f))

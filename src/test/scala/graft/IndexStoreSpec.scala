@@ -74,6 +74,39 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(lineage.filter(col("epoch") === 1).count() > 0)
   }
 
+  test("info surface reports version/epochs/docs/tombstones (SURVEY §2.11)") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 300, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    val modified = corpus.filter(col("path").contains("file_1"))
+      .withColumn("content", concat(col("content"), lit(" v2marker")))
+    val nMod = modified.count()
+    IndexStore.appendEpoch(modified, dir, "snap-1")
+    val row = IndexStore.info(spark, dir).collect()(0)
+    assert(row.getAs[Int]("manifestVersion") === 2)
+    assert(row.getAs[Int]("epochs") === 2)
+    assert(row.getAs[Long]("pendingDeletes") === nMod) // superseded docIds
+    assert(row.getAs[Long]("liveDocs") === 300L)
+    assert(row.getAs[Int]("checkpoints") === 2)
+  }
+
+  test("orphan tombstones from an uncommitted epoch are invisible (crash consistency)") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 200, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    val docsBefore = IndexStore.load(spark, dir).docs.count()
+    // simulate a crash between the tombstone write and the manifest
+    // commit: a _deletes/epoch=9 dir exists but epoch 9 was never
+    // committed — loading must NOT apply it against the old view
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    Seq(0L, 1L, 2L).toDF("docId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=9")
+    val idx = IndexStore.load(spark, dir)
+    assert(idx.docs.count() === docsBefore)
+    assert(idx.deletes.isEmpty || idx.deletes.get.count() === 0)
+  }
+
   test("compaction absorbs tombstones and preserves query results") {
     val dir = tmpDir()
     val corpus = CodeCorpus.generate(spark, 400, 4).cache()

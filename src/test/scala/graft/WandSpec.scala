@@ -36,6 +36,53 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("conjunction WAND equals exhaustive exactly (fuzzy.sql WHERE shape)") {
+    val conjQueries: Seq[Seq[SearchClause]] = Seq(
+      Seq(Fts("content", "fn return"), Fts("content", "license")), // hot x hot
+      Seq(Fts("content", "binary search"), Fts("content", "needle")), // mixed x rare
+      Seq(FuzzyC("content", "serach"), FuzzyC("content", "mrege")), // fuzzy x fuzzy
+      Seq(Fts("content", "merge"), RegexC("content", "lic.nse")), // sum x const group
+      Seq(Fts("content", "fn"), Fts("content", "return"), Fts("content", "license")), // 3-way
+      Seq(Fts("content", "fn"), Fts("content", "zzzznotaterm"))) // empty group
+    for (clauses <- conjQueries; k <- Seq(1, 7, 10, 100)) {
+      val exhaustive = engine.searchF32(clauses, k, useWand = false)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      // force the conj-WAND path (the searchF32 cost heuristic may
+      // legitimately route dense conjunctions to the exhaustive scorer)
+      val cq = engine.compile(clauses)
+      val forced = Scorer.topK(
+        Wand.topKConj(engine.index, cq, k).toDF("docId", "score"), k)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(forced === exhaustive, s"forced conj-WAND, clauses $clauses k=$k")
+      // and whatever path the engine routes to agrees as well
+      val routed = engine.searchF32(clauses, k, useWand = true)
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(routed === exhaustive, s"routed, clauses $clauses k=$k")
+    }
+  }
+
+  test("WAND skip counters: rare+hot top-k skips the hot term's blocks") {
+    import spark.implicits._
+    // 10 'needle' docs up front set a threshold the hay-only tail can
+    // never beat, so WAND must terminate without decoding hay's ~23
+    // remaining blocks; exhaustive has no choice but to decode all
+    val df = (0 until 3000).map(i =>
+      (i.toLong, if (i < 10) "needle hay" else "hay filler")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, IndexConfig(Seq("doc_id"), Seq("text"),
+      shardDocs = 4096, buildPartitions = 4))
+    val eng = new QueryEngine(idx)
+    val stats = Wand.Stats.register(spark)
+    val wand = eng.searchF32(Seq(Fts("text", "needle hay")), 10,
+      useWand = true, wandStats = Some(stats)).collect().toSeq
+    val exhaustive = eng.searchF32(Seq(Fts("text", "needle hay")), 10,
+      useWand = false).collect().toSeq
+    assert(wand === exhaustive)
+    assert(stats.decodedBlocks.value > 0)
+    assert(stats.skippedBlocks.value >= 10,
+      s"expected the hay tail skipped: decoded=${stats.decodedBlocks.value} " +
+        s"skipped=${stats.skippedBlocks.value}")
+  }
+
   test("WAND on the small documents table") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val idx = IndexBuilder.build(docs, IndexConfig(Seq("doc_id"), Seq("text"), shardDocs = 64, buildPartitions = 4))
