@@ -91,15 +91,16 @@ object Scorer {
     val reqMask = cq.requiredMask
     val caches: Map[String, Array[Float]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
+    val shardDocs = index.config.shardDocs // capture: closures must not drag BuiltIndex in
     val grouped = matchedPostings(index, cq.terms).groupByKey(_.shard)
     deletes match {
       case Some(d) =>
         grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
-          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet)
+          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet, shardDocs)
         }
       case None =>
         grouped.flatMapGroups { (_, rows) =>
-          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, Set.empty)
+          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, Set.empty, shardDocs)
         }
     }
   }
@@ -111,11 +112,17 @@ object Scorer {
       caches: Map[String, Array[Float]],
       constMask: Int,
       reqMask: Int,
-      deleted: Set[Long]): Iterator[ScoredDocF32] = {
+      deleted: Set[Long],
+      shardDocs: Int): Iterator[ScoredDocF32] = {
     // deterministic accumulation order: (minGroup, field, term)
     val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
-    val score = new java.util.HashMap[Long, Array[Float]]() // [score]
-    val mask = new java.util.HashMap[Long, Array[Int]]()
+    if (sorted.isEmpty) return Iterator.empty
+    // a shard is a contiguous docId range of width shardDocs: dense
+    // flat arrays indexed by (docId - base) beat a boxing HashMap by
+    // an order of magnitude in the per-hit hot loop
+    val base = sorted(0).shard.toLong * shardDocs
+    val score = new Array[Float](shardDocs)
+    val mask = new Array[Int](shardDocs)
     sorted.foreach { p =>
       val cache = caches(p.field)
       val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
@@ -125,23 +132,20 @@ object Scorer {
         val w = weights((p.field, p.term, g))
         var i = 0
         while (i < dec.docIds.length) {
-          val d = dec.docIds(i)
-          val sAcc = score.computeIfAbsent(d, _ => Array(0.0f))
-          val mAcc = mask.computeIfAbsent(d, _ => Array(0))
+          val o = (dec.docIds(i) - base).toInt
           if (isConst) {
-            if ((mAcc(0) & gBit) == 0) sAcc(0) += 1.0f
+            if ((mask(o) & gBit) == 0) score(o) += 1.0f
           } else {
-            sAcc(0) += Bm25.tfScoreF32(w, dec.tfs(i), cache(dec.norms(i)))
+            score(o) += Bm25.tfScoreF32(w, dec.tfs(i), cache(dec.norms(i)))
           }
-          mAcc(0) |= gBit
+          mask(o) |= gBit
           i += 1
         }
       }
     }
-    import scala.jdk.CollectionConverters._
-    score.entrySet().iterator().asScala
-      .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask && !deleted.contains(e.getKey))
-      .map(e => ScoredDocF32(e.getKey, e.getValue()(0)))
+    (0 until shardDocs).iterator
+      .filter(o => (mask(o) & reqMask) == reqMask && mask(o) != 0 && !deleted.contains(base + o))
+      .map(o => ScoredDocF32(base + o, score(o)))
   }
 
   /** Oracle-parity f64 path: identical structure, pure double math
@@ -159,15 +163,16 @@ object Scorer {
     val reqMask = cq.requiredMask
     val caches: Map[String, Array[Double]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF64(index.avgFieldnormF64(f))).toMap
+    val shardDocs = index.config.shardDocs
     val grouped = matchedPostings(index, cq.terms).groupByKey(_.shard)
     deletes match {
       case Some(d) =>
         grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
-          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet)
+          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet, shardDocs)
         }
       case None =>
         grouped.flatMapGroups { (_, rows) =>
-          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, Set.empty)
+          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, Set.empty, shardDocs)
         }
     }
   }
@@ -179,10 +184,13 @@ object Scorer {
       caches: Map[String, Array[Double]],
       constMask: Int,
       reqMask: Int,
-      deleted: Set[Long]): Iterator[ScoredDocF64] = {
+      deleted: Set[Long],
+      shardDocs: Int): Iterator[ScoredDocF64] = {
     val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
-    val score = new java.util.HashMap[Long, Array[Double]]()
-    val mask = new java.util.HashMap[Long, Array[Int]]()
+    if (sorted.isEmpty) return Iterator.empty
+    val base = sorted(0).shard.toLong * shardDocs
+    val score = new Array[Double](shardDocs)
+    val mask = new Array[Int](shardDocs)
     sorted.foreach { p =>
       val cache = caches(p.field)
       val dec = PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
@@ -192,23 +200,20 @@ object Scorer {
         val w = weights((p.field, p.term, g))
         var i = 0
         while (i < dec.docIds.length) {
-          val d = dec.docIds(i)
-          val sAcc = score.computeIfAbsent(d, _ => Array(0.0d))
-          val mAcc = mask.computeIfAbsent(d, _ => Array(0))
+          val o = (dec.docIds(i) - base).toInt
           if (isConst) {
-            if ((mAcc(0) & gBit) == 0) sAcc(0) += 1.0d
+            if ((mask(o) & gBit) == 0) score(o) += 1.0d
           } else {
-            sAcc(0) += Bm25.tfScoreF64(w, dec.tfs(i), cache(dec.norms(i)))
+            score(o) += Bm25.tfScoreF64(w, dec.tfs(i), cache(dec.norms(i)))
           }
-          mAcc(0) |= gBit
+          mask(o) |= gBit
           i += 1
         }
       }
     }
-    import scala.jdk.CollectionConverters._
-    score.entrySet().iterator().asScala
-      .filter(e => (mask.get(e.getKey)(0) & reqMask) == reqMask && !deleted.contains(e.getKey))
-      .map(e => ScoredDocF64(e.getKey, e.getValue()(0)))
+    (0 until shardDocs).iterator
+      .filter(o => (mask(o) & reqMask) == reqMask && mask(o) != 0 && !deleted.contains(base + o))
+      .map(o => ScoredDocF64(base + o, score(o)))
   }
 
   /** Global top-k with the engine's total order (score desc, docId asc
