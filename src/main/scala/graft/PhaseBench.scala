@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, IndexConfig}
+
+/** One-off phase profiler for the index build (not part of the bench
+  * surface): times corpus generation, docId assignment, and the posting
+  * build separately at one parallelism level.
+  */
+object PhaseBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val nDocs = args(1).toLong
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.local.dir", "/dev/shm/graft-tmp")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val parts = cores * 2
+    // warm
+    IndexBuilder.build(CodeCorpus.generate(spark, 20000, parts),
+      IndexConfig(Seq("repo","path","commit"), Seq("content"), 8192, parts)).unpersist()
+    val corpus = CodeCorpus.generate(spark, nDocs, parts)
+    val (_, tGen) = Bench.time(corpus.count())
+    val (withIds, tAssign) = Bench.time {
+      val (w, _) = IndexBuilder.assignDocIdsWithHandle(corpus, Seq("repo","path","commit"), parts)
+      w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      w
+    }
+    val (_, tBuild) = Bench.time {
+      IndexBuilder.build(corpus, IndexConfig(Seq("repo","path","commit"), Seq("content"), 8192, parts))
+    }
+    println(s"""{"phase_bench":{"cores":$cores,"nDocs":$nDocs,"gen_count":$tGen,"assign_persist":$tAssign,"full_build":$tBuild}}""")
+    spark.stop()
+  }
+}

@@ -108,32 +108,52 @@ object IndexBuilder {
   def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame =
     assignDocIdsWithHandle(df, keyCols, parts, base)._1
 
-  /** Returns (docs-with-ids, sorted-intermediate handle): the caller
-    * should unpersist the handle once the downstream result is
-    * materialized, so the corpus isn't cached twice.
+  /** Returns (docs-with-ids, sorted-intermediate handle). The sorted
+    * intermediate is NOT cached: `.rdd` freezes ONE physical plan (and
+    * thus one partitioning — two separate Dataset jobs could be
+    * re-planned differently by AQE, desynchronizing the count and
+    * assignment passes), the per-partition count job and the
+    * id-assignment job then share the range shuffle's map output
+    * (Spark reuses completed shuffle stages), and the only extra cost
+    * of the second pass is the in-partition sort — pure parallel CPU —
+    * where caching would add a corpus-sized cache write + read, which
+    * is what bounds the build at high thread counts (memory bandwidth,
+    * not cores). This is the one sanctioned RDD drop: genuinely
+    * per-partition imperative id assignment.
     */
   def assignDocIdsWithHandle(df: DataFrame, keyCols: Seq[String], parts: Int,
       base: Long = 0L): (DataFrame, DataFrame) = {
+    val (withIds, _, _) = assignDocIdsCounted(df, keyCols, parts, base)
+    (withIds, withIds)
+  }
+
+  /** As assignDocIdsWithHandle, additionally returning the total row
+    * count (known driver-side from the per-partition counts — callers
+    * need no extra count() job over the corpus).
+    */
+  def assignDocIdsCounted(df: DataFrame, keyCols: Seq[String], parts: Int,
+      base: Long = 0L): (DataFrame, DataFrame, Long) = {
     val keys = keyCols.map(col)
     val sorted = df
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted
-      .groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val nParts = sorted.rdd.getNumPartitions
+    val sortedRdd = sorted.rdd // freeze plan + partitioning for both passes
+    val counts = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator.single((pid, n))
+      }
+      .collect().toMap
+    val nParts = sortedRdd.getNumPartitions
     val offsets = new Array[Long](nParts)
     var acc = base
     for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
     val outSchema = StructType(df.schema.fields :+ StructField("docId", LongType, nullable = false))
-    val enc = Encoders.row(outSchema)
-    val withIds = sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val withIdsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var next = offsets(pid)
       it.map { r => val id = next; next += 1; Row.fromSeq(r.toSeq :+ id) }
-    }(enc)
-    (withIds, sorted)
+    }
+    val withIds = df.sparkSession.createDataFrame(withIdsRdd, outSchema)
+    (withIds, sorted, acc - base)
   }
 
   /** In-memory posting accumulator per map partition — the Spark-native
@@ -233,11 +253,13 @@ object IndexBuilder {
     */
   def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex = {
     val spark = df.sparkSession
-    val (withIds, sortedHandle) =
-      assignDocIdsWithHandle(df, config.keyCols, config.buildPartitions, docIdBase)
+    val (withIds, _, numDocs) =
+      assignDocIdsCounted(df, config.keyCols, config.buildPartitions, docIdBase)
+    // numDocs is already known from the assignment counts — no extra
+    // corpus pass; the docs cache materializes as a side effect of the
+    // postings pass scanning it (one build = two passes total: the
+    // count pass over the shared shuffle output, then postings+cache)
     val docs = withIds.persist(StorageLevel.MEMORY_AND_DISK)
-    val numDocs = docs.count() // materializes the docs cache from the sorted intermediate
-    sortedHandle.unpersist(blocking = false) // corpus is cached once, not twice
     val postings = partialPostings(docs, config)
       .groupByKey(p => (p.field, p.term, p.shard))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaInt))

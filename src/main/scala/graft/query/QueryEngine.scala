@@ -84,26 +84,43 @@ final class QueryEngine(val index: BuiltIndex) {
       .limit(MaxExpansions)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
 
-  /** Distributed fuzzy expansion: length-banded dictionary scan with the
-    * built-in levenshtein filter, verified driver-side with the banded
-    * DP (both must agree; LevenshteinSpec). The (distance, term) sort +
-    * MaxExpansions truncation happen INSIDE the plan (TakeOrdered), so
-    * the driver collects at most MaxExpansions rows even when a short
-    * token matches a huge slice of a billion-term dictionary.
+  /** Distributed fuzzy expansion. For the standard d <= 2 (the lnx
+    * surface), candidates come from the precomputed SymSpell
+    * delete-variant dictionary — two terms within distance 2 always
+    * share a depth-2 delete variant (completeness asserted in
+    * SymSpellSpec), so the expensive levenshtein only runs on the
+    * variant-matched sliver instead of the whole dictionary (the
+    * dataflow analogue of tantivy's levenshtein automata over the FST).
+    * Wider distances fall back to a length-banded dictionary scan. In
+    * both paths the (distance, term) sort + MaxExpansions truncation
+    * happen INSIDE the plan (TakeOrdered), so the driver collects at
+    * most MaxExpansions rows; the banded DP re-verifies driver-side
+    * (built-in and DP must agree).
     */
-  private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] =
-    index.termStats
-      .filter(col("field") === field &&
-        length(col("term")).between(tok.length - maxDist, tok.length + maxDist) &&
-        levenshtein(col("term"), lit(tok)) <= maxDist)
+  private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] = {
+    val base =
+      if (maxDist <= SymSpell.MaxDistance) {
+        val variants = SymSpell.deletes(tok).toSeq
+        symspellDict
+          .filter(col("field") === field && col("variant").isin(variants: _*))
+          .select(col("term"), col("df")).distinct()
+      } else {
+        index.termStats
+          .filter(col("field") === field &&
+            length(col("term")).between(tok.length - maxDist, tok.length + maxDist))
+          .select(col("term"), col("df"))
+      }
+    base
+      .filter(levenshtein(col("term"), lit(tok)) <= maxDist)
       .withColumn("dist", levenshtein(col("term"), lit(tok)))
       .orderBy(col("dist").asc, col("term").asc)
       .limit(MaxExpansions)
       .collect()
-      .map(r => (r.getString(1), r.getLong(2), Levenshtein.distance(tok, r.getString(1), maxDist)))
+      .map(r => (r.getString(0), r.getLong(1), Levenshtein.distance(tok, r.getString(0), maxDist)))
       .filter(_._3 <= maxDist)
       .sortBy(t => (t._3, t._1))
       .toSeq
+  }
 
   private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
     index.termStats

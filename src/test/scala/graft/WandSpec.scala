@@ -61,6 +61,29 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("WAND paths respect tombstones (per-shard cogroup, no driver Set)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val idx = IndexBuilder.build(docs, IndexConfig(Seq("doc_id"), Seq("text"),
+      shardDocs = 64, buildPartitions = 4))
+    // tombstone half the current top-10 of a hot query
+    val eng0 = new QueryEngine(idx)
+    val top = eng0.searchF32(Seq(Fts("text", "the")), 10).collect().map(_.getLong(0))
+    val dead = top.take(5).toSet
+    val deadDf = dead.toSeq.toDF("docId")
+    val idxDel = new graft.index.BuiltIndex(idx.docs, idx.postings, idx.termStats,
+      idx.numDocs, idx.fieldTokens, idx.config, Some(deadDf))
+    val eng = new QueryEngine(idxDel)
+    for (clauses <- Seq(
+        Seq(Fts("text", "the")): Seq[SearchClause],
+        Seq(Fts("text", "the"), Fts("text", "data")): Seq[SearchClause])) {
+      val wand = eng.searchF32(clauses, 10, useWand = true).collect().map(_.getLong(0)).toSeq
+      val exhaustive = eng.searchF32(clauses, 10, useWand = false).collect().map(_.getLong(0)).toSeq
+      assert(wand === exhaustive, s"clauses $clauses")
+      assert(wand.toSet.intersect(dead).isEmpty, "deleted docs must not surface")
+    }
+  }
+
   test("WAND skip counters: rare+hot top-k skips the hot term's blocks") {
     import spark.implicits._
     // 10 'needle' docs up front set a threshold the hay-only tail can
