@@ -26,7 +26,13 @@ final case class IndexConfig(
     keyCols: Seq[String],
     fields: Seq[String],
     shardDocs: Int = 8192,
-    buildPartitions: Int = 32)
+    buildPartitions: Int = 32,
+    /** lnx fast-fuzzy mode: pre-compute the SymSpell delete-variant
+      * dictionary at INDEX time and persist it with the segment
+      * (README.md:28 — "sacrifices indexing performance" for the 30x
+      * query path). Off: the dictionary builds lazily at first query.
+      */
+    fastFuzzy: Boolean = false)
 
 /** Encoded posting list for one (field, term, shard). */
 final case class PostingRow(
@@ -74,7 +80,10 @@ final class BuiltIndex(
     val numDocs: Long,
     val fieldTokens: Map[String, Long],
     val config: IndexConfig,
-    val deletes: Option[DataFrame] = None) { // upsert tombstones (docId)
+    val deletes: Option[DataFrame] = None, // upsert tombstones (docId)
+    /** build-time SymSpell dictionary (field, variant, term, df) when
+      * the segment was written in fast-fuzzy mode. */
+    val symspell: Option[DataFrame] = None) {
 
   def spark: SparkSession = docs.sparkSession
 
@@ -88,11 +97,13 @@ final class BuiltIndex(
     docs.persist(StorageLevel.MEMORY_AND_DISK)
     postings.persist(StorageLevel.MEMORY_AND_DISK)
     termStats.persist(StorageLevel.MEMORY_AND_DISK)
+    symspell.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     this
   }
 
   def unpersist(): Unit = {
     docs.unpersist(); postings.unpersist(); termStats.unpersist()
+    symspell.foreach(_.unpersist())
   }
 }
 

@@ -35,7 +35,7 @@ object IndexStore {
   final case class LineageRow(epoch: Int, partitionId: Int, postingRows: Long,
       postingDocs: Long, tokens: Long)
   final case class ConfigRow(keyCols: Seq[String], fields: Seq[String], shardDocs: Int,
-      buildPartitions: Int)
+      buildPartitions: Int, fastFuzzy: Boolean = false)
 
   private def latestPath(dir: String) = Paths.get(dir, "_manifest", "LATEST")
 
@@ -62,7 +62,7 @@ object IndexStore {
     spark.createDataset(epochs)(Encoders.product[EpochMeta])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/epochs.parquet")
     spark.createDataset(Seq(ConfigRow(config.keyCols, config.fields, config.shardDocs,
-      config.buildPartitions)))(Encoders.product[ConfigRow])
+      config.buildPartitions, config.fastFuzzy)))(Encoders.product[ConfigRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
     spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
@@ -77,7 +77,7 @@ object IndexStore {
       .as(Encoders.product[EpochMeta]).collect().toSeq.sortBy(e => (e.epoch, e.field))
     val c = spark.read.parquet(s"$md/config.parquet")
       .as(Encoders.product[ConfigRow]).collect().head
-    val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions)
+    val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions, c.fastFuzzy)
     val cps = spark.read.parquet(s"$md/checkpoints.parquet")
       .as(Encoders.product[CheckpointRow]).collect().toSeq.sortBy(_.epoch)
     (epochs, config, cps)
@@ -105,6 +105,14 @@ object IndexStore {
       .repartitionByRange(math.max(1, parts / 4), col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write.mode(SaveMode.Overwrite).parquet(s"$segDir/termstats.parquet")
+    // fast-fuzzy mode: the SymSpell delete-variant dictionary is an
+    // INDEX-time artifact (README.md:28), variant-range-partitioned so
+    // query-time correction lookups prune row groups
+    if (idx.config.fastFuzzy)
+      graft.query.SymSpellDict.build(idx.termStats)
+        .repartitionByRange(math.max(1, parts / 4), col("field"), col("variant"))
+        .sortWithinPartitions("field", "variant")
+        .write.mode(SaveMode.Overwrite).parquet(s"$segDir/symspell.parquet")
   }
 
   private def writeLineage(idx: BuiltIndex, dir: String, epoch: Int): Unit = {
@@ -157,8 +165,16 @@ object IndexStore {
     val byField = epochs.groupBy(_.field)
     val fieldTokens = byField.map { case (f, es) => f -> es.map(_.fieldTokens).sum }
     val numDocs = epochs.groupBy(_.epoch).map(_._2.head.numDocs).sum
+    // fast-fuzzy segments carry the precomputed correction dictionary;
+    // per-(field, variant, term) df re-aggregates across segments just
+    // like the term dictionary
+    val symspell =
+      if (!config.fastFuzzy) None
+      else Some(segPaths.map(p => spark.read.parquet(s"$dir/$p/symspell.parquet"))
+        .reduce(_ unionByName _)
+        .groupBy("field", "variant", "term").agg(sum("df").as("df")))
     new BuiltIndex(docs, postings, termStats, numDocs, fieldTokens, config,
-      deletes).persist()
+      deletes, symspell).persist()
   }
 
   /** Tombstones of committed epochs only: appendEpoch writes
@@ -185,6 +201,16 @@ object IndexStore {
       if (dirs.isEmpty) None
       else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _).select("docId").distinct())
     }
+  }
+
+  /** Drop the index: delete the directory tree — the analogue of the
+    * reference's bucket deletion (service.rs:78-112).
+    */
+  def drop(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => Files.delete(x))
   }
 
   def lineage(spark: SparkSession, dir: String): DataFrame =
@@ -311,6 +337,11 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/docs.parquet")
     val newTermStats = merged.groupBy("field", "term").agg(sum("numDocs").as("df"))
     newTermStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/termstats.parquet")
+    if (config.fastFuzzy)
+      graft.query.SymSpellDict.build(spark.read.parquet(s"$dir/$segName/termstats.parquet"))
+        .repartitionByRange(math.max(1, parts / 4), col("field"), col("variant"))
+        .sortWithinPartitions("field", "variant")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/symspell.parquet")
     val newFieldTokens = merged.groupBy("field").agg(sum("sumTf").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val liveDocs = idx.docs.count()

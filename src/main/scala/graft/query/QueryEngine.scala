@@ -129,20 +129,14 @@ final class QueryEngine(val index: BuiltIndex) {
       .limit(MaxExpansions)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
 
-  /** Lazy SymSpell delete-variant dictionary, one per index
-    * (field, variant, term, df) — the build-time artifact behind
-    * fast-fuzzy. Persisted like the postings.
+  /** SymSpell delete-variant dictionary (field, variant, term, df) —
+    * the build-time artifact behind fast-fuzzy. Segments written in
+    * fast-fuzzy mode carry it persisted (variant-range-partitioned for
+    * pushdown, the reference's index-time pre-compute, README.md:28);
+    * otherwise it builds lazily on first use.
     */
-  lazy val symspellDict: DataFrame = {
-    val spark = index.spark
-    import spark.implicits._
-    val d = index.termStats
-      .as[(String, String, Long)]
-      .flatMap { case (f, t, df) => SymSpell.deletes(t).iterator.map(v => (f, v, t, df)) }
-      .toDF("field", "variant", "term", "df")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    d
-  }
+  lazy val symspellDict: DataFrame = index.symspell.getOrElse(
+    SymSpellDict.build(index.termStats).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Fast-fuzzy correction of ALL query tokens in one lookup job —
     * fast-fuzzy is the reference's *fast* path (README.md:28,41), so a
@@ -373,6 +367,21 @@ final class QueryEngine(val index: BuiltIndex) {
     val spark = index.spark
     import spark.implicits._
     spark.emptyDataset[ScoredDocF64].toDF("docId", "score")
+  }
+}
+
+/** Builds the SymSpell delete-variant dictionary from a term-stats
+  * frame (field, term, df) — shared by the lazy query-time path and
+  * the index-time fast-fuzzy persist (IndexStore.writeSegment).
+  */
+object SymSpellDict {
+  def build(termStats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = termStats.sparkSession
+    import spark.implicits._
+    termStats
+      .as[(String, String, Long)]
+      .flatMap { case (f, t, df) => SymSpell.deletes(t).iterator.map(v => (f, v, t, df)) }
+      .toDF("field", "variant", "term", "df")
   }
 }
 

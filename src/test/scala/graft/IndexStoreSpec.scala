@@ -107,6 +107,45 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(idx.deletes.isEmpty || idx.deletes.get.count() === 0)
   }
 
+  test("fast-fuzzy mode persists the SymSpell dictionary at index time (README.md:28)") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 400, 4).cache()
+    val ffConfig = config.copy(fastFuzzy = true)
+    IndexStore.create(corpus, ffConfig, dir, "snap-0")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "seg-00000", "symspell.parquet")))
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.symspell.nonEmpty)
+    val eFast = new QueryEngine(loaded)
+    // the persisted dictionary must give the identical correction +
+    // results as the lazily-built one
+    val eLazy = new QueryEngine(IndexBuilder.build(corpus, config))
+    assert(eFast.correct("content", "serach") === eLazy.correct("content", "serach"))
+    assert(topDocs(eFast, "serach") === topDocs(eLazy, "serach"))
+    // compaction preserves the artifact
+    val modified = corpus.limit(20)
+      .withColumn("content", concat(col("content"), lit(" extraterm")))
+    IndexStore.appendEpoch(modified, dir, "snap-1")
+    IndexStore.compact(spark, dir)
+    val after = IndexStore.load(spark, dir)
+    assert(after.symspell.nonEmpty)
+    // 'serach' is itself a planted dictionary term (distance 0): the
+    // persisted dictionary must keep resolving it and serving fast-fuzzy
+    assert(new QueryEngine(after).correct("content", "serach") === "serach")
+    assert(new QueryEngine(after)
+      .searchF32(Seq(FastFuzzy("content", "serach")), 10).count() > 0)
+  }
+
+  test("drop deletes the index directory (bucket delete analogue)") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 200, 4)
+    IndexStore.create(corpus, config, dir, "snap-0")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_manifest", "LATEST")))
+    IndexStore.drop(dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    intercept[IllegalArgumentException](IndexStore.load(spark, dir))
+  }
+
   test("compaction absorbs tombstones and preserves query results") {
     val dir = tmpDir()
     val corpus = CodeCorpus.generate(spark, 400, 4).cache()
