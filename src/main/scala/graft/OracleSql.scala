@@ -120,6 +120,24 @@ object OracleSql {
        |${topK(k, clauseTokens.size)}""".stripMargin
   }
 
+  /** Mixed conjunction: a prefix-expanded fts clause (group 0) AND a
+    * fuzzy clause (group 1) — exercises compile interplay between
+    * dictionary-expansion kinds in one required query.
+    */
+  def prefixFuzzyConj(prefix: String, fuzzyTok: String, k: Int): String =
+    s"""WITH $scaffold,
+       |qt AS (SELECT * FROM (
+       |         SELECT term, 1.0::DOUBLE AS w, 0 AS grp FROM dict
+       |         WHERE term LIKE '$prefix%' ORDER BY term LIMIT 1024)
+       |       UNION ALL
+       |       SELECT * FROM (
+       |         SELECT term, (CASE levenshtein(term, '$fuzzyTok') WHEN 0 THEN 1.0
+       |           WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, 1 AS grp
+       |         FROM dict WHERE levenshtein(term, '$fuzzyTok') <= 2
+       |         ORDER BY levenshtein(term, '$fuzzyTok') ASC, term ASC LIMIT 1024)),
+       |$scorer
+       |${topK(k, 2)}""".stripMargin
+
   /** levenshtein(): boolean match, score 1.0 (apis/mod.rs:249-266). */
   def lev(token: String, k: Int): String =
     s"""WITH $scaffold,
