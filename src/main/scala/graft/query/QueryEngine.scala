@@ -77,12 +77,30 @@ final class QueryEngine(val index: BuiltIndex) {
       .filter { case (k, _) => keys.contains(k) }
   }
 
-  private def prefixExpand(field: String, prefix: String): Seq[(String, Long)] =
-    index.termStats
-      .filter(col("field") === field && col("term").startsWith(prefix))
-      .orderBy(col("term"))
-      .limit(MaxExpansions)
-      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+  /** Batched prefix expansion: ONE job for all prefix tokens of a
+    * clause (per-token Spark jobs would pay a scheduler round-trip
+    * each). Per-prefix cap + term order run in-plan via a window, so
+    * the driver collects at most (#prefixes x MaxExpansions) rows.
+    */
+  private def prefixExpandAll(field: String,
+      prefixes: Seq[String]): Map[String, Seq[(String, Long)]] = {
+    if (prefixes.isEmpty) return Map.empty
+    val spark = index.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pdf = prefixes.distinct.toDF("pfx")
+    val w = Window.partitionBy(col("pfx")).orderBy(col("term").asc)
+    val rows = index.termStats
+      .filter(col("field") === field)
+      .join(broadcast(pdf), col("term").startsWith(col("pfx")))
+      .select(col("pfx"), col("term"), col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxExpansions)
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (pfx, rs) =>
+      pfx -> rs.map(r => (r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    }
+  }
 
   /** Distributed fuzzy expansion. For the standard d <= 2 (the lnx
     * surface), candidates come from the precomputed SymSpell
@@ -97,29 +115,61 @@ final class QueryEngine(val index: BuiltIndex) {
     * most MaxExpansions rows; the banded DP re-verifies driver-side
     * (built-in and DP must agree).
     */
-  private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] = {
-    val base =
-      if (maxDist <= SymSpell.MaxDistance) {
-        val variants = SymSpell.deletes(tok).toSeq
+  private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] =
+    fuzzyExpandAll(field, Seq(tok), maxDist).getOrElse(tok, Nil)
+
+  /** Batched fuzzy expansion for ALL tokens of a clause in ONE job.
+    * Candidates are tagged with their query token in-plan (a broadcast
+    * join against the tiny (tok, variant) frame), the levenshtein
+    * verify + per-token (distance, term) cap run in-plan via a window,
+    * and the driver re-verifies with the banded DP (built-in and DP
+    * must agree). At most (#tokens x MaxExpansions) rows are collected.
+    */
+  private def fuzzyExpandAll(field: String, toks: Seq[String],
+      maxDist: Int): Map[String, Seq[(String, Long, Int)]] = {
+    if (toks.isEmpty) return Map.empty
+    val spark = index.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand =
+      if (maxDist <= SymSpell.MaxDistance && index.symspell.nonEmpty) {
+        // SymSpell variant prefilter: complete for distance <= 2, so the
+        // levenshtein only runs on the variant-matched sliver (the
+        // dataflow analogue of tantivy's levenshtein automata). Only
+        // taken when the dictionary is the PERSISTED fast-fuzzy artifact
+        // (variant-range-partitioned -> row-group pruning); against the
+        // lazily-built in-memory dict this is a 20x-bigger scan than the
+        // length-banded term scan below (measured at sf0.1)
+        val pairs = toks.distinct.flatMap(t => SymSpell.deletes(t).iterator.map(v => (t, v)))
+        val vdf = pairs.toDF("tok", "variant")
         symspellDict
-          .filter(col("field") === field && col("variant").isin(variants: _*))
-          .select(col("term"), col("df")).distinct()
+          .filter(col("field") === field)
+          .join(broadcast(vdf), "variant")
+          .select(col("tok"), col("term"), col("df")).distinct()
       } else {
+        val tdf = toks.distinct.toDF("tok")
         index.termStats
-          .filter(col("field") === field &&
-            length(col("term")).between(tok.length - maxDist, tok.length + maxDist))
-          .select(col("term"), col("df"))
+          .filter(col("field") === field)
+          .join(broadcast(tdf),
+            length(col("term")).between(length(col("tok")) - maxDist,
+              length(col("tok")) + maxDist))
+          .select(col("tok"), col("term"), col("df"))
       }
-    base
-      .filter(levenshtein(col("term"), lit(tok)) <= maxDist)
-      .withColumn("dist", levenshtein(col("term"), lit(tok)))
-      .orderBy(col("dist").asc, col("term").asc)
-      .limit(MaxExpansions)
+    val w = Window.partitionBy(col("tok")).orderBy(col("dist").asc, col("term").asc)
+    val rows = cand
+      .withColumn("dist", levenshtein(col("term"), col("tok")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxExpansions)
+      .select(col("tok"), col("term"), col("df"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), Levenshtein.distance(tok, r.getString(0), maxDist)))
-      .filter(_._3 <= maxDist)
-      .sortBy(t => (t._3, t._1))
-      .toSeq
+    rows.groupBy(_.getString(0)).map { case (tok, rs) =>
+      tok -> rs
+        .map(r => (r.getString(1), r.getLong(2), Levenshtein.distance(tok, r.getString(1), maxDist)))
+        .filter(_._3 <= maxDist)
+        .sortBy(t => (t._3, t._1))
+        .toSeq
+    }
   }
 
   private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
@@ -224,18 +274,23 @@ final class QueryEngine(val index: BuiltIndex) {
           val (prefixToks, exactToks) = toks.partition(_.endsWith("*"))
           val exact = dfLookup(exactToks.map(t => (field, t)).distinct)
             .map { case ((f, t), df) => (f, t, df, 1.0) }
-          val pre = prefixToks.flatMap(p => prefixExpand(field, p.dropRight(1)))
+          val expanded = prefixExpandAll(field, prefixToks.map(_.dropRight(1)))
+          val pre = prefixToks.flatMap(p => expanded.getOrElse(p.dropRight(1), Nil))
             .map { case (t, df) => (field, t, df, 1.0) }
           (exact ++ pre).map { case (f, t, df, m) => mkTerm(f, t, df, m, g, n) }
         case FuzzyC(field, query, maxDist, mult, _) =>
-          tokenizeQuery(query).flatMap { tok =>
-            fuzzyExpand(field, tok, maxDist).map { case (t, df, d) =>
+          val toks = tokenizeQuery(query)
+          val exp = fuzzyExpandAll(field, toks, maxDist)
+          toks.flatMap { tok =>
+            exp.getOrElse(tok, Nil).map { case (t, df, d) =>
               mkTerm(field, t, df, mult(math.min(d, mult.size - 1)), g, n)
             }
           }
         case LevC(field, query, maxDist, _) =>
-          tokenizeQuery(query).flatMap { tok =>
-            fuzzyExpand(field, tok, maxDist).map { case (t, df, _) => mkTerm(field, t, df, 1.0, g, n) }
+          val toks = tokenizeQuery(query)
+          val exp = fuzzyExpandAll(field, toks, maxDist)
+          toks.flatMap { tok =>
+            exp.getOrElse(tok, Nil).map { case (t, df, _) => mkTerm(field, t, df, 1.0, g, n) }
           }
         case RegexC(field, pattern, _) =>
           regexExpand(field, pattern).map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
