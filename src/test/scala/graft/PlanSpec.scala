@@ -51,6 +51,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"candidate pairs must not be broadcast (unbounded at scale): $hints")
   }
 
+  test("LSH near-dup plan: banded self-join is an equi-join, never a cartesian product") {
+    val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+    val df = graft.ops.Similarity.lshCosineDupPairs(emb, "vec_id", "embedding")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(1500))
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.forall(_.condition.nonEmpty), "every join must carry a key condition")
+  }
+
+  test("SQL session: score-ordered SELECT without column predicates limits before the docs join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+    val sess = new graft.sql.LnxSession(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    sess.register("documents", docs, Seq("doc_id"), Seq("text"))
+    val df = sess.execute(
+      "SELECT doc_id, score() AS s FROM documents WHERE fts(text, 'the') ORDER BY s DESC LIMIT 10")
+    val joins = df.queryExecution.analyzed.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(j =>
+      j.right.collectFirst { case g: GlobalLimit => g }.nonEmpty ||
+        j.left.collectFirst { case g: GlobalLimit => g }.nonEmpty),
+      "the stopword match set must be limited before joining stored fields")
+  }
+
   test("column-expression paths stay inside whole-stage codegen") {
     val df = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
     val q = graft.ops.TextStats.tokenCounts(df, "doc_id", "text")
