@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query._
+
+/** Randomized invariants (seeded, deterministic): WAND == exhaustive
+  * on arbitrary corpora/queries, and the whole build is
+  * parallelism-independent — identical docIds AND bit-identical f32
+  * scores no matter how the input is partitioned or how wide the
+  * build shuffle is (the north rule's rank-identity under re-planning).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val seed0 = rng.Seed(20260816L)
+
+  /** Deterministic stream of values from a Gen. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    var seed = seed0
+    (0 until n).map { _ =>
+      val r = g.doPureApply(Gen.Parameters.default, seed)
+      seed = r.seed
+      r.retrieve.get
+    }
+  }
+
+  private val vocab: Seq[String] =
+    Seq("alpha", "beta", "gamma", "delta", "merge", "sort", "scan", "hash",
+      "tree", "heap", "q", "xx", "longertoken", "rare1", "rare2", "zzz")
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(1, 60)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      (8, Gen.oneOf(vocab.take(8))), // hot head
+      (3, Gen.oneOf(vocab.drop(8))), // tail
+      (1, Gen.identifier.map(_.take(12))))) // noise terms
+  } yield toks.mkString(" ")
+
+  private val queryGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 4)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      (6, Gen.oneOf(vocab)),
+      (1, Gen.const("notinanydocument"))))
+  } yield toks
+
+  lazy val corpus = {
+    import spark.implicits._
+    samples(docGen, 1500).zipWithIndex
+      .map { case (text, i) => (i.toLong, text) }
+      .toDF("doc_id", "text")
+      .repartition(7) // deliberately awkward input partitioning
+      .cache()
+  }
+
+  test("property: WAND top-k == exhaustive top-k on random corpora and queries") {
+    val idx = IndexBuilder.build(corpus,
+      IndexConfig(Seq("doc_id"), Seq("text"), shardDocs = 256, buildPartitions = 5))
+    val e = new QueryEngine(idx)
+    for ((toks, i) <- samples(queryGen, 30).zipWithIndex) {
+      val k = 1 + (i * 7) % 40
+      val clauses = Seq(Fts("text", toks.mkString(" ")))
+      val a = e.searchF32(clauses, k, useWand = false).collect().toSeq
+      val b = e.searchF32(clauses, k, useWand = true).collect().toSeq
+      assert(a === b, s"query $toks k=$k")
+    }
+    // random conjunctions through the forced conj-WAND path
+    for (toks <- samples(queryGen, 12) if toks.size >= 2) {
+      val clauses = toks.map(t => Fts("text", t): SearchClause)
+      val cq = e.compile(clauses)
+      val a = e.searchF32(clauses, 10, useWand = false).collect().toSeq
+      if (cq.terms.nonEmpty) {
+        val b = Scorer.topK(Wand.topKConj(idx, cq, 10).toDF("docId", "score"), 10)
+          .collect().toSeq
+        assert(a === b, s"conj $toks")
+      }
+    }
+  }
+
+  test("property: build is parallelism-independent (docIds + bit-identical f32 scores)") {
+    val a = IndexBuilder.build(corpus.repartition(3),
+      IndexConfig(Seq("doc_id"), Seq("text"), shardDocs = 128, buildPartitions = 3))
+    val b = IndexBuilder.build(corpus.repartition(13),
+      IndexConfig(Seq("doc_id"), Seq("text"), shardDocs = 128, buildPartitions = 11))
+    val mapA = a.docs.select("doc_id", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapB = b.docs.select("doc_id", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapA === mapB, "docIds must not depend on partitioning or parallelism")
+    val ea = new QueryEngine(a)
+    val eb = new QueryEngine(b)
+    for (toks <- samples(queryGen, 10)) {
+      val q = Seq(Fts("text", toks.mkString(" ")))
+      val ra = ea.searchF32(q, 20).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val rb = eb.searchF32(q, 20).collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(ra === rb, s"scores must be bit-identical across builds: $toks")
+    }
+  }
+
+  test("property: analyzer scanner == regex pipeline on random ASCII") {
+    val strGen = Gen.listOfN(40, Gen.frequency(
+      (6, Gen.alphaNumChar), (2, Gen.const(' ')), (1, Gen.oneOf('_', '.', '(', ')', '-', '/')),
+      (1, Gen.oneOf('A', 'Z', 'q')))).map(_.mkString)
+    for (s <- samples(strGen, 300)) {
+      assert(graft.analyze.Analyzer.tokenize(s).toSeq ===
+        graft.analyze.Analyzer.tokenizeRegex(s).toSeq, s"input: '$s'")
+    }
+  }
+}
