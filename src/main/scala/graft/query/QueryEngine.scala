@@ -88,6 +88,21 @@ final class QueryEngine(val index: BuiltIndex) {
     val spark = index.spark
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    if (prefixes.distinct.size == 1) {
+      // single prefix (the common case): a LITERAL startsWith pushes to
+      // the parquet scan as StringStartsWith, pruning row groups of the
+      // term-sorted persisted dictionary — a column-to-column startsWith
+      // can't push
+      val pfx = prefixes.distinct.head
+      val terms = index.termStats
+        .filter(col("field") === field && col("term").startsWith(pfx))
+        .orderBy(col("term"))
+        .limit(MaxExpansions)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      return Map(pfx -> terms)
+    }
+    // several prefixes: one job for all of them; per-prefix caps run
+    // in-plan via a window over the prefix-tagged candidates
     val pdf = prefixes.distinct.toDF("pfx")
     val w = Window.partitionBy(col("pfx")).orderBy(col("term").asc)
     val rows = index.termStats
