@@ -43,5 +43,17 @@ class StreamingSpec extends AnyFunSuite {
     val snaps = IndexStore.checkpoints(spark, idxDir).map(_.snapshotId)
     assert(snaps.head === "snap-0")
     assert(snaps.tail.forall(_.startsWith("stream-batch-")))
+
+    // restart from the same checkpoint: a fresh query over the same
+    // source must not re-commit any processed batch (kill-resume safety
+    // = at-least-once delivery + idempotent epoch commits)
+    val docsBefore = idx.docs.count()
+    val epochsBefore = snaps.size
+    val q2 = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, srcDir, c0.schema), idxDir, cpDir)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = IndexStore.load(spark, idxDir)
+    assert(after.docs.count() === docsBefore)
+    assert(IndexStore.checkpoints(spark, idxDir).size === epochsBefore)
   }
 }
