@@ -22,7 +22,23 @@ final class LnxSession(val spark: SparkSession) {
       var rows: DataFrame,
       config: IndexConfig,
       columns: Seq[ColumnDef],
-      var engine: Option[QueryEngine])
+      var engine: Option[QueryEngine],
+      var mutations: Int = 0)
+
+  /** Every mutation wraps `rows` in more plan (anti-join + union /
+    * conditional projections); a long-lived session would grow an
+    * unboundedly deep lineage and eventually blow analysis. Truncate it
+    * periodically with a checkpoint (the API-session analogue of the
+    * store path's segment writes).
+    */
+  private final val LineageTruncateEvery = 16
+
+  private def noteMutation(t: TableState): Unit = {
+    t.engine = None
+    t.mutations += 1
+    if (t.mutations % LineageTruncateEvery == 0)
+      t.rows = t.rows.localCheckpoint()
+  }
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, TableState]
 
@@ -209,7 +225,7 @@ final class LnxSession(val spark: SparkSession) {
     val pk = t.config.keyCols
     // INSERT is always UPSERT by PK (apis/mod.rs:81-82)
     t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
-    t.engine = None
+    noteMutation(t)
     status(s"upserted ${newRows.size} rows into ${in.table}")
   }
 
@@ -263,7 +279,7 @@ final class LnxSession(val spark: SparkSession) {
     val cond = d.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t))
       .reduceOption(_ && _).getOrElse(lit(true))
     t.rows = t.rows.filter(!cond)
-    t.engine = None
+    noteMutation(t)
     status(s"deleted from ${d.table}")
   }
 
@@ -284,7 +300,7 @@ final class LnxSession(val spark: SparkSession) {
         when(col("__cond"), lit(litValue(LnxSql.bind(l, params), dt))).otherwise(col(c)))
     }
     t.rows = updated.drop("__cond")
-    t.engine = None
+    noteMutation(t)
     status(s"updated ${u.table}")
   }
 

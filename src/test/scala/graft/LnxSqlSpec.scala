@@ -234,6 +234,19 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(eng.compileCacheHits > cHits0, "identical clauses should hit the compile LRU")
   }
 
+  test("many mutations stay queryable (lineage truncation, no plan blow-up)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE m (id bigint PRIMARY KEY, t text, v bigint)")
+    for (i <- 0 until 40) {
+      sess.execute(s"INSERT INTO m (id, t, v) VALUES ($i, 'token$i data', $i)")
+      if (i % 5 == 4) sess.execute(s"UPDATE m SET v = ${i * 10} WHERE id = ${i - 1}")
+      if (i % 7 == 6) sess.execute(s"DELETE FROM m WHERE id = ${i - 3}")
+    }
+    val n = sess.execute("SELECT id FROM m").count()
+    assert(n > 0 && n < 40) // deletes happened, rest live
+    assert(sess.execute("SELECT id FROM m WHERE fts(t, 'data')").count() === n)
+  }
+
   test("default LIMIT is 1000 (query.rs:15-17)") {
     val sess = new LnxSession(spark)
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
