@@ -68,6 +68,68 @@ object TextStats {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Characteristic character trigrams per language (the n-gram
+    * language-ID signal proper; spaces participate, as usual).
+    */
+  val triProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "he "),
+    "de" -> Seq("der", "die", "und", "sch", "ein", "ich"),
+    "fr" -> Seq("les", "que", "des", "ait", "ous", "ee "),
+    "es" -> Seq("los", "del", "que", "ado", "cio", "ent"))
+
+  /** All overlapping character trigrams of the lowercased text. Guard:
+    * sequence(1, n) is DESCENDING for n < 1, not empty — texts under 3
+    * chars must short-circuit to an empty array.
+    */
+  private def charTrigrams(textCol: String): Column =
+    expr(s"CASE WHEN length(lower($textCol)) < 3 THEN array() " +
+      s"ELSE transform(sequence(1, length(lower($textCol)) - 2), " +
+      s"i -> substr(lower($textCol), i, 3)) END")
+
+  private def charTrigramsDuck(textCol: String): String =
+    s"(CASE WHEN length(lower($textCol)) < 3 THEN [] " +
+      s"ELSE list_transform(range(1, length(lower($textCol)) - 1), " +
+      s"i -> substr(lower($textCol), i, 3)) END)"
+
+  /** Language ID via character n-grams: argmax profile-trigram ratio
+    * with fixed precedence at ties, 'und' when nothing matches — the
+    * n-gram counterpart to the stopword-profile heuristic.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withScores = triProfiles.foldLeft(
+      df.select(col(idCol).as("id"), charTrigrams(textCol).as("toks"))) {
+      case (d, (lang, grams)) => d.withColumn(s"s_$lang", ratio(col("toks"), grams))
+    }
+    val langs = triProfiles.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    withScores
+      .withColumn("lang_pred", expr(s"CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END"))
+      .withColumn("conf", expr(s"round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4)"))
+      .select(col("id").as("doc_id"), col("lang_pred"), col("conf"))
+      .orderBy("doc_id")
+  }
+
+  def langIdNgramSqlDuck(idCol: String, textCol: String): String = {
+    val langs = triProfiles.map(_._1)
+    val scoreCols = triProfiles
+      .map { case (l, ws) => s"${ratioDuck("toks", ws)} AS s_$l" }.mkString(", ")
+    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT $idCol AS id, ${charTrigramsDuck(textCol)} AS toks FROM documents),
+       |s AS (SELECT id, $scoreCols FROM t)
+       |SELECT id AS doc_id,
+       |       (CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END) AS lang_pred,
+       |       round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4) AS conf
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Composite quality score in [0,1]: length, alpha ratio, punctuation
     * penalty, stopword presence — the usual cheap pretraining filters.
     */
