@@ -405,14 +405,6 @@ final class QueryEngine(val index: BuiltIndex) {
     index.docs.join(broadcast(scored), "docId").select(cols: _*)
   }
 
-  /** Same join without the broadcast hint, for match sets that are not
-    * provably small (AQE picks the strategy from runtime sizes).
-    */
-  def withDocsUnlimited(scored: DataFrame, docCols: Seq[String]): DataFrame = {
-    val cols = docCols.map(col) :+ col("score")
-    index.docs.join(scored, "docId").select(cols: _*)
-  }
-
   /** Hierarchical facet counting over a match set (the `facet` type's
     * drill-down aggregation, apis/mod.rs:177): count matching docs per
     * facet path prefix. The match set is unlimited (every doc matching
