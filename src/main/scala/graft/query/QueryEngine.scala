@@ -398,7 +398,7 @@ final class QueryEngine(val index: BuiltIndex) {
     * engine needs, SURVEY.md section 2.3). Callers MUST pass a limited
     * scored side (apply Scorer.topK / a threshold + limit first): the
     * broadcast hint is only sound because the scored side is <= k rows.
-    * For unlimited match sets use `withDocsUnlimited`.
+    * Unlimited match sets must join un-hinted (see facetCounts).
     */
   def withDocs(scored: DataFrame, docCols: Seq[String]): DataFrame = {
     val cols = docCols.map(col) :+ col("score")
