@@ -153,29 +153,46 @@ object Wand {
       }
     }
 
-    val live = scala.collection.mutable.ArrayBuffer(cursors: _*)
-    while (live.nonEmpty) {
-      live.filterInPlace(!_.done)
-      if (live.nonEmpty) {
-        val byDoc = live.sortBy(_.curDoc).toArray
+    // working order: kept nearly-sorted by curDoc across iterations, so
+    // the per-iteration insertion sort is ~O(n) and the driver loop is
+    // allocation-free (a fresh sortBy+filter per pivot dominated WAND's
+    // cost on dense queries where little can be skipped)
+    val byDoc = cursors.clone()
+    var nLive = byDoc.length
+    var running = nLive > 0
+    while (running) {
+      var i = 1
+      while (i < nLive) { // insertion sort by curDoc (exhausted = MaxValue)
+        val c = byDoc(i)
+        val d = c.curDoc
+        var j = i - 1
+        while (j >= 0 && byDoc(j).curDoc > d) { byDoc(j + 1) = byDoc(j); j -= 1 }
+        byDoc(j + 1) = c
+        i += 1
+      }
+      while (nLive > 0 && byDoc(nLive - 1).done) nLive -= 1
+      if (nLive == 0) {
+        running = false
+      } else {
         // pivot: shortest prefix whose UB sum could still beat the heap
         // (>= not >: an equal score with a smaller docId still wins)
         var ubSum = 0.0f
         var p = -1
-        var i = 0
-        while (i < byDoc.length && p < 0) {
+        i = 0
+        while (i < nLive && p < 0) {
           ubSum += byDoc(i).remainingUB
           if (ubSum >= thresholdScore) p = i
           i += 1
         }
         if (p < 0) {
-          live.foreach(_.skipRemaining()) // count the never-decoded tails
-          live.clear() // no doc can enter the heap anymore
+          i = 0
+          while (i < nLive) { byDoc(i).skipRemaining(); i += 1 } // count the tails
+          running = false // no doc can enter the heap anymore
         } else {
           val pivotDoc = byDoc(p).curDoc
           // include every cursor already sitting on the pivot doc, so the
           // block-max skip target is strictly beyond pivotDoc (progress)
-          while (p + 1 < byDoc.length && byDoc(p + 1).curDoc == pivotDoc) p += 1
+          while (p + 1 < nLive && byDoc(p + 1).curDoc == pivotDoc) p += 1
           if (byDoc(0).curDoc == pivotDoc) {
             // shallow block-max refinement over cursors at/before pivot
             var bmSum = 0.0f
@@ -188,18 +205,25 @@ object Wand {
               while (j <= p) { boundary = math.min(boundary, byDoc(j).currentBlockLast); j += 1 }
               var nextDoc = boundary + 1
               j = p + 1
-              while (j < byDoc.length) { nextDoc = math.min(nextDoc, byDoc(j).curDoc); j += 1 }
+              while (j < nLive) { nextDoc = math.min(nextDoc, byDoc(j).curDoc); j += 1 }
               j = 0
               while (j <= p) { byDoc(j).advanceTo(nextDoc); j += 1 }
             } else {
-              // full score of pivotDoc: f32 sum in (field, term) order
-              val contrib = cursors.filter(c => !c.done && c.curDoc == pivotDoc)
+              // full score of pivotDoc: f32 sum in (field, term) order —
+              // the ORIGINAL cursors array preserves that order
               if (!deleted.contains(pivotDoc)) {
                 var s = 0.0f
-                contrib.foreach(c => s += c.curScore)
+                var ci = 0
+                while (ci < cursors.length) {
+                  val c = cursors(ci)
+                  if (!c.done && c.curDoc == pivotDoc) s += c.curScore
+                  ci += 1
+                }
                 offer(pivotDoc, s)
               }
-              contrib.foreach(_.next())
+              // all cursors at pivotDoc are the sorted prefix 0..p
+              j = 0
+              while (j <= p) { if (byDoc(j).curDoc == pivotDoc) byDoc(j).next(); j += 1 }
             }
           } else {
             var j = 0
