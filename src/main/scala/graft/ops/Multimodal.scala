@@ -3,14 +3,18 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: treat media as opaque binary columns
-  * with typed metadata extracted by a batched per-partition "decoder".
-  * The image/audio codecs are NOT in this container, so the decode step
-  * is a clearly-marked deterministic STUB (md5-derived dimensions,
-  * quarter-frame digests) — but the Spark plumbing is real: binary
-  * column, typed Dataset, mapPartitions batch shape, stable schema.
-  * Every stubbed value is pure arithmetic over the payload, so the
-  * DuckDB oracle can verify the full pipeline end-to-end.
+/** Multimodal columns: media as opaque binary columns with typed
+  * metadata extracted by batched per-partition decoders.
+  *
+  * Two decoders:
+  * - `decodeMedia` — REAL byte-level format parsing (PNG signature +
+  *   IHDR walk with CRC32 verification, WAV RIFF/fmt fields), no
+  *   media libraries needed; oracle-gated against generator-embedded
+  *   metadata (q34).
+  * - `decodeMeta` — a deterministic payload FINGERPRINT (md5-derived
+  *   pseudo-dimensions, quarter digests): the stand-in shape for
+  *   heavyweight codecs (jpeg/h264) absent from this container, with
+  *   the batch plumbing identical to the real decoder (q25).
   */
 object Multimodal {
 
