@@ -20,8 +20,12 @@ object OpsSql {
   def hash60Duck(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Analyzer tokens. */
-  def tokens(c: Column): Column = Analyzer.tokensCol(c)
+  /** Analyzer tokens — the native Catalyst expression (one scan pass
+    * inside whole-stage codegen) rather than the 3-regex built-in
+    * pipeline; semantics identical (AnalyzerSpec parity + every ops
+    * oracle gates it).
+    */
+  def tokens(c: Column): Column = graft.functions.CodeTokens(c)
   def tokensDuck(e: String): String = Analyzer.tokensSqlDuck(e)
 
   /** Word 3-shingles over analyzer tokens (1-based element access in

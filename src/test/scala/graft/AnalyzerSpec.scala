@@ -32,6 +32,33 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("native CodeTokens expression agrees with the Column pipeline and the scanner") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val samples = Seq(
+      "FooBar baz_qux", "binarySearch(x_1);", "", "  ,,;  ", "a" * 41,
+      "unicode Ünïcøde ästhetik mixed ascii", // non-ASCII falls back to regex
+      "fn main() { return 0; }") ++
+      (0 until 30).map(i => graft.corpus.CodeCorpus.genDoc(i.toLong).content)
+    val df = samples.toDF("text")
+    val native = df.select(graft.functions.CodeTokens(col("text")))
+      .collect().map(_.getSeq[String](0))
+    val viaCol = df.select(Analyzer.tokensCol(col("text")))
+      .collect().map(_.getSeq[String](0))
+    samples.indices.foreach { i =>
+      assert(native(i) === viaCol(i), s"native != Column on: ${samples(i).take(60)}")
+      assert(native(i) === Analyzer.tokenize(samples(i)).toSeq)
+    }
+    // the expression must live inside a WholeStageCodegen span, not
+    // break the pipeline the way a UDF would (a parquet scan forces a
+    // real codegen stage; a local Seq collapses to LocalTableScan)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val q = docs.select(size(graft.functions.CodeTokens(col("text"))).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(800))
+  }
+
   test("scanner tokenizer equals the regex reference on fuzzed ASCII") {
     val rnd = new scala.util.Random(11)
     val chars = "abcXYZ019 _-.;(){}\n\tQ"
