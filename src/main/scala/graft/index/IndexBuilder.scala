@@ -148,7 +148,11 @@ object IndexBuilder {
     val sorted = df
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
-    val sortedRdd = sorted.rdd // freeze plan + partitioning for both passes
+    // InternalRow path: no external-Row materialization in the build's
+    // hottest phase — the count pass touches no fields at all and the
+    // id-append pass is one UnsafeProjection over a JoinedRow (a byte
+    // copy), instead of per-field decode + Row allocation + re-encode
+    val sortedRdd = sorted.queryExecution.toRdd // freeze plan + partitioning for both passes
     val counts = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L; it.foreach(_ => n += 1); Iterator.single((pid, n))
@@ -160,10 +164,21 @@ object IndexBuilder {
     for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
     val outSchema = StructType(df.schema.fields :+ StructField("docId", LongType, nullable = false))
     val withIdsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+      val proj = UnsafeProjection.create(outSchema)
+      val idRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
       var next = offsets(pid)
-      it.map { r => val id = next; next += 1; Row.fromSeq(r.toSeq :+ id) }
+      it.map { r =>
+        idRow.update(0, next); next += 1
+        // copy: the projection reuses its output buffer, and downstream
+        // consumers (cache builder, shuffle) may hold references
+        proj(joined(r, idRow)).copy(): InternalRow
+      }
     }
-    val withIds = df.sparkSession.createDataFrame(withIdsRdd, outSchema)
+    val withIds = org.apache.spark.sql.GraftExpressionBridge
+      .internalCreateDataFrame(df.sparkSession, withIdsRdd, outSchema)
     (withIds, sorted, acc - base)
   }
 
