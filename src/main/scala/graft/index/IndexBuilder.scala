@@ -198,7 +198,10 @@ object IndexBuilder {
     val shardDocs = config.shardDocs
     val cols = col("docId") +: fields.map(col)
     val projected = docs.select(cols: _*)
-    projected.mapPartitions { rows =>
+    // InternalRow scan: the tokenize+encode pass reads (docId, texts)
+    // straight off the columnar cache without per-doc external-Row
+    // materialization; only the few output PartialRows pay an encoder
+    val rdd = projected.queryExecution.toRdd.mapPartitions { rows =>
       final class Buf {
         val docIds = new scala.collection.mutable.ArrayBuffer[Long](8)
         val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
@@ -232,7 +235,7 @@ object IndexBuilder {
         if (shard != curShard) { flush(); curShard = shard }
         var fi = 0
         while (fi < fields.length) {
-          val text = if (r.isNullAt(fi + 1)) "" else r.getString(fi + 1)
+          val text = if (r.isNullAt(fi + 1)) "" else r.getUTF8String(fi + 1).toString
           val (counts, len) = Analyzer.tokenCounts(text)
           val norm = Fieldnorm.encode(len.toLong)
           val field = fields(fi)
@@ -246,7 +249,8 @@ object IndexBuilder {
       }
       flush()
       out.iterator
-    }(Encoders.product[PartialRow])
+    }
+    docs.sparkSession.createDataset(rdd)(Encoders.product[PartialRow])
   }
 
   /** Merge the (few, docId-range-disjoint) partials of one
