@@ -44,7 +44,11 @@ object Bench {
     val nCorpus = math.max(5000L, (sf * 500000).toLong) // sf0.1 -> 50k files
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // 1. index-build throughput on the synthetic source-code corpus
+    // 1. index-build throughput on the synthetic source-code corpus.
+    // Partitioning is scale-dependent: 4 task waves win at millions of
+    // files (BENCH.md round-2 scaling), but at this sf's ~50k files
+    // that would leave ~400 docs/task and per-task overhead dominates
+    // (measured 9-11s vs 7-9s) — 2 waves is right here.
     val corpus = CodeCorpus.generate(spark, nCorpus, cpus * 2)
     val (idx, tBuild) = time {
       IndexBuilder.build(corpus,

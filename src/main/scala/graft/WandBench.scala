@@ -36,10 +36,10 @@ object WandBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val corpus = CodeCorpus.generate(spark, nDocs, cpus * 2)
+    val corpus = CodeCorpus.generate(spark, nDocs, cpus * 4)
     val idx = IndexBuilder.build(corpus,
       IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
-        shardDocs = 65536, buildPartitions = cpus * 2))
+        shardDocs = 65536, buildPartitions = cpus * 4))
     val engine = new QueryEngine(idx)
 
     val shapes = Seq(
