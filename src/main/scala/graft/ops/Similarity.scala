@@ -188,7 +188,10 @@ object Similarity {
         lit(0.0d), (acc, x) => acc + x)
       when(dot > 0.0d, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // empty-vector guard: sequence(0, -1) is DESCENDING, not empty, and
+    // the DuckDB mirror's list_reduce errors on empty lists — both
+    // engines pin the signature to 0 instead
+    when(size(v) === 0, lit(0L)).otherwise(bits.reduce(_ + _))
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH —
@@ -226,7 +229,8 @@ object Similarity {
          | THEN (1::BIGINT << $p) ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
-       |sig AS (SELECT vid, v, ($bitTerms)::BIGINT AS sig FROM e),
+       |sig AS (SELECT vid, v,
+       |          (CASE WHEN len(v) = 0 THEN 0 ELSE ($bitTerms) END)::BIGINT AS sig FROM e),
        |banded AS (SELECT vid, v, sig, i AS band, (sig >> (i * $bandBits)) & $mask AS key
        |           FROM sig, range(0, $nBands) r(i)),
        |cand AS (SELECT DISTINCT a.vid AS a, b.vid AS b, a.v AS va, b.v AS vb

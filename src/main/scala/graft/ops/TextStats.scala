@@ -77,27 +77,31 @@ object TextStats {
     "fr" -> Seq("les", "que", "des", "ait", "ous", "ee "),
     "es" -> Seq("los", "del", "que", "ado", "cio", "ent"))
 
-  /** All overlapping character trigrams of the lowercased text. Guard:
-    * sequence(1, n) is DESCENDING for n < 1, not empty — texts under 3
-    * chars must short-circuit to an empty array.
+  /** All overlapping character trigrams of an ALREADY-LOWERCASED text
+    * column. Two traps handled: the lowercased text must be
+    * materialized in its own projection first (a HOF lambda re-evaluates
+    * an inlined lower(text) subtree per element — O(len^2) per doc,
+    * the CLAUDE.md element_at trap), and sequence(1, n) is DESCENDING
+    * for n < 1 so texts under 3 chars short-circuit to an empty array.
     */
-  private def charTrigrams(textCol: String): Column =
-    expr(s"CASE WHEN length(lower($textCol)) < 3 THEN array() " +
-      s"ELSE transform(sequence(1, length(lower($textCol)) - 2), " +
-      s"i -> substr(lower($textCol), i, 3)) END")
+  private def charTrigrams(loweredCol: String): Column =
+    expr(s"CASE WHEN length($loweredCol) < 3 THEN array() " +
+      s"ELSE transform(sequence(1, length($loweredCol) - 2), " +
+      s"i -> substr($loweredCol, i, 3)) END")
 
-  private def charTrigramsDuck(textCol: String): String =
-    s"(CASE WHEN length(lower($textCol)) < 3 THEN [] " +
-      s"ELSE list_transform(range(1, length(lower($textCol)) - 1), " +
-      s"i -> substr(lower($textCol), i, 3)) END)"
+  private def charTrigramsDuck(loweredCol: String): String =
+    s"(CASE WHEN length($loweredCol) < 3 THEN [] " +
+      s"ELSE list_transform(range(1, length($loweredCol) - 1), " +
+      s"i -> substr($loweredCol, i, 3)) END)"
 
   /** Language ID via character n-grams: argmax profile-trigram ratio
     * with fixed precedence at ties, 'und' when nothing matches — the
     * n-gram counterpart to the stopword-profile heuristic.
     */
   def langIdNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lowered = df.select(col(idCol).as("id"), lower(col(textCol)).as("lt"))
     val withScores = triProfiles.foldLeft(
-      df.select(col(idCol).as("id"), charTrigrams(textCol).as("toks"))) {
+      lowered.select(col("id"), charTrigrams("lt").as("toks"))) {
       case (d, (lang, grams)) => d.withColumn(s"s_$lang", ratio(col("toks"), grams))
     }
     val langs = triProfiles.map(_._1)
@@ -122,7 +126,8 @@ object TextStats {
       val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }.mkString(" ")
-    s"""WITH t AS (SELECT $idCol AS id, ${charTrigramsDuck(textCol)} AS toks FROM documents),
+    s"""WITH lt AS (SELECT $idCol AS id, lower($textCol) AS lt FROM documents),
+       |t AS (SELECT id, ${charTrigramsDuck("lt")} AS toks FROM lt),
        |s AS (SELECT id, $scoreCols FROM t)
        |SELECT id AS doc_id,
        |       (CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END) AS lang_pred,

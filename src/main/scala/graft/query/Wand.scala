@@ -263,11 +263,18 @@ object Wand {
       sortedRows.map(p => groupOf((p.field, p.term)).sorted.toArray)
     val cursors = sortedRows.zipWithIndex.map { case (p, i) =>
       // cursor UB weight = the row's total non-const BM25 weight (its
-      // whole contribution to any one doc); const groups add flat 1.0s
-      val w = groupOf((p.field, p.term)).iterator
+      // whole contribution to any one doc); const groups add flat 1.0s.
+      // Inflate by 1e-6 relative: the exact score sums per-group f32
+      // products while the UB multiplies the f32 SUM of weights — each
+      // rounds independently, so without margin the "upper" bound can
+      // land a few ULPs BELOW the true score and a tie-threshold doc
+      // could be wrongly pruned (exactness contract). ~8 ULPs of slack
+      // dominates the <=3 ULPs of rounding hazard and only makes
+      // pruning infinitesimally more conservative.
+      val wSum = groupOf((p.field, p.term)).iterator
         .filter(g => (constMask & (1 << g)) == 0)
-        .map(g => weights((p.field, p.term, g))).sum
-      new Cursor(p, w, caches(p.field), i, stats)
+        .map(g => weights((p.field, p.term, g)).toDouble).sum
+      new Cursor(p, (wSum * (1.0 + 1e-6)).toFloat, caches(p.field), i, stats)
     }
     val cursorsOfGroup: Array[Array[Int]] =
       Array.tabulate(nGroups)(g => cursors.indices.filter(i => rowGroups(i).contains(g)).toArray)

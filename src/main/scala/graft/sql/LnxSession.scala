@@ -67,8 +67,18 @@ final class LnxSession(val spark: SparkSession) {
     * literal-characters guard prevents InetAddress hostname lookups.
     */
   def canonIp(s: String): String = {
-    require(s.matches("[0-9a-fA-F:.]+"), s"not an IP literal: $s")
-    java.net.InetAddress.getByName(s).getHostAddress
+    // literal-only guard: a ':' can never appear in a hostname, so
+    // getByName parses IPv6-shaped input without DNS; for IPv4 we
+    // validate the dotted quad OURSELVES (e.g. '999.0.0.1' or
+    // 'deadbeef' would otherwise fall back to a blocking DNS lookup)
+    val isLiteral = s.contains(":") ||
+      (s.matches("""\d{1,3}(\.\d{1,3}){3}""") && s.split('.').forall(_.toInt <= 255))
+    if (!isLiteral) throw ParseException(s"not an IP literal: $s", -1)
+    try java.net.InetAddress.getByName(s).getHostAddress
+    catch {
+      case _: java.net.UnknownHostException =>
+        throw ParseException(s"not an IP literal: $s", -1)
+    }
   }
 
   /** Per-lnx-type value normalization + range checks at the insert /
@@ -296,8 +306,12 @@ final class LnxSession(val spark: SparkSession) {
     u.sets.foreach { case (c, l) =>
       val dt = schema.fields.find(_.name == c)
         .getOrElse(throw ParseException(s"unknown column $c", -1)).dataType
+      // same normalization as INSERT/WHERE: ip canonicalization +
+      // unsigned range checks must not be bypassable via UPDATE
+      val tpe = t.columns.find(_.name == c).map(_.tpe).getOrElse("")
       updated = updated.withColumn(c,
-        when(col("__cond"), lit(litValue(LnxSql.bind(l, params), dt))).otherwise(col(c)))
+        when(col("__cond"), lit(normalize(tpe, litValue(LnxSql.bind(l, params), dt))))
+          .otherwise(col(c)))
     }
     t.rows = updated.drop("__cond")
     noteMutation(t)

@@ -185,6 +185,29 @@ class LnxSqlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("UPDATE normalizes like INSERT: ip canonicalization + uint range checks apply") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE upn (id bigint PRIMARY KEY, addr ip, n uint64)")
+    sess.execute("INSERT INTO upn (id, addr, n) VALUES (1, '::2', 5)")
+    sess.execute("UPDATE upn SET addr = '::1' WHERE id = 1")
+    // the updated value must be stored canonically, so the canonicalized
+    // predicate literal still matches
+    assert(sess.execute("SELECT id FROM upn WHERE addr = '0:0:0:0:0:0:0:1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    intercept[ParseException](sess.execute("UPDATE upn SET n = -3 WHERE id = 1"))
+  }
+
+  test("canonIp rejects non-literal input instead of falling back to DNS") {
+    val sess = new LnxSession(spark)
+    // all-hex and out-of-range-octet strings pass naive charset checks
+    // but are NOT IP literals — must throw, never resolve
+    intercept[ParseException](sess.canonIp("deadbeef"))
+    intercept[ParseException](sess.canonIp("999.0.0.1"))
+    intercept[ParseException](sess.canonIp("cafe"))
+    assert(sess.canonIp("10.0.0.1") === "10.0.0.1")
+    assert(sess.canonIp("::1") === "0:0:0:0:0:0:0:1")
+  }
+
   test("unsigned range checks: uint64/uint32 reject out-of-range inserts") {
     val sess = new LnxSession(spark)
     sess.execute("CREATE TABLE us (id bigint PRIMARY KEY, a uint64, b uint32)")

@@ -43,7 +43,12 @@ class WandSpec extends AnyFunSuite {
       Seq(FuzzyC("content", "serach"), FuzzyC("content", "mrege")), // fuzzy x fuzzy
       Seq(Fts("content", "merge"), RegexC("content", "lic.nse")), // sum x const group
       Seq(Fts("content", "fn"), Fts("content", "return"), Fts("content", "license")), // 3-way
-      Seq(Fts("content", "fn"), Fts("content", "zzzznotaterm"))) // empty group
+      Seq(Fts("content", "fn"), Fts("content", "zzzznotaterm")), // empty group
+      // SHARED term across groups: 'merge' contributes to both, so the
+      // UB path multiplies a summed weight while exact scoring sums two
+      // products — the ULP-margin case
+      Seq(Fts("content", "merge"), Fts("content", "merge segment")),
+      Seq(FuzzyC("content", "mrege"), FuzzyC("content", "merge"))) // overlapping expansions
     for (clauses <- conjQueries; k <- Seq(1, 7, 10, 100)) {
       val exhaustive = engine.searchF32(clauses, k, useWand = false)
         .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
