@@ -24,7 +24,7 @@ object PhaseBench {
     val corpus = CodeCorpus.generate(spark, nDocs, parts)
     val (_, tGen) = Bench.time(corpus.count())
     val (withIds, tAssign) = Bench.time {
-      val (w, _) = IndexBuilder.assignDocIdsWithHandle(corpus, Seq("repo","path","commit"), parts)
+      val w = IndexBuilder.assignDocIds(corpus, Seq("repo","path","commit"), parts)
       w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       w
     }

@@ -117,7 +117,7 @@ object IndexBuilder {
     * rank-identity and resume (SURVEY.md section 7 hard part 2).
     */
   def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame =
-    assignDocIdsWithHandle(df, keyCols, parts, base)._1
+    assignDocIdsCounted(df, keyCols, parts, base)._1
 
   /** Returns (docs-with-ids, sorted-intermediate handle). The sorted
     * intermediate is NOT cached: `.rdd` freezes ONE physical plan (and
@@ -132,15 +132,10 @@ object IndexBuilder {
     * not cores). This is the one sanctioned RDD drop: genuinely
     * per-partition imperative id assignment.
     */
-  def assignDocIdsWithHandle(df: DataFrame, keyCols: Seq[String], parts: Int,
-      base: Long = 0L): (DataFrame, DataFrame) = {
-    val (withIds, _, _) = assignDocIdsCounted(df, keyCols, parts, base)
-    (withIds, withIds)
-  }
-
-  /** As assignDocIdsWithHandle, additionally returning the total row
-    * count (known driver-side from the per-partition counts — callers
-    * need no extra count() job over the corpus).
+  /** As assignDocIds, additionally returning the sorted intermediate
+    * (for callers that want to re-derive lineage) and the total row
+    * count — known driver-side from the per-partition counts, so
+    * callers need no extra count() job over the corpus.
     */
   def assignDocIdsCounted(df: DataFrame, keyCols: Seq[String], parts: Int,
       base: Long = 0L): (DataFrame, DataFrame, Long) = {
