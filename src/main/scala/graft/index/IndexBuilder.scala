@@ -119,10 +119,14 @@ object IndexBuilder {
   def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame =
     assignDocIdsCounted(df, keyCols, parts, base)._1
 
-  /** Returns (docs-with-ids, sorted-intermediate handle). The sorted
-    * intermediate is NOT cached: `.rdd` freezes ONE physical plan (and
-    * thus one partitioning — two separate Dataset jobs could be
-    * re-planned differently by AQE, desynchronizing the count and
+  /** As assignDocIds, additionally returning the sorted intermediate
+    * (for callers that want to re-derive lineage) and the total row
+    * count — known driver-side from the per-partition counts, so
+    * callers need no extra count() job over the corpus.
+    *
+    * The sorted intermediate is NOT cached: `toRdd` freezes ONE physical
+    * plan (and thus one partitioning — two separate Dataset jobs could
+    * be re-planned differently by AQE, desynchronizing the count and
     * assignment passes), the per-partition count job and the
     * id-assignment job then share the range shuffle's map output
     * (Spark reuses completed shuffle stages), and the only extra cost
@@ -131,11 +135,6 @@ object IndexBuilder {
     * is what bounds the build at high thread counts (memory bandwidth,
     * not cores). This is the one sanctioned RDD drop: genuinely
     * per-partition imperative id assignment.
-    */
-  /** As assignDocIds, additionally returning the sorted intermediate
-    * (for callers that want to re-derive lineage) and the total row
-    * count — known driver-side from the per-partition counts, so
-    * callers need no extra count() job over the corpus.
     */
   def assignDocIdsCounted(df: DataFrame, keyCols: Seq[String], parts: Int,
       base: Long = 0L): (DataFrame, DataFrame, Long) = {

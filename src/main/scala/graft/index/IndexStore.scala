@@ -189,29 +189,38 @@ object IndexStore {
     val p = Paths.get(dir, "_deletes")
     if (!Files.exists(p)) None
     else {
-      val sub = Files.list(p).iterator()
+      val listing = Files.list(p)
       var dirs = List.empty[String]
-      while (sub.hasNext) {
-        val d = sub.next()
-        val name = d.getFileName.toString
-        val committed = name.startsWith("epoch=") &&
-          scala.util.Try(name.stripPrefix("epoch=").toInt).toOption.exists(committedEpochs)
-        if (Files.isDirectory(d) && committed) dirs ::= d.toString
-      }
+      try {
+        val sub = listing.iterator()
+        while (sub.hasNext) {
+          val d = sub.next()
+          val name = d.getFileName.toString
+          val committed = name.startsWith("epoch=") &&
+            scala.util.Try(name.stripPrefix("epoch=").toInt).toOption.exists(committedEpochs)
+          if (Files.isDirectory(d) && committed) dirs ::= d.toString
+        }
+      } finally listing.close()
       if (dirs.isEmpty) None
       else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _).select("docId").distinct())
+    }
+  }
+
+  /** Recursively delete a directory tree, closing the walk stream (it
+    * holds open directory handles — leaking one per call).
+    */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
+      finally walk.close()
     }
   }
 
   /** Drop the index: delete the directory tree — the analogue of the
     * reference's bucket deletion (service.rs:78-112).
     */
-  def drop(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(x => Files.delete(x))
-  }
+  def drop(dir: String): Unit = deleteTree(Paths.get(dir))
 
   def lineage(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/_lineage")
@@ -353,12 +362,8 @@ object IndexStore {
       EpochMeta(mergedEpoch, segName, liveDocs, 0L, docIdEnd, f,
         newFieldTokens.getOrElse(f, 0L)))
     writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, cps)
-    val delDir = Paths.get(dir, "_deletes")
-    if (Files.exists(delDir)) {
-      // tombstones are absorbed into the merged segment
-      Files.walk(delDir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    // tombstones are absorbed into the merged segment
+    deleteTree(Paths.get(dir, "_deletes"))
     idx.unpersist()
   }
 }

@@ -121,9 +121,21 @@ object Multimodal {
 
   /** Decode one payload. PNG: verify signature, walk to IHDR, check its
     * CRC32, map color type to channel count. WAV: verify RIFF/WAVE/fmt,
-    * read channels/rate/bits. Unknown bytes → format 'unknown'.
+    * read channels/rate/bits. Unknown bytes → format 'unknown'; a
+    * payload that LOOKS like a known format but fails structural
+    * validation (truncated IHDR, stale CRC, bad color type) degrades to
+    * 'unknown' too — one corrupt row must not abort a corpus-sized
+    * decode job. `strict = true` re-raises parse failures instead (for
+    * callers that want corruption to be loud, e.g. ingest validation).
     */
-  def decodeOne(id: Long, bytes: Array[Byte]): MediaDecoded = {
+  def decodeOne(id: Long, bytes: Array[Byte], strict: Boolean = false): MediaDecoded =
+    try decodeOneStrict(id, bytes)
+    catch {
+      case e @ (_: IllegalArgumentException | _: IndexOutOfBoundsException) =>
+        if (strict) throw e else MediaDecoded(id, "unknown", 0L, 0L, 0L, 0L, 0L)
+    }
+
+  private def decodeOneStrict(id: Long, bytes: Array[Byte]): MediaDecoded = {
     if (bytes.length >= 33 && PngSig.indices.forall(i => bytes(i) == PngSig(i))) {
       val len = be32At(bytes, 8)
       val tpe = new String(bytes, 12, 4, "US-ASCII")
@@ -149,6 +161,8 @@ object Multimodal {
 
   /** Batched real decode over a binary column: one decoder pass per
     * partition (the shape a native codec plugs into at scale).
+    * Undecodable payloads degrade to format 'unknown' (lenient
+    * decodeOne) so one corrupt row can't abort the job.
     */
   def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

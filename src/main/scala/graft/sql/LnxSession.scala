@@ -345,13 +345,16 @@ final class LnxSession(val spark: SparkSession) {
     val scorePreds = s.where.collect { case sp: ScorePred => sp }
     val limit = s.limit.getOrElse(SearchDefaults.DefaultLimit) // default 1000 (query.rs:15-17)
 
-    // will the final order be by score? (drives the pre-join top-k)
-    val aliasTargets: Map[String, String] = s.cols.collect {
+    // ONE alias-resolution map (SELECT alias -> underlying column)
+    // shared by the pre-join top-k gate and the ORDER BY resolution —
+    // two copies would invite drift between the gate and the ordering
+    val aliasTarget: Map[String, String] = s.cols.collect {
       case NamedCol(n, Some(a)) => a -> n
       case ScoreCol(Some(a)) => a -> "score"
     }.toMap
+    // will the final order be by score? (drives the pre-join top-k)
     val orderIsScore = s.orderBy match {
-      case Some((n, asc)) => !asc && aliasTargets.getOrElse(n, n) == "score"
+      case Some((n, asc)) => !asc && aliasTarget.getOrElse(n, n) == "score"
       case None => searches.nonEmpty
     }
 
@@ -380,10 +383,6 @@ final class LnxSession(val spark: SparkSession) {
     val filtered = colPreds.foldLeft(base)((df, p) => df.filter(colFilter(p, params, t)))
 
     // ORDER BY may reference a SELECT alias (e.g. score() AS s)
-    val aliasTarget: Map[String, String] = s.cols.collect {
-      case NamedCol(n, Some(a)) => a -> n
-      case ScoreCol(Some(a)) => a -> "score"
-    }.toMap
     val resolvedOrder = s.orderBy.map { case (n, asc) => (aliasTarget.getOrElse(n, n), asc) }
     val ordered = resolvedOrder match {
       case Some(("score", asc)) =>

@@ -30,7 +30,11 @@ class MultimodalSpec extends AnyFunSuite {
     val good = Multimodal.pngBytes(100, 200)
     val bad = good.clone()
     bad(17) = (bad(17) ^ 0x40).toByte // flip a width bit, CRC now stale
-    intercept[IllegalArgumentException](Multimodal.decodeOne(1L, bad))
+    // strict mode: corruption is loud (ingest validation)
+    intercept[IllegalArgumentException](Multimodal.decodeOne(1L, bad, strict = true))
+    // default (job-safe) mode: one corrupt row degrades to 'unknown'
+    // instead of aborting a corpus-sized decode
+    assert(Multimodal.decodeOne(1L, bad).format === "unknown")
   }
 
   test("unknown payloads classify as unknown, not as a crash") {
