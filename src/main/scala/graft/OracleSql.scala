@@ -56,6 +56,35 @@ object OracleSql {
        |$scorer
        |${topK(k, 1)}""".stripMargin
 
+  /** Scaffold over a RAW-tokenized column: each document contributes
+    * its column value as ONE un-analyzed token (tantivy raw tokenizer;
+    * apis/mod.rs:211-213) — tf is 1, doc length is 1 token, and the
+    * fieldnorm pipeline quantizes exactly like any other field. Empty /
+    * NULL / over-long values index nothing (analyze.Tokenizers).
+    */
+  def scaffoldRaw(rawCol: String): String = {
+    val nid = Fieldnorm.encodeSql("len", duck = true)
+    val dnorm = Fieldnorm.decodeSql("nid", duck = true)
+    s"""tok AS (SELECT doc_id, $rawCol AS term FROM documents
+       |        WHERE $rawCol IS NOT NULL AND $rawCol <> '' AND length($rawCol) <= 255),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1),
+       |nrm AS (SELECT doc_id, $dnorm AS dnorm FROM (SELECT doc_id, $nid AS nid FROM dl)),
+       |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |              (SELECT sum(len) FROM dl)::DOUBLE AS tot),
+       |dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)""".stripMargin
+  }
+
+  /** fts on a raw-tokenized column = BM25-scored exact-value match
+    * (the query text is tokenized with the column's tokenizer, i.e.
+    * kept whole).
+    */
+  def ftsRaw(rawCol: String, value: String, k: Int): String =
+    s"""WITH ${scaffoldRaw(rawCol)},
+       |${qtValues(Seq((value, 1.0, 0)))},
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
+
   /** Prefix query: dictionary expansion LIKE 'p%', cap 1024 by term order
     * (mirrors QueryEngine.prefixExpand / SearchDefaults.MaxExpansions).
     */

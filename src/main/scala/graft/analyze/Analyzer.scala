@@ -93,3 +93,52 @@ object Analyzer {
     s"list_filter(regexp_split_to_array(lower(regexp_replace($col, '([a-z0-9])([A-Z])', " +
       raw"'\1 \2', 'g')), '[^a-z0-9]+'), t -> t <> '' AND length(t) <= $MaxTokenLen)"
 }
+
+/** Per-column tokenizer registry — the engine-side analogue of the
+  * reference's named-tokenizer DDL surface: a column declared
+  * `WITH (tokenizers = (col = 'name'))` is indexed with that tokenizer,
+  * and "functions will tokenize the input query text with the same
+  * tokenizer as is specified for the given column"
+  * (lnx-server/src/apis/mod.rs:211-213; parse shape lnx-query/src/sql.rs:110).
+  *
+  * Registered names:
+  *  - `default` / `simple`: the code-aware analyzer (Analyzer.tokenize) —
+  *    tantivy's default pipeline + camelCase splitting.
+  *  - `raw`: the column value is indexed as ONE un-analyzed token (no
+  *    lowercasing, no splitting — tantivy's raw tokenizer), so
+  *    `fts(rawCol, 'Exact Value')` is an exact-value match. Empty/null
+  *    values index nothing; values beyond MaxRawLen are dropped (term-
+  *    dictionary sanity cap, the raw analogue of RemoveLongFilter).
+  *  - `whitespace`: split on whitespace runs only — no lowercasing, no
+  *    camelCase splitting (tantivy's whitespace tokenizer).
+  *
+  * Unknown names are rejected at CREATE TABLE instead of silently
+  * falling back to the default analyzer.
+  */
+object Tokenizers {
+  final val Default = "default"
+  final val MaxRawLen = 255
+
+  val known: Set[String] = Set("default", "simple", "raw", "whitespace")
+  def isKnown(name: String): Boolean = known.contains(name)
+
+  def tokenize(name: String, s: String): Array[String] = name match {
+    case "raw" =>
+      if (s.isEmpty || s.length > MaxRawLen) Array.empty else Array(s)
+    case "whitespace" =>
+      s.split("\\s+").filter(t => t.nonEmpty && t.length <= Analyzer.MaxTokenLen)
+    case _ => Analyzer.tokenize(s)
+  }
+
+  /** (token -> tf) and total token count with the named tokenizer. */
+  def tokenCounts(name: String, s: String): (collection.Map[String, Int], Int) = name match {
+    case "default" | "simple" => Analyzer.tokenCounts(s) // hot path: single-pass scanner
+    case other =>
+      val toks = tokenize(other, s)
+      val m = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i < toks.length) { m.merge(toks(i), 1, (a, b) => a + b); i += 1 }
+      import scala.jdk.CollectionConverters._
+      (m.asScala.map { case (k, v) => (k, v.intValue) }, toks.length)
+  }
+}

@@ -32,7 +32,17 @@ final case class IndexConfig(
       * (README.md:28 — "sacrifices indexing performance" for the 30x
       * query path). Off: the dictionary builds lazily at first query.
       */
-    fastFuzzy: Boolean = false)
+    fastFuzzy: Boolean = false,
+    /** Per-field tokenizer names (the DDL's `WITH (tokenizers = ...)`,
+      * sql.rs:110; registry semantics in analyze.Tokenizers). Fields
+      * absent from the map use the default code-aware analyzer. Query
+      * text is tokenized with the SAME tokenizer as the queried column
+      * (apis/mod.rs:211-213) — QueryEngine.tokenizeQuery reads this map.
+      */
+    tokenizers: Map[String, String] = Map.empty) {
+  def tokenizerOf(field: String): String =
+    tokenizers.getOrElse(field, graft.analyze.Tokenizers.Default)
+}
 
 /** Encoded posting list for one (field, term, shard). */
 final case class PostingRow(
@@ -189,6 +199,9 @@ object IndexBuilder {
     */
   private def partialPostings(docs: DataFrame, config: IndexConfig): Dataset[PartialRow] = {
     val fields = config.fields
+    // per-field tokenizer names resolved here (plain strings: the task
+    // closure captures names, not the registry objects)
+    val fieldTokenizers: Array[String] = fields.map(config.tokenizerOf).toArray
     val shardDocs = config.shardDocs
     val cols = col("docId") +: fields.map(col)
     val projected = docs.select(cols: _*)
@@ -230,7 +243,7 @@ object IndexBuilder {
         var fi = 0
         while (fi < fields.length) {
           val text = if (r.isNullAt(fi + 1)) "" else r.getUTF8String(fi + 1).toString
-          val (counts, len) = Analyzer.tokenCounts(text)
+          val (counts, len) = graft.analyze.Tokenizers.tokenCounts(fieldTokenizers(fi), text)
           val norm = Fieldnorm.encode(len.toLong)
           val field = fields(fi)
           counts.foreach { case (t, tf) =>

@@ -35,7 +35,8 @@ object IndexStore {
   final case class LineageRow(epoch: Int, partitionId: Int, postingRows: Long,
       postingDocs: Long, tokens: Long)
   final case class ConfigRow(keyCols: Seq[String], fields: Seq[String], shardDocs: Int,
-      buildPartitions: Int, fastFuzzy: Boolean = false)
+      buildPartitions: Int, fastFuzzy: Boolean = false,
+      tokenizers: Map[String, String] = Map.empty)
 
   private def latestPath(dir: String) = Paths.get(dir, "_manifest", "LATEST")
 
@@ -62,7 +63,7 @@ object IndexStore {
     spark.createDataset(epochs)(Encoders.product[EpochMeta])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/epochs.parquet")
     spark.createDataset(Seq(ConfigRow(config.keyCols, config.fields, config.shardDocs,
-      config.buildPartitions, config.fastFuzzy)))(Encoders.product[ConfigRow])
+      config.buildPartitions, config.fastFuzzy, config.tokenizers)))(Encoders.product[ConfigRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
     spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
@@ -75,9 +76,15 @@ object IndexStore {
     val md = manifestDir(dir, v)
     val epochs = spark.read.parquet(s"$md/epochs.parquet")
       .as(Encoders.product[EpochMeta]).collect().toSeq.sortBy(e => (e.epoch, e.field))
-    val c = spark.read.parquet(s"$md/config.parquet")
-      .as(Encoders.product[ConfigRow]).collect().head
-    val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions, c.fastFuzzy)
+    // manifests written before the tokenizers column existed read as
+    // default-analyzer-everywhere (the old behavior)
+    val rawConf = spark.read.parquet(s"$md/config.parquet")
+    val confDf =
+      if (rawConf.columns.contains("tokenizers")) rawConf
+      else rawConf.withColumn("tokenizers", typedLit(Map.empty[String, String]))
+    val c = confDf.as(Encoders.product[ConfigRow]).collect().head
+    val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions, c.fastFuzzy,
+      c.tokenizers)
     val cps = spark.read.parquet(s"$md/checkpoints.parquet")
       .as(Encoders.product[CheckpointRow]).collect().toSeq.sortBy(_.epoch)
     (epochs, config, cps)

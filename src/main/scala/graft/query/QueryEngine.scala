@@ -235,7 +235,8 @@ final class QueryEngine(val index: BuiltIndex) {
   def seedTerms(field: String, docId: Long, topTerms: Int): Seq[String] = {
     val rows = index.docs.filter(col("docId") === docId).select(col(field)).collect()
     if (rows.isEmpty) return Nil
-    val (counts, _) = Analyzer.tokenCounts(Option(rows(0).getString(0)).getOrElse(""))
+    val (counts, _) = graft.analyze.Tokenizers.tokenCounts(
+      index.config.tokenizerOf(field), Option(rows(0).getString(0)).getOrElse(""))
     val dfs = dfLookup(counts.keys.map(t => (field, t)).toSeq)
     counts.toSeq
       .flatMap { case (t, tf) =>
@@ -285,8 +286,12 @@ final class QueryEngine(val index: BuiltIndex) {
     val terms = clauses.zipWithIndex.flatMap { case (c, g) =>
       c match {
         case Fts(field, query, _) =>
-          val toks = tokenizeQuery(query)
-          val (prefixToks, exactToks) = toks.partition(_.endsWith("*"))
+          val toks = tokenizeQuery(field, query)
+          // raw fields have no prefix-marker semantics: a trailing '*'
+          // is part of the exact value, never an expansion request
+          val (prefixToks, exactToks) =
+            if (index.config.tokenizerOf(field) == "raw") (Nil, toks)
+            else toks.partition(_.endsWith("*"))
           val exact = dfLookup(exactToks.map(t => (field, t)).distinct)
             .map { case ((f, t), df) => (f, t, df, 1.0) }
           val expanded = prefixExpandAll(field, prefixToks.map(_.dropRight(1)))
@@ -294,7 +299,7 @@ final class QueryEngine(val index: BuiltIndex) {
             .map { case (t, df) => (field, t, df, 1.0) }
           (exact ++ pre).map { case (f, t, df, m) => mkTerm(f, t, df, m, g, n) }
         case FuzzyC(field, query, maxDist, mult, _) =>
-          val toks = tokenizeQuery(query)
+          val toks = tokenizeQuery(field, query)
           val exp = fuzzyExpandAll(field, toks, maxDist)
           toks.flatMap { tok =>
             exp.getOrElse(tok, Nil).map { case (t, df, d) =>
@@ -302,7 +307,7 @@ final class QueryEngine(val index: BuiltIndex) {
             }
           }
         case LevC(field, query, maxDist, _) =>
-          val toks = tokenizeQuery(query)
+          val toks = tokenizeQuery(field, query)
           val exp = fuzzyExpandAll(field, toks, maxDist)
           toks.flatMap { tok =>
             exp.getOrElse(tok, Nil).map { case (t, df, _) => mkTerm(field, t, df, 1.0, g, n) }
@@ -310,7 +315,7 @@ final class QueryEngine(val index: BuiltIndex) {
         case RegexC(field, pattern, _) =>
           regexExpand(field, pattern).map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
         case FastFuzzy(field, query, _) =>
-          val raw = tokenizeQuery(query)
+          val raw = tokenizeQuery(field, query)
           val corrected = correctAll(field, raw)
           val toks = raw.map(t => corrected.getOrElse(t, t)).distinct
           dfLookup(toks.map(t => (field, t))).map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }
@@ -328,14 +333,20 @@ final class QueryEngine(val index: BuiltIndex) {
   private def mkTerm(f: String, t: String, df: Long, mult: Double, g: Int, n: Long): CompiledTerm =
     CompiledTerm(f, t, g, Bm25.weightF32(df, n) * mult.toFloat, Bm25.weightF64(df, n) * mult, df)
 
-  /** Query tokenization: same analyzer as the indexed column
+  /** Query tokenization: same tokenizer as the indexed column
     * (apis/mod.rs:211-213), except a trailing `*` survives as a prefix
-    * marker on its token.
+    * marker on its token. A `raw`-tokenized column yields the whole
+    * query text as ONE un-analyzed token (exact-value match) — no
+    * whitespace splitting and no prefix-marker stripping, so values
+    * legitimately ending in '*' stay exact (compile skips the prefix
+    * partition for raw fields).
     */
-  def tokenizeQuery(q: String): Seq[String] = {
-    q.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { raw =>
+  def tokenizeQuery(field: String, q: String): Seq[String] = {
+    val name = index.config.tokenizerOf(field)
+    if (name == "raw") graft.analyze.Tokenizers.tokenize(name, q).toSeq
+    else q.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { raw =>
       val isPrefix = raw.endsWith("*")
-      val toks = Analyzer.tokenize(if (isPrefix) raw.dropRight(1) else raw)
+      val toks = graft.analyze.Tokenizers.tokenize(name, if (isPrefix) raw.dropRight(1) else raw)
       if (toks.isEmpty) Nil
       else if (isPrefix) toks.init ++ Seq(toks.last + "*")
       else toks.toSeq

@@ -88,8 +88,10 @@ final class LnxSession(val spark: SparkSession) {
     case null => null
     case s: String if tpe == "ip" => canonIp(s)
     case l: Long if tpe == "uint64" =>
-      // parser literals arrive as doubles, so > 2^53 loses precision
-      // before this check; the storable range is [0, Long.MaxValue]
+      // integer literals are Long-backed end-to-end (ILit), so values
+      // up to 2^63-1 arrive exact and this boundary actually bites;
+      // the storable range is [0, Long.MaxValue] (no unsigned 64-bit
+      // Spark type; larger literals are rejected at parse)
       if (l < 0) throw ParseException(s"uint64 out of range: $l", -1) else l
     case l: Long if tpe == "uint32" =>
       if (l < 0 || l > 0xFFFFFFFFL) throw ParseException(s"uint32 out of range: $l", -1) else l
@@ -178,14 +180,26 @@ final class LnxSession(val spark: SparkSession) {
     })
     val pk = ct.columns.filter(_.primaryKey).map(_.name)
     require(pk.nonEmpty, "a primary key column is required")
-    // indexed fields: text columns whose tokenizer isn't 'raw' (sql.rs:110)
+    // every scalar text column is indexed — including `raw`-tokenized
+    // ones, which index the value as a single un-analyzed token so
+    // fts(rawCol, 'exact value') exact-matches (apis/mod.rs:211-213,
+    // parse shape sql.rs:110). Tokenizer names must be registered and
+    // must target text columns; unknown names are an error, not a
+    // silent fallback.
     val fields = ct.columns
       .filter(c => Set("text", "string").contains(c.tpe) && !c.isArray)
-      .filter(c => ct.tokenizers.getOrElse(c.name, "default") != "raw")
       .map(_.name)
+    ct.tokenizers.foreach { case (colName, tokName) =>
+      if (!fields.contains(colName))
+        throw ParseException(s"tokenizer declared for non-text column $colName", -1)
+      if (!graft.analyze.Tokenizers.isKnown(tokName))
+        throw ParseException(s"unknown tokenizer '$tokName' for column $colName", -1)
+    }
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     tables.put(ct.table, TableState(empty,
-      IndexConfig(pk, fields, 4096, spark.conf.get("spark.sql.shuffle.partitions", "8").toInt),
+      IndexConfig(pk, fields, 4096,
+        spark.conf.get("spark.sql.shuffle.partitions", "8").toInt,
+        tokenizers = ct.tokenizers),
       ct.columns, None))
     status(s"created ${ct.table}")
   }
@@ -197,6 +211,16 @@ final class LnxSession(val spark: SparkSession) {
       case TimestampType => java.sql.Timestamp.valueOf(s)
       case DateType => java.sql.Date.valueOf(s)
       case _ => s
+    }
+    case ILit(v) => dt match {
+      case LongType => v // exact: no double round-trip for 64-bit values
+      case IntegerType =>
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw ParseException(s"integer out of int32 range: $v", -1)
+        v.toInt
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case _ => v
     }
     case NLit(v) => dt match {
       case LongType => v.toLong

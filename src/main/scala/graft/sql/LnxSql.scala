@@ -23,7 +23,15 @@ object LnxSql {
   // ---------- AST ----------
   sealed trait Lit
   final case class SLit(v: String) extends Lit
+  /** Decimal literal (has a '.'): double semantics. */
   final case class NLit(v: Double) extends Lit
+  /** Integer literal: Long-backed so bigint/uint64 values above 2^53
+    * keep exact precision (a Double round-trip silently stores
+    * 9007199254740993 as ...992). Values outside Long range are
+    * rejected at parse — the uint64 storable range is [0, 2^63-1]
+    * (apis/mod.rs:168-169; Spark has no unsigned 64-bit type).
+    */
+  final case class ILit(v: Long) extends Lit
   final case class BLit(v: Boolean) extends Lit
   case object NullLit extends Lit
   final case class Param(n: Int) extends Lit
@@ -143,7 +151,13 @@ object LnxSql {
     }
     def literal(): Lit = next() match {
       case Str(s) => SLit(s)
-      case Num(s) => NLit(s.toDouble)
+      case Num(s) =>
+        if (s.contains('.')) NLit(s.toDouble)
+        else try ILit(s.toLong)
+        catch {
+          case _: NumberFormatException =>
+            throw ParseException(s"integer literal out of range: $s", pos)
+        }
       case Par(i) => Param(i)
       case Ident(s) if s.equalsIgnoreCase("array") && isPunct("[") =>
         eatPunct("[")
@@ -227,6 +241,7 @@ object LnxSql {
       Some((nm, asc))
     } else None
     val limit = if (p.tryKw("limit")) Some(p.literal() match {
+      case ILit(v) => v.toInt
       case NLit(v) => v.toInt
       case _ => throw ParseException("LIMIT expects a number", p.pos)
     }) else None
@@ -256,6 +271,7 @@ object LnxSql {
           p.next()
           p.literal() match {
             case NLit(v) => Some((op, v))
+            case ILit(v) => Some((op, v.toDouble))
             case _ => throw ParseException("search comparison expects a number", p.pos)
           }
         case _ => None
@@ -269,6 +285,7 @@ object LnxSql {
       }
       p.literal() match {
         case NLit(v) => ScorePred(op, v)
+        case ILit(v) => ScorePred(op, v.toDouble)
         case _ => throw ParseException("score() comparison expects a number", p.pos)
       }
     } else {

@@ -16,6 +16,27 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.tokenize("HTTPServer2 ok").toSeq === Seq("httpserver2", "ok"))
   }
 
+  test("tokenizer registry: raw and whitespace semantics") {
+    import graft.analyze.Tokenizers
+    // raw: whole value, un-analyzed (no lowercase, no split)
+    assert(Tokenizers.tokenize("raw", "Binary Search!").toSeq === Seq("Binary Search!"))
+    assert(Tokenizers.tokenize("raw", "").toSeq === Seq.empty)
+    assert(Tokenizers.tokenize("raw", "x" * 256).toSeq === Seq.empty) // MaxRawLen cap
+    assert(Tokenizers.tokenize("raw", "x" * 255).toSeq === Seq("x" * 255))
+    // whitespace: split on \s+ only, case preserved, no camelCase split
+    assert(Tokenizers.tokenize("whitespace", "FooBar  baz\tQux").toSeq ===
+      Seq("FooBar", "baz", "Qux"))
+    // default/simple delegate to the code-aware analyzer
+    assert(Tokenizers.tokenize("default", "FooBar baz").toSeq ===
+      Analyzer.tokenize("FooBar baz").toSeq)
+    assert(Tokenizers.tokenize("simple", "FooBar baz").toSeq ===
+      Analyzer.tokenize("FooBar baz").toSeq)
+    // counts: raw tf is 1 per doc value, len 1
+    val (counts, len) = Tokenizers.tokenCounts("raw", "A B")
+    assert(counts === Map("A B" -> 1) && len === 1)
+    assert(!Tokenizers.isKnown("nope") && Tokenizers.isKnown("raw"))
+  }
+
   test("Scala and Spark Column tokenizers agree") {
     val spark = TestSpark.spark
     import spark.implicits._

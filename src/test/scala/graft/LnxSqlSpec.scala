@@ -26,7 +26,7 @@ class LnxSqlSpec extends AnyFunSuite {
     val Seq(i: Insert) =
       LnxSql.parse("INSERT INTO foobar (foo, bar) VALUES ('one', 1), ($1, $2)")
     assert(i.cols === Seq("foo", "bar"))
-    assert(i.rows === Seq(Seq(SLit("one"), NLit(1.0)), Seq(Param(1), Param(2))))
+    assert(i.rows === Seq(Seq(SLit("one"), ILit(1L)), Seq(Param(1), Param(2))))
   }
 
   test("parses DELETE (sql.rs:108)") {
@@ -217,6 +217,71 @@ class LnxSqlSpec extends AnyFunSuite {
     intercept[ParseException](
       sess.execute("INSERT INTO us (id, a, b) VALUES (3, 0, 4294967296)"))
     assert(sess.execute("SELECT id FROM us").count() === 1)
+  }
+
+  test("raw tokenizer: column indexed as ONE exact token; query tokenized with the column's tokenizer") {
+    val sess = new LnxSession(spark)
+    // the reference's parse-test DDL shape (sql.rs:110)
+    sess.execute("CREATE TABLE rt (id bigint PRIMARY KEY, name text, tag text) " +
+      "WITH (tokenizers = (tag = 'raw'))")
+    sess.execute("INSERT INTO rt (id, name, tag) VALUES " +
+      "(1, 'Binary Search', 'Binary Search'), (2, 'binary', 'binary'), " +
+      "(3, 'search trees', 'Binary')")
+    // raw: the whole value is one un-analyzed token -> exact-value match
+    assert(sess.execute("SELECT id FROM rt WHERE fts(tag, 'Binary Search')")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // no analysis: sub-tokens and case variants do NOT match
+    assert(sess.execute("SELECT id FROM rt WHERE fts(tag, 'binary search')").count() === 0)
+    assert(sess.execute("SELECT id FROM rt WHERE fts(tag, 'Binary')")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(sess.execute("SELECT id FROM rt WHERE fts(tag, 'Search')").count() === 0)
+    // the default-analyzed column of the SAME table still splits + lowercases
+    assert(sess.execute("SELECT id FROM rt WHERE fts(name, 'binary')")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // unknown tokenizer names / non-text targets are rejected at CREATE
+    intercept[ParseException](sess.execute(
+      "CREATE TABLE badtok (id bigint PRIMARY KEY, t text) WITH (tokenizers = (t = 'nope'))"))
+    intercept[ParseException](sess.execute(
+      "CREATE TABLE badtok2 (id bigint PRIMARY KEY, n bigint, t text) WITH (tokenizers = (n = 'raw'))"))
+  }
+
+  test("whitespace tokenizer: splits on whitespace only, no lowercasing, no camelCase split") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE wt (id bigint PRIMARY KEY, t text) " +
+      "WITH (tokenizers = (t = 'whitespace'))")
+    sess.execute("INSERT INTO wt (id, t) VALUES (1, 'FooBar baz'), (2, 'foobar BAZ')")
+    assert(sess.execute("SELECT id FROM wt WHERE fts(t, 'FooBar')")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(sess.execute("SELECT id FROM wt WHERE fts(t, 'foobar')")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(sess.execute("SELECT id FROM wt WHERE fts(t, 'baz')")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // camelCase fragment is NOT a token under whitespace
+    assert(sess.execute("SELECT id FROM wt WHERE fts(t, 'Bar')").count() === 0)
+  }
+
+  test("integer literals keep 64-bit precision (no double round-trip)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE big (id bigint PRIMARY KEY, a bigint, b uint64)")
+    // 2^53 + 1 and Long.MaxValue are NOT representable as doubles; a
+    // Double-backed literal would silently store ...992 / ...5808
+    sess.execute("INSERT INTO big (id, a, b) VALUES " +
+      "(1, 9007199254740993, 9223372036854775807), (2, -9007199254740993, 0)")
+    val rows = sess.execute("SELECT id, a, b FROM big ORDER BY id").collect()
+    assert(rows(0).getLong(1) === 9007199254740993L)
+    assert(rows(0).getLong(2) === Long.MaxValue)
+    assert(rows(1).getLong(1) === -9007199254740993L)
+    // exact predicate on the stored exact value
+    assert(sess.execute("SELECT id FROM big WHERE a = 9007199254740993")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(sess.execute("SELECT id FROM big WHERE a = 9007199254740992").count() === 0)
+    // beyond Long range: rejected at parse, not wrapped
+    intercept[ParseException](
+      sess.execute("INSERT INTO big (id, a, b) VALUES (3, 0, 18446744073709551615)"))
+    // decimals still take the double path
+    sess.execute("CREATE TABLE dec (id bigint PRIMARY KEY, r float64)")
+    sess.execute("INSERT INTO dec (id, r) VALUES (1, 4.25)")
+    assert(sess.execute("SELECT r FROM dec").collect()(0).getDouble(0) === 4.25)
   }
 
   test("NDJSON ingest: spark.read.json into a registered table (S3 decode path)") {

@@ -65,7 +65,7 @@ class SearchSpec extends AnyFunSuite {
 
   test("fts top-k is rank- and score-identical to the analytic oracle") {
     for (q <- Seq("binary search", "fn return license", "merge segment posting list", "checkpoint epoch")) {
-      val terms = engine.tokenizeQuery(q)
+      val terms = engine.tokenizeQuery("content", q)
       val expected = BruteOracle.topK(BruteOracle.ftsScores(rawDocs, terms), 10)
       val got = engineTopK(q, 10)
       assert(got === expected, s"query '$q'")
