@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CodeCorpus
+import graft.index.{IndexConfig, IndexStore}
+import graft.query._
+
+/** Persisted-path A/B at scale: the same queries through
+  * IndexStore.load with docs cached (interactive mode) vs NOT cached
+  * (scale mode — stored fields stream from the docId-sorted segment
+  * parquet, top-k lookups pruned via QueryEngine.lookupDocs). The scale
+  * mode must stay within ~1.5x of the cached mode: that is what makes
+  * it safe as the default entry at corpus sizes where the doc store
+  * cannot fit executor memory.
+  *
+  * Usage: runMain graft.StoreBench [nDocs] — prints one JSON line.
+  */
+object StoreBench {
+
+  private def bestOf3(body: => Unit): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 8000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val localDir = try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
+      "/dev/shm/graft-tmp"
+    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = CodeCorpus.generate(spark, nDocs, cpus * 4)
+    val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
+      shardDocs = 65536, buildPartitions = cpus * 4)
+    val dir = java.nio.file.Files.createTempDirectory("graftstorebench").toString
+    val (_, tCreate) = Bench.time {
+      IndexStore.create(corpus, config, dir).unpersist()
+    }
+
+    val shapes = Seq(
+      "hot" -> Seq(Fts("content", "fn return license")),
+      "mixed" -> Seq(Fts("content", "binary search merge segment")),
+      "skew" -> Seq(Fts("content", "rareAuditBeacon license fn")),
+      "conj_skew" -> Seq(Fts("content", "rareAuditBeacon"), Fts("content", "license fn")))
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    results("create_store") = tCreate
+
+    // one query = top-k scoring + stored-field fetch of the k winners
+    def runQuery(e: QueryEngine, clauses: Seq[SearchClause]): Unit = {
+      val top = e.searchF32(clauses, 10).collect()
+      e.lookupDocs(top.map(_.getLong(0)).toSeq, Seq("repo", "path")).collect()
+    }
+
+    for (cache <- Seq(true, false)) {
+      val idx = IndexStore.load(spark, dir, cacheDocs = cache)
+      val e = new QueryEngine(idx)
+      val tag = if (cache) "cached" else "uncached"
+      shapes.foreach { case (_, clauses) => runQuery(e, clauses) } // warm postings cache + codegen
+      shapes.foreach { case (name, clauses) =>
+        results(s"${name}_$tag") = bestOf3(runQuery(e, clauses))
+      }
+      idx.unpersist()
+    }
+
+    val ratios = shapes.map { case (name, _) =>
+      results(s"${name}_uncached") / math.max(1e-9, results(s"${name}_cached"))
+    }
+    results("uncached_over_cached_max_ratio") = ratios.max
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"store_bench","nDocs":$nDocs,"cpus":$cpus,"queries":$qs}""")
+    IndexStore.drop(dir)
+    spark.stop()
+  }
+}

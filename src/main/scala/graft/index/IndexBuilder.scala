@@ -103,8 +103,16 @@ final class BuiltIndex(
   def avgFieldnormF64(field: String): Double =
     fieldTokens.getOrElse(field, 0L).toDouble / numDocs.toDouble
 
-  def persist(): this.type = {
-    docs.persist(StorageLevel.MEMORY_AND_DISK)
+  /** @param cacheDocs pin the stored-fields frame too. True is right
+    *   for the in-memory session analogue; the persisted-segment path
+    *   (IndexStore.load) passes FALSE at scale so stored fields stream
+    *   from the docId-sorted segment parquet (pruned reads) and only
+    *   postings/termstats — the rough analogue of tantivy's mmap'd
+    *   searcher state — occupy executor memory. At 100 TB the doc store
+    *   does not fit; the index working set does.
+    */
+  def persist(cacheDocs: Boolean = true): this.type = {
+    if (cacheDocs) docs.persist(StorageLevel.MEMORY_AND_DISK)
     postings.persist(StorageLevel.MEMORY_AND_DISK)
     termStats.persist(StorageLevel.MEMORY_AND_DISK)
     symspell.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))

@@ -58,7 +58,8 @@ object IndexStore {
   }
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-      epochs: Seq[EpochMeta], config: IndexConfig, checkpoints: Seq[CheckpointRow]): Unit = {
+      epochs: Seq[EpochMeta], config: IndexConfig, checkpoints: Seq[CheckpointRow],
+      kv: Map[String, String] = Map.empty): Unit = {
     val md = manifestDir(dir, v)
     spark.createDataset(epochs)(Encoders.product[EpochMeta])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/epochs.parquet")
@@ -67,7 +68,46 @@ object IndexStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
     spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
+    if (kv.nonEmpty)
+      spark.createDataset(kv.toSeq)(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+        .toDF("key", "value")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/kv.parquet")
     commitVersion(dir, v)
+  }
+
+  /** Bucket-config KV of the committed manifest (the reference's
+    * tri-state config store, lnx-fs/src/config.rs:44-148): explicit
+    * overrides live here; an absent key reads as its default.
+    */
+  def configKv(spark: SparkSession, dir: String): Map[String, String] = {
+    val v = currentVersion(dir)
+    require(v > 0, s"no committed manifest at $dir")
+    val p = Paths.get(manifestDir(dir, v), "kv.parquet")
+    if (!Files.exists(p)) Map.empty
+    else spark.read.parquet(p.toString).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Tri-state read: Some(override) if set, else the supplied default
+    * (config.rs: `get` falls back to the bucket default when unset).
+    */
+  def configValue(spark: SparkSession, dir: String, key: String,
+      default: Option[String] = None): Option[String] =
+    configKv(spark, dir).get(key).orElse(default)
+
+  /** Update the config KV: apply `set` overrides, remove `unset` keys
+    * (reads of unset keys fall back to defaults), and commit a new
+    * manifest version carrying the unchanged epochs/checkpoints — the
+    * update path the reference exposes as config set/unset
+    * (config.rs:44-148). Versioned like every other manifest change:
+    * a crash before the LATEST swap leaves the old config visible.
+    */
+  def updateConfig(spark: SparkSession, dir: String,
+      set: Map[String, String] = Map.empty, unset: Seq[String] = Nil): Map[String, String] = {
+    val (epochs, config, cps) = readManifest(spark, dir)
+    val kv = (configKv(spark, dir) ++ set) -- unset
+    writeManifest(spark, dir, currentVersion(dir) + 1, epochs, config, cps, kv)
+    kv
   }
 
   def readManifest(spark: SparkSession, dir: String): (Seq[EpochMeta], IndexConfig, Seq[CheckpointRow]) = {
@@ -153,8 +193,14 @@ object IndexStore {
     * tombstones applied. df/avgdl statistics include not-yet-compacted
     * deleted docs — the same semantics as Lucene/tantivy segment
     * deletes before a merge.
+    *
+    * @param cacheDocs false = the SCALE default: stored fields stream
+    *   from the docId-sorted segment parquet (top-k lookups prune to k
+    *   row groups, QueryEngine.lookupDocs) and only postings/termstats
+    *   pin memory. True pins the doc store too — only sane when the
+    *   corpus fits executor memory (interactive small-table sessions).
     */
-  def load(spark: SparkSession, dir: String): BuiltIndex = {
+  def load(spark: SparkSession, dir: String, cacheDocs: Boolean = true): BuiltIndex = {
     val (epochs, config, _) = readManifest(spark, dir)
     val segPaths = epochs.map(_.path).distinct
     val postings = segPaths.map(p => spark.read.parquet(s"$dir/$p/postings.parquet"))
@@ -181,7 +227,7 @@ object IndexStore {
         .reduce(_ unionByName _)
         .groupBy("field", "variant", "term").agg(sum("df").as("df")))
     new BuiltIndex(docs, postings, termStats, numDocs, fieldTokens, config,
-      deletes, symspell).persist()
+      deletes, symspell).persist(cacheDocs)
   }
 
   /** Tombstones of committed epochs only: appendEpoch writes
@@ -280,7 +326,8 @@ object IndexStore {
       EpochMeta(epoch, segName, idx.numDocs, base, base + idx.numDocs, f,
         idx.fieldTokens.getOrElse(f, 0L)))
     val newCps = cps :+ CheckpointRow(epoch, snapshotId, 0L)
-    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, newCps)
+    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, newCps,
+      configKv(spark, dir))
     idx.unpersist()
     true
   }
@@ -297,15 +344,43 @@ object IndexStore {
       bytes: Array[Byte], blockOffset: Array[Int], blockLast: Array[Long],
       dels: Option[Seq[Long]])
 
-  def compact(spark: SparkSession, dir: String): Unit = {
+  /** @param maxSegments bounds one pass (the reference's LSM tiered
+    *   framing, bucket.rs:72-74): the N smallest segments by doc count
+    *   merge, the rest stay untouched, so a single compaction's
+    *   footprint is set by the tier size, not the index size. Tombstones
+    *   targeting docs still physically present in unmerged segments are
+    *   RETAINED (rewritten under the merged epoch); tombstones absorbed
+    *   by the merge disappear. Default = full compaction.
+    */
+  def compact(spark: SparkSession, dir: String, maxSegments: Int = Int.MaxValue): Unit = {
     val (epochs, config, cps) = readManifest(spark, dir)
-    val idx = load(spark, dir)
+    val kv = configKv(spark, dir)
+    val segs = epochs.groupBy(_.epoch).toSeq
+      .map { case (ep, es) => (ep, es.head.path, es.head.numDocs) }
+      .sortBy(_._1)
+    // size-ranked selection: merging the smallest segments first retires
+    // the most per-query segment overhead per byte rewritten
+    val selected =
+      if (maxSegments >= segs.size) segs
+      else segs.sortBy(s => (s._3, s._1)).take(math.max(2, maxSegments))
+    val selectedEpochs = selected.map(_._1).toSet
+    val unselected = segs.filterNot(s => selectedEpochs(s._1))
+
+    val deletes = loadDeletes(spark, dir, epochs.map(_.epoch).toSet)
+    val postingsSel = selected.map(s => spark.read.parquet(s"$dir/${s._2}/postings.parquet"))
+      .reduce(_ unionByName _)
+    val docsSelAll = selected.map(s => spark.read.parquet(s"$dir/${s._2}/docs.parquet"))
+      .reduce(_ unionByName _)
+    val docsSel = deletes match {
+      case Some(d) => docsSelAll.join(d, Seq("docId"), "left_anti")
+      case None => docsSelAll
+    }
     import org.apache.spark.sql.Encoders
     // tombstones join the merge as a per-shard sorted array column — a
     // plain shuffle join keyed on shard, so the delete set stays
     // distributed (a heavy-churn table between compactions would blow
     // a driver-collected Set / task closure)
-    val delByShard = idx.deletes match {
+    val delByShard = deletes match {
       case Some(d) => d
         .select((col("docId") / config.shardDocs).cast("int").as("shard"), col("docId"))
         .groupBy("shard").agg(sort_array(collect_list("docId")).as("dels"))
@@ -317,7 +392,7 @@ object IndexStore {
           org.apache.spark.sql.types.StructField("dels",
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
     }
-    val merged = idx.postings.toDF()
+    val merged = postingsSel
       .select("field", "term", "shard", "bytes", "blockOffset", "blockLast")
       .join(delByShard, Seq("shard"), "left")
       .as(Encoders.product[CompactRow])
@@ -347,30 +422,59 @@ object IndexStore {
       .repartitionByRange(parts, col("field"), col("term"))
       .sortWithinPartitions("field", "term", "shard")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/postings.parquet")
-    idx.docs
+    docsSel
       .repartitionByRange(parts, col("docId"))
       .sortWithinPartitions("docId")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/docs.parquet")
-    val newTermStats = merged.groupBy("field", "term").agg(sum("numDocs").as("df"))
-    newTermStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/termstats.parquet")
+    // dictionary + stats derive from the WRITTEN postings: one merge
+    // computation total instead of re-merging per aggregate
+    val mergedOnDisk = spark.read.parquet(s"$dir/$segName/postings.parquet")
+    mergedOnDisk.groupBy("field", "term").agg(sum("numDocs").as("df"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/termstats.parquet")
     if (config.fastFuzzy)
       graft.query.SymSpellDict.build(spark.read.parquet(s"$dir/$segName/termstats.parquet"))
         .repartitionByRange(math.max(1, parts / 4), col("field"), col("variant"))
         .sortWithinPartitions("field", "variant")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/symspell.parquet")
-    val newFieldTokens = merged.groupBy("field").agg(sum("sumTf").as("t"))
+    val newFieldTokens = mergedOnDisk.groupBy("field").agg(sum("sumTf").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val liveDocs = idx.docs.count()
-    // drop all _deletes (absorbed) by committing a manifest that points
-    // only at the merged segment; old segment dirs become dead data
-    // (GC'able), mirroring dead tablets
-    val docIdEnd = epochs.map(_.docIdEnd).max
-    val newEpochs = config.fields.map(f =>
-      EpochMeta(mergedEpoch, segName, liveDocs, 0L, docIdEnd, f,
-        newFieldTokens.getOrElse(f, 0L)))
-    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, cps)
-    // tombstones are absorbed into the merged segment
-    deleteTree(Paths.get(dir, "_deletes"))
-    idx.unpersist()
+    val liveDocs = spark.read.parquet(s"$dir/$segName/docs.parquet").count()
+    // partial pass: tombstones targeting docs still physically present
+    // in unmerged segments survive, rewritten under the merged epoch
+    // (data before manifest — the dir is orphan until the commit below;
+    // absorbed tombstones simply don't make the cut)
+    val retainedTombstones = unselected.nonEmpty && deletes.nonEmpty && {
+      val docsUnsel = unselected.map(s => spark.read.parquet(s"$dir/${s._2}/docs.parquet"))
+        .reduce(_ unionByName _)
+      val retained = deletes.get.join(docsUnsel.select("docId"), Seq("docId"), "left_semi")
+      retained.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$mergedEpoch")
+      true
+    }
+    // the merged epoch keeps the id-space ceiling of what it merged
+    // (ids are never renumbered); unmerged epochs keep their rows
+    val mergedDocIdEnd = epochs.filter(e => selectedEpochs(e.epoch)).map(_.docIdEnd).max
+    val newEpochs = epochs.filterNot(e => selectedEpochs(e.epoch)) ++
+      config.fields.map(f =>
+        EpochMeta(mergedEpoch, segName, liveDocs, 0L, mergedDocIdEnd, f,
+          newFieldTokens.getOrElse(f, 0L)))
+    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, cps, kv)
+    // GC the pre-merge tombstone dirs: absorbed (full) or rewritten
+    // under the merged epoch (partial). Re-applying a tombstone is
+    // idempotent, so a crash between the commit above and this sweep
+    // is harmless.
+    val delRoot = Paths.get(dir, "_deletes")
+    if (Files.exists(delRoot)) {
+      if (!retainedTombstones) deleteTree(delRoot)
+      else {
+        val listing = Files.list(delRoot)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val d = it.next()
+            if (d.getFileName.toString != s"epoch=$mergedEpoch") deleteTree(d)
+          }
+        } finally listing.close()
+      }
+    }
   }
 }

@@ -146,30 +146,7 @@ final class QueryEngine(val index: BuiltIndex) {
     val spark = index.spark
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cand =
-      if (maxDist <= SymSpell.MaxDistance && index.symspell.nonEmpty) {
-        // SymSpell variant prefilter: complete for distance <= 2, so the
-        // levenshtein only runs on the variant-matched sliver (the
-        // dataflow analogue of tantivy's levenshtein automata). Only
-        // taken when the dictionary is the PERSISTED fast-fuzzy artifact
-        // (variant-range-partitioned -> row-group pruning); against the
-        // lazily-built in-memory dict this is a 20x-bigger scan than the
-        // length-banded term scan below (measured at sf0.1)
-        val pairs = toks.distinct.flatMap(t => SymSpell.deletes(t).iterator.map(v => (t, v)))
-        val vdf = pairs.toDF("tok", "variant")
-        symspellDict
-          .filter(col("field") === field)
-          .join(broadcast(vdf), "variant")
-          .select(col("tok"), col("term"), col("df")).distinct()
-      } else {
-        val tdf = toks.distinct.toDF("tok")
-        index.termStats
-          .filter(col("field") === field)
-          .join(broadcast(tdf),
-            length(col("term")).between(length(col("tok")) - maxDist,
-              length(col("tok")) + maxDist))
-          .select(col("tok"), col("term"), col("df"))
-      }
+    val cand = fuzzyCandidates(field, toks, maxDist)
     val w = Window.partitionBy(col("tok")).orderBy(col("dist").asc, col("term").asc)
     val rows = cand
       .withColumn("dist", levenshtein(col("term"), col("tok")))
@@ -185,6 +162,45 @@ final class QueryEngine(val index: BuiltIndex) {
         .sortBy(t => (t._3, t._1))
         .toSeq
     }
+  }
+
+  /** Candidate (tok, term, df) frame for fuzzy expansion — package-
+    * visible so PlanSpec can assert both branches' join shapes.
+    */
+  private[graft] def fuzzyCandidates(field: String, toks: Seq[String],
+      maxDist: Int): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    if (maxDist <= SymSpell.MaxDistance && index.symspell.nonEmpty) {
+        // SymSpell variant prefilter: complete for distance <= 2, so the
+        // levenshtein only runs on the variant-matched sliver (the
+        // dataflow analogue of tantivy's levenshtein automata). Only
+        // taken when the dictionary is the PERSISTED fast-fuzzy artifact
+        // (variant-range-partitioned -> row-group pruning); against the
+        // lazily-built in-memory dict this is a 20x-bigger scan than the
+        // length-banded term scan below (measured at sf0.1)
+        val pairs = toks.distinct.flatMap(t => SymSpell.deletes(t).iterator.map(v => (t, v)))
+        val vdf = pairs.toDF("tok", "variant")
+        symspellDict
+          .filter(col("field") === field)
+          .join(broadcast(vdf), "variant")
+          .select(col("tok"), col("term"), col("df")).distinct()
+      } else {
+        // length-banded dictionary scan as an EQUI-join: each token
+        // explodes to its admissible term lengths [len-d, len+d], so the
+        // join keys on length(term) and plans as a broadcast HASH join —
+        // the `length(term) BETWEEN length(tok)±d` non-equi form plans
+        // as BroadcastNestedLoopJoin, i.e. a full dictionary re-scan per
+        // token (PlanSpec asserts the shape)
+        val pairs = toks.distinct.flatMap { t =>
+          (math.max(1, t.length - maxDist) to (t.length + maxDist)).map(l => (t, l))
+        }
+        val tdf = pairs.toDF("tok", "len")
+        index.termStats
+          .filter(col("field") === field)
+          .join(broadcast(tdf), length(col("term")) === col("len"))
+          .select(col("tok"), col("term"), col("df"))
+      }
   }
 
   private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
@@ -363,13 +379,26 @@ final class QueryEngine(val index: BuiltIndex) {
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF32
     val scored =
-      if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore)
+      if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore && disjSelective(cq))
         Wand.topK(index, cq, k, deletesDs, wandStats)
       else if (useWand && cq.groups.size > 1 && cq.groups.forall(_.required) && conjSelective(cq))
         Wand.topKConj(index, cq, k, deletesDs, wandStats)
       else Scorer.scoreF32(index, cq, deletesDs)
     Scorer.topK(scored.toDF("docId", "score"), k)
   }
+
+  /** Cost gate for single-group (disjunction) WAND, mirroring
+    * conjSelective: block-max skips happen when at least one term is
+    * selective — its high-idf hits push the top-k threshold above the
+    * dense terms' block maxima (93% of the hot term's blocks skipped on
+    * the rare+hot shape at 2M docs, BENCH.md). A uniformly dense
+    * disjunction (every term hot) never lifts the threshold past any
+    * block max, skips nothing, and pays pure cursor bookkeeping
+    * (measured 0.94x vs exhaustive) — route it to the exhaustive
+    * hash scorer instead.
+    */
+  private def disjSelective(cq: CompiledQuery): Boolean =
+    cq.terms.map(_.df).min * 4 <= index.numDocs
 
   /** Cost gate for conjunction WAND: leapfrog + block-max pays off when
     * at least one required group is selective (the intersection is
@@ -414,6 +443,20 @@ final class QueryEngine(val index: BuiltIndex) {
   def withDocs(scored: DataFrame, docCols: Seq[String]): DataFrame = {
     val cols = docCols.map(col) :+ col("score")
     index.docs.join(broadcast(scored), "docId").select(cols: _*)
+  }
+
+  /** Stored-field lookup for an already-collected top-k docId set via a
+    * pushed-down IN filter. On a persisted segment (docs NOT cached,
+    * IndexStore.load(cacheDocs = false)) the docs parquet is docId-
+    * sorted and range-partitioned, so the scan prunes to the row groups
+    * holding the k ids instead of probing a corpus-wide scan through a
+    * join — the right doc-store access shape when the corpus doesn't
+    * fit memory.
+    */
+  def lookupDocs(ids: Seq[Long], docCols: Seq[String]): DataFrame = {
+    require(ids.size <= 10000, "lookupDocs is for top-k result sets, not bulk reads")
+    index.docs.filter(col("docId").isin(ids: _*))
+      .select((col("docId") +: docCols.map(col)): _*)
   }
 
   /** Hierarchical facet counting over a match set (the `facet` type's

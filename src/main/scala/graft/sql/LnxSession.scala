@@ -126,6 +126,23 @@ final class LnxSession(val spark: SparkSession) {
   def table(name: String): TableState =
     tables.getOrElse(name, throw ParseException(s"unknown table $name", -1))
 
+  /** Attach a persisted IndexStore index as a queryable table — the
+    * SCALE entry point: stored fields stream from the docId-sorted
+    * segment parquet (docs NOT cached), only postings/termstats pin
+    * memory, and no per-session rebuild happens. Ingest for attached
+    * tables goes through IndexStore.appendEpoch + re-attach; a mutation
+    * through this session falls back to the in-memory path on a
+    * session-local copy (the store itself is never modified).
+    */
+  def attach(name: String, dir: String): Unit = {
+    val idx = graft.index.IndexStore.load(spark, dir, cacheDocs = false)
+    val defs = idx.docs.schema.fields.filterNot(_.name == "docId").map(f =>
+      ColumnDef(f.name, f.dataType.simpleString, idx.config.keyCols.contains(f.name),
+        notNull = false, default = None, isArray = false))
+    tables.put(name,
+      TableState(idx.docs.drop("docId"), idx.config, defs.toSeq, Some(new QueryEngine(idx))))
+  }
+
   /** Register an existing DataFrame as an lnx table. */
   def register(name: String, df: DataFrame, keyCols: Seq[String], fields: Seq[String],
       shardDocs: Int = 4096): Unit = {
@@ -362,11 +379,51 @@ final class LnxSession(val spark: SparkSession) {
     }
   }
 
+  /** `SELECT facet_counts(col) FROM t [WHERE ...] [ORDER BY facet|cnt]
+    * [LIMIT n]`: hierarchical count-per-facet-path-prefix over the match
+    * set (apis/mod.rs:177) — the SQL surface onto QueryEngine.facetCounts.
+    * Result columns (facet, cnt); default order = facet asc
+    * (deterministic). No default LIMIT: a facet summary is a bounded
+    * aggregation, not a document page.
+    */
+  private def runFacetSelect(s: Select, f: FacetCol, searches: Seq[SearchPred],
+      colPreds: Seq[ColPred], scorePreds: Seq[ScorePred], params: Seq[Lit],
+      t: TableState): DataFrame = {
+    require(s.cols.size == 1, "facet_counts must be the only SELECT column")
+    require(scorePreds.isEmpty && searches.flatMap(_.cmp).isEmpty,
+      "facet_counts does not combine with score thresholds")
+    if (!t.rows.columns.contains(f.col))
+      throw ParseException(s"unknown column ${f.col}", -1)
+    val e = engineFor(t)
+    val matchedIds =
+      if (searches.nonEmpty) e.matchF32(searches.map(toClause(_, params))).select("docId")
+      else e.index.docs.select("docId")
+    // column predicates restrict the counted docs (stored-field filter)
+    val restricted =
+      if (colPreds.isEmpty) matchedIds
+      else e.index.docs.join(matchedIds, "docId")
+        .filter(colPreds.map(colFilter(_, params, t)).reduce(_ && _))
+        .select("docId")
+    val counts = e.facetCounts(restricted, col(f.col))
+    val ordered = s.orderBy match {
+      case Some((n, asc)) if n == "facet" || n == "cnt" =>
+        counts.orderBy(if (asc) col(n).asc else col(n).desc, col("facet").asc)
+      case None => counts.orderBy(col("facet").asc)
+      case Some((n, _)) =>
+        throw ParseException(s"facet_counts orders by facet or cnt, got $n", -1)
+    }
+    s.limit.map(ordered.limit).getOrElse(ordered)
+  }
+
   private def runSelect(s: Select, params: Seq[Lit]): DataFrame = {
     val t = table(s.table)
     val searches = s.where.collect { case sp: SearchPred => sp }
     val colPreds = s.where.collect { case cp: ColPred => cp }
     val scorePreds = s.where.collect { case sp: ScorePred => sp }
+    s.cols.collectFirst { case f: FacetCol => f } match {
+      case Some(f) => return runFacetSelect(s, f, searches, colPreds, scorePreds, params, t)
+      case None =>
+    }
     val limit = s.limit.getOrElse(SearchDefaults.DefaultLimit) // default 1000 (query.rs:15-17)
 
     // ONE alias-resolution map (SELECT alias -> underlying column)
@@ -425,6 +482,7 @@ final class LnxSession(val spark: SparkSession) {
         val base = if (t.rows.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
         Seq(a.fold(base)(al => base.as(al)))
       case ScoreCol(a) => Seq(a.fold(col("score"))(al => col("score").as(al)))
+      case _: FacetCol => throw ParseException("facet_counts handled above", -1) // unreachable
     }
     limited.select(projected: _*)
   }

@@ -48,6 +48,11 @@ object LnxSql {
   sealed trait SelectCol
   final case class NamedCol(name: String, alias: Option[String]) extends SelectCol
   final case class ScoreCol(alias: Option[String]) extends SelectCol
+  /** `facet_counts(col)`: hierarchical facet drill-down over the match
+    * set — count-per-facet-path-prefix, the one aggregation the `facet`
+    * type exists for (apis/mod.rs:177). Result columns (facet, cnt).
+    */
+  final case class FacetCol(col: String) extends SelectCol
   case object StarCol extends SelectCol
 
   final case class ColumnDef(name: String, tpe: String, primaryKey: Boolean,
@@ -223,6 +228,10 @@ object LnxSql {
           p.eatPunct(")")
           val alias = if (p.tryKw("as")) Some(p.ident()) else None
           cols += ScoreCol(alias)
+        } else if (name.equalsIgnoreCase("facet_counts") && p.tryPunct("(")) {
+          val c = p.ident()
+          p.eatPunct(")")
+          cols += FacetCol(c)
         } else {
           val alias = if (p.tryKw("as")) Some(p.ident()) else None
           cols += NamedCol(name, alias)

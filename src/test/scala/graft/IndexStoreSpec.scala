@@ -146,6 +146,112 @@ class IndexStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IndexStore.load(spark, dir))
   }
 
+  test("scale load (cacheDocs=false): identical results, doc store stays on parquet") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 600, 4)
+    IndexStore.create(corpus, config, dir).unpersist()
+    // cold FIRST: Spark's CacheManager matches by logical plan, so a
+    // prior cached load of the same dir would make the cold frame
+    // report as cached too (same-session test artifact)
+    val cold = IndexStore.load(spark, dir, cacheDocs = false)
+    // the doc store must NOT be pinned in scale mode (postings are)
+    assert(cold.docs.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(cold.postings.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    val eu = new QueryEngine(cold)
+    // top-k stored-field lookup pushes the id set into the parquet scan.
+    // Asserted BEFORE any cached load of the same dir: the CacheManager
+    // substitutes by logical-plan equality, so a later cached docs frame
+    // would rewrite this plan into an InMemoryTableScan.
+    val ids = eu.searchF32(Seq(Fts("content", "binary search")), 5)
+      .collect().map(_.getLong(0)).toSeq
+    val lookup = eu.lookupDocs(ids, Seq("path"))
+    assert(lookup.count() === ids.size)
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(docId"), plan.take(1500))
+    val cached = IndexStore.load(spark, dir)
+    val ec = new QueryEngine(cached)
+    for (q <- Seq("binary search", "fn license", "needle")) {
+      assert(topDocs(eu, q) === topDocs(ec, q))
+    }
+    cached.unpersist(); cold.unpersist()
+  }
+
+  test("tiered compaction: N smallest segments merge per pass, results unchanged") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 400, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0") // epoch 0: 400 docs
+    // epoch 1: upsert 'file_1*' docs (tombstones their epoch-0 versions)
+    val modified = corpus.filter(col("path").contains("file_1"))
+      .withColumn("content", concat(col("content"), lit(" tieredmarker")))
+    IndexStore.appendEpoch(modified, dir, "snap-1")
+    // epoch 2: 30 brand-new docs
+    val fresh = CodeCorpus.generate(spark, 430, 4).filter(col("path").contains("file_42"))
+    IndexStore.appendEpoch(fresh, dir, "snap-2")
+    // epoch 3: another small upsert batch (more tombstones)
+    val mod2 = corpus.filter(col("path").contains("file_20"))
+      .withColumn("content", concat(col("content"), lit(" tieredmarker")))
+    IndexStore.appendEpoch(mod2, dir, "snap-3")
+
+    val before = IndexStore.load(spark, dir)
+    val eBefore = new QueryEngine(before)
+    val matchBefore = topDocs(eBefore, "tieredmarker", 500).map(_._1).toSet
+    val liveBefore = before.docs.count()
+    val pendingBefore = before.deletes.map(_.count()).getOrElse(0L)
+    assert(pendingBefore > 0)
+
+    // pass 1: merge only the 2 smallest segments; epoch 0 (the big one)
+    // must survive untouched
+    IndexStore.compact(spark, dir, maxSegments = 2)
+    val mid = IndexStore.load(spark, dir)
+    val (epochsMid, _, _) = IndexStore.readManifest(spark, dir)
+    assert(epochsMid.map(_.path).distinct.size === 3) // 4 segments -> 3
+    assert(epochsMid.map(_.path).distinct.contains("seg-00000"))
+    assert(mid.docs.count() === liveBefore)
+    // tombstones targeting docs still in unmerged segments survive
+    assert(mid.deletes.nonEmpty && mid.deletes.get.count() > 0)
+    assert(topDocs(new QueryEngine(mid), "tieredmarker", 500).map(_._1).toSet === matchBefore)
+    // info() liveDocs accounting stays exact across a partial pass
+    assert(IndexStore.info(spark, dir).collect()(0).getAs[Long]("liveDocs") === liveBefore)
+
+    // pass 2: incremental again -> 2 segments; pass 3: full merge
+    IndexStore.compact(spark, dir, maxSegments = 2)
+    val (epochs2, _, _) = IndexStore.readManifest(spark, dir)
+    assert(epochs2.map(_.path).distinct.size === 2)
+    IndexStore.compact(spark, dir)
+    val end = IndexStore.load(spark, dir)
+    val (epochs3, _, _) = IndexStore.readManifest(spark, dir)
+    assert(epochs3.map(_.path).distinct.size === 1)
+    assert(end.deletes.isEmpty || end.deletes.get.count() === 0)
+    assert(end.docs.count() === liveBefore)
+    assert(topDocs(new QueryEngine(end), "tieredmarker", 500).map(_._1).toSet === matchBefore)
+  }
+
+  test("config KV: tri-state set/unset survives manifest versions; unset returns default") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 200, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    // defaults: nothing set
+    assert(IndexStore.configKv(spark, dir) === Map.empty)
+    assert(IndexStore.configValue(spark, dir, "merge_policy", Some("tiered")) === Some("tiered"))
+    // set
+    val v0 = IndexStore.currentVersion(dir)
+    IndexStore.updateConfig(spark, dir, set = Map("merge_policy" -> "full", "gc_grace" -> "3600"))
+    assert(IndexStore.currentVersion(dir) === v0 + 1) // manifest-versioned
+    assert(IndexStore.configValue(spark, dir, "merge_policy") === Some("full"))
+    // overrides survive unrelated manifest changes (epoch append)
+    IndexStore.appendEpoch(corpus.limit(10)
+      .withColumn("content", concat(col("content"), lit(" kvmarker"))), dir, "snap-1")
+    assert(IndexStore.configValue(spark, dir, "gc_grace") === Some("3600"))
+    // unset: reads fall back to the supplied default
+    IndexStore.updateConfig(spark, dir, unset = Seq("merge_policy"))
+    assert(IndexStore.configValue(spark, dir, "merge_policy") === None)
+    assert(IndexStore.configValue(spark, dir, "merge_policy", Some("tiered")) === Some("tiered"))
+    assert(IndexStore.configValue(spark, dir, "gc_grace") === Some("3600"))
+    // ...and survive compaction too
+    IndexStore.compact(spark, dir)
+    assert(IndexStore.configKv(spark, dir) === Map("gc_grace" -> "3600"))
+  }
+
   test("compaction absorbs tombstones and preserves query results") {
     val dir = tmpDir()
     val corpus = CodeCorpus.generate(spark, 400, 4).cache()

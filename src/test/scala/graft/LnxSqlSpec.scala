@@ -219,6 +219,54 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(sess.execute("SELECT id FROM us").count() === 1)
   }
 
+  test("attach(): query a persisted IndexStore table without rebuild or doc caching") {
+    import graft.index.{IndexConfig, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graftattach").toString
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    IndexStore.create(docs,
+      IndexConfig(Seq("doc_id"), Seq("text"), 1024, 4), dir).unpersist()
+    val sess = new LnxSession(spark)
+    sess.attach("persisted", dir)
+    val viaStore = sess.execute(
+      "SELECT doc_id, score() AS s FROM persisted WHERE fts(text, 'merge sort data') " +
+        "ORDER BY s DESC LIMIT 10").collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    // identical to the in-memory register() path
+    sess.register("mem", docs, Seq("doc_id"), Seq("text"))
+    val viaMem = sess.execute(
+      "SELECT doc_id, score() AS s FROM mem WHERE fts(text, 'merge sort data') " +
+        "ORDER BY s DESC LIMIT 10").collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(viaStore.toSet === viaMem.toSet)
+    // scale contract: the attached engine's doc store is not pinned
+    val eng = sess.table("persisted").engine.get
+    assert(eng.index.docs.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    IndexStore.drop(dir)
+  }
+
+  test("facet_counts() in the dialect: hierarchical drill-down over the match set") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE fc (id bigint PRIMARY KEY, t text, cat facet)")
+    sess.execute("INSERT INTO fc (id, t, cat) VALUES " +
+      "(1, 'data merge', '/lang/en'), (2, 'data sort', '/lang/en'), " +
+      "(3, 'data scan', '/lang/fr'), (4, 'cooking', '/lang/fr')")
+    // counts per path prefix over docs matching the search clause
+    val r = sess.execute(
+      "SELECT facet_counts(cat) FROM fc WHERE fts(t, 'data') ORDER BY facet")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq(("/lang", 3L), ("/lang/en", 2L), ("/lang/fr", 1L)))
+    // no WHERE: counts over all docs; ORDER BY cnt DESC + LIMIT apply
+    val all = sess.execute("SELECT facet_counts(cat) FROM fc ORDER BY cnt DESC LIMIT 1")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(all === Seq(("/lang", 4L)))
+    // column predicates restrict the counted docs
+    val filt = sess.execute(
+      "SELECT facet_counts(cat) FROM fc WHERE fts(t, 'data') AND id <= 2 ORDER BY facet")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(filt === Seq(("/lang", 2L), ("/lang/en", 2L)))
+    // facet_counts must be the only SELECT column
+    intercept[IllegalArgumentException](
+      sess.execute("SELECT id, facet_counts(cat) FROM fc"))
+  }
+
   test("raw tokenizer: column indexed as ONE exact token; query tokenized with the column's tokenizer") {
     val sess = new LnxSession(spark)
     // the reference's parse-test DDL shape (sql.rs:110)

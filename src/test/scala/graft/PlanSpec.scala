@@ -43,6 +43,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-distance fuzzy candidates plan as a hash join, not a nested-loop dictionary scan") {
+    val e = SparkEntry.docEngine(spark, TestSpark.sf0001)
+    // maxDist = 3 takes the length-banded fallback; the exploded
+    // (tok, len) frame must key an equi (hash) join on length(term)
+    val cand = e.fuzzyCandidates("text", Seq("serach", "mrege"), 3)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // and the wide-distance path returns the distance-banded matches
+    val rows = cand.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    // every candidate obeys the length band
+    rows.foreach { case (tok, term) =>
+      assert(math.abs(term.length - tok.length) <= 3, s"$term vs $tok")
+    }
+    // end-to-end: a distance-3 typo reaches its dictionary term
+    assert(e.searchF32(Seq(FuzzyC("text", "mergeabc", maxDist = 3)), 10).count() > 0)
+  }
+
   test("minhash verify stage carries no forced broadcast of the candidate-pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")

@@ -30,10 +30,34 @@ class WandSpec extends AnyFunSuite {
     for (q <- queries; k <- Seq(1, 7, 10, 100)) {
       val exhaustive = engine.searchF32(Seq(Fts("content", q)), k, useWand = false)
         .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
-      val wand = engine.searchF32(Seq(Fts("content", q)), k, useWand = true)
+      // force the raw WAND driver (the density gate may legitimately
+      // route uniform-hot disjunctions to the exhaustive scorer)
+      val cq = engine.compile(Seq(Fts("content", q)))
+      if (cq.terms.nonEmpty) {
+        val forced = Scorer.topK(Wand.topK(engine.index, cq, k).toDF("docId", "score"), k)
+          .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        assert(forced === exhaustive, s"forced WAND, query '$q' k=$k")
+      }
+      // and whatever path the engine routes to agrees as well
+      val routed = engine.searchF32(Seq(Fts("content", q)), k, useWand = true)
         .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
-      assert(wand === exhaustive, s"query '$q' k=$k")
+      assert(routed === exhaustive, s"routed, query '$q' k=$k")
     }
+  }
+
+  test("density gate: uniform-hot disjunctions route to the exhaustive scorer") {
+    // every term dense (df*4 > N): nothing to skip -> counters untouched
+    val hotStats = Wand.Stats.register(spark)
+    engine.searchF32(Seq(Fts("content", "fn return license")), 10,
+      useWand = true, wandStats = Some(hotStats)).collect()
+    assert(hotStats.decodedBlocks.value === 0L && hotStats.skippedBlocks.value === 0L,
+      "uniform-hot disjunction should bypass WAND entirely")
+    // at least one selective term: WAND engages (counters move)
+    val skewStats = Wand.Stats.register(spark)
+    engine.searchF32(Seq(Fts("content", "needle license fn")), 10,
+      useWand = true, wandStats = Some(skewStats)).collect()
+    assert(skewStats.decodedBlocks.value > 0L,
+      "selective disjunction should take the WAND path")
   }
 
   test("conjunction WAND equals exhaustive exactly (fuzzy.sql WHERE shape)") {
