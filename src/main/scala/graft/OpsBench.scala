@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CodeCorpus
+
+/** Second scale point for the training-data ops (VERDICT r02 task 9):
+  * the driver bench times minhash/LSH only at sf0.1 (50k docs), which
+  * gives one point and no slope. This main generates a deterministic
+  * documents+embeddings corpus at an arbitrary size — with PLANTED
+  * near-duplicates so the candidate/verify stages carry real load, not
+  * an empty join — and times the two 100 TB dedup paths:
+  *
+  *   - `Dedup.minhashPairs` (text MinHash -> banded LSH -> exact
+  *     Jaccard verify)
+  *   - `Similarity.lshCosineDupPairs` (random-hyperplane signatures ->
+  *     banded bucket join -> exact cosine verify)
+  *
+  * Run it at two sizes (e.g. 200k and 1M) and the throughput ratio is
+  * the scaling slope: near-linear docs/sec across a 5x size step is
+  * the evidence that the shuffle volume scales with docs (x numPerm /
+  * x nBands), not with doc-pairs.
+  *
+  * Usage: runMain graft.OpsBench [nDocs] — prints one JSON line.
+  */
+object OpsBench {
+
+  /** documents-shaped frame: ~10% of docs are near-duplicate mutations
+    * of an earlier doc (same id stream as CodeCorpus so text is
+    * deterministic at any parallelism). A near-dup keeps the base doc's
+    * token stream with every 13th token replaced, which lands Jaccard
+    * well above the 0.5 verify threshold at typical doc lengths.
+    */
+  def genDocs(spark: SparkSession, n: Long, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).mapPartitions { it =>
+      it.map { boxed =>
+        val id: Long = boxed
+        val isDup = id % 10 == 9 && id >= 10
+        val baseId: Long = if (isDup) id - 9 else id
+        val base = CodeCorpus.genDoc(baseId).content
+        val text =
+          if (!isDup) base
+          else {
+            val toks = base.split(' ')
+            var i = 12
+            while (i < toks.length) { toks(i) = "mut" + (id % 97); i += 13 }
+            toks.mkString(" ")
+          }
+        (id, text)
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  /** embeddings-shaped frame: 64-dim unit-ish vectors around one of
+    * `nClusters` deterministic centers with per-id noise; ids sharing a
+    * center are near-dup pairs for the LSH path. Same mixing constants
+    * as the corpus generator family — identical at any parallelism.
+    */
+  def genEmbeddings(spark: SparkSession, n: Long, partitions: Int,
+      dim: Int = 64, nClusters: Int = 1024): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).mapPartitions { it =>
+      it.map { boxed =>
+        val id: Long = boxed
+        val cluster = (id * 0x9e3779b97f4a7c15L >>> 40) % nClusters
+        val rc = new scala.util.Random(cluster * 2654435761L + 7L)
+        val center = Array.fill(dim)(rc.nextGaussian())
+        val rn = new scala.util.Random(id * 0xc2b2ae3d27d4eb4fL + 11L)
+        val v = center.map(c => (c + 0.35 * rn.nextGaussian()).toFloat)
+        (id, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val localDir = try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
+      "/dev/shm/graft-tmp"
+    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val parts = cpus * 4
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // materialize inputs first so op timings exclude generation
+    val docs = genDocs(spark, nDocs, parts).persist()
+    results("n_docs") = docs.count().toDouble
+    val emb = genEmbeddings(spark, nDocs, parts).persist()
+    emb.count()
+
+    val (nMinhash, tMinhash) = Bench.time(
+      graft.ops.Dedup.minhashPairs(docs, "doc_id", "text").count())
+    results("minhash_pairs") = nMinhash.toDouble
+    results("minhash_sec") = tMinhash
+    results("minhash_docs_per_sec") = nDocs.toDouble / tMinhash
+
+    val (nLsh, tLsh) = Bench.time(
+      graft.ops.Similarity.lshCosineDupPairs(emb, "vec_id", "embedding").count())
+    results("lsh_cosine_pairs") = nLsh.toDouble
+    results("lsh_cosine_sec") = tLsh
+    results("lsh_docs_per_sec") = nDocs.toDouble / tLsh
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"ops_bench","nDocs":$nDocs,"cpus":$cpus,"queries":$qs}""")
+    spark.stop()
+  }
+}

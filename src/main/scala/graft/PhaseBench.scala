@@ -25,17 +25,20 @@ object PhaseBench {
     // warm
     IndexBuilder.build(CodeCorpus.generate(spark, 20000, parts),
       IndexConfig(Seq("repo","path","commit"), Seq("content"), 8192, parts)).unpersist()
+    val strategy = if (args.length > 2) args(2) else graft.index.DocIdStrategy.KeyRange
     val corpus = CodeCorpus.generate(spark, nDocs, parts)
     val (_, tGen) = Bench.time(corpus.count())
     val (withIds, tAssign) = Bench.time {
-      val w = IndexBuilder.assignDocIds(corpus, Seq("repo","path","commit"), parts)
+      val w = IndexBuilder.assignDocIds(corpus, Seq("repo","path","commit"), parts,
+        strategy = strategy)
       w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       w
     }
     val (_, tBuild) = Bench.time {
-      IndexBuilder.build(corpus, IndexConfig(Seq("repo","path","commit"), Seq("content"), 8192, parts))
+      IndexBuilder.build(corpus, IndexConfig(Seq("repo","path","commit"), Seq("content"),
+        8192, parts, docIdStrategy = strategy))
     }
-    println(s"""{"phase_bench":{"cores":$cores,"nDocs":$nDocs,"gen_count":$tGen,"assign_persist":$tAssign,"full_build":$tBuild}}""")
+    println(s"""{"phase_bench":{"cores":$cores,"nDocs":$nDocs,"strategy":"$strategy","gen_count":$tGen,"assign_persist":$tAssign,"full_build":$tBuild}}""")
     spark.stop()
   }
 }

@@ -111,6 +111,8 @@ object Analyzer {
   *    dictionary sanity cap, the raw analogue of RemoveLongFilter).
   *  - `whitespace`: split on whitespace runs only — no lowercasing, no
   *    camelCase splitting (tantivy's whitespace tokenizer).
+  *  - `en_stem`: the default analysis followed by Porter stemming per
+  *    token (tantivy's en_stem registry entry; PorterStemmer).
   *
   * Unknown names are rejected at CREATE TABLE instead of silently
   * falling back to the default analyzer.
@@ -119,7 +121,7 @@ object Tokenizers {
   final val Default = "default"
   final val MaxRawLen = 255
 
-  val known: Set[String] = Set("default", "simple", "raw", "whitespace")
+  val known: Set[String] = Set("default", "simple", "raw", "whitespace", "en_stem")
   def isKnown(name: String): Boolean = known.contains(name)
 
   def tokenize(name: String, s: String): Array[String] = name match {
@@ -127,6 +129,7 @@ object Tokenizers {
       if (s.isEmpty || s.length > MaxRawLen) Array.empty else Array(s)
     case "whitespace" =>
       s.split("\\s+").filter(t => t.nonEmpty && t.length <= Analyzer.MaxTokenLen)
+    case "en_stem" => Analyzer.tokenize(s).map(PorterStemmer.stem)
     case _ => Analyzer.tokenize(s)
   }
 

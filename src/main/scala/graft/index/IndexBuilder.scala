@@ -39,9 +39,25 @@ final case class IndexConfig(
       * text is tokenized with the SAME tokenizer as the queried column
       * (apis/mod.rs:211-213) — QueryEngine.tokenizeQuery reads this map.
       */
-    tokenizers: Map[String, String] = Map.empty) {
+    tokenizers: Map[String, String] = Map.empty,
+    /** docId assignment strategy (see IndexBuilder.assignDocIdsCounted):
+      * KeyRange (default) = ids follow the global primary-key order —
+      * parallelism-independent for any source, mirrors the oracle's
+      * (score, key) tie-break, costs one corpus-wide range shuffle.
+      * Scan = ids follow arrival (scan) order — tantivy's own docId
+      * semantics (segment ordinals in ingest order) — ZERO shuffle, the
+      * bulk-build fast path; deterministic only for a fixed input
+      * partitioning (true for spark.range-derived frames at any
+      * parallelism, and for parquet under pinned split configs).
+      */
+    docIdStrategy: String = DocIdStrategy.KeyRange) {
   def tokenizerOf(field: String): String =
     tokenizers.getOrElse(field, graft.analyze.Tokenizers.Default)
+}
+
+object DocIdStrategy {
+  final val KeyRange = "keyRange"
+  final val Scan = "scan"
 }
 
 /** Encoded posting list for one (field, term, shard). */
@@ -134,8 +150,9 @@ object IndexBuilder {
     * key order, not on parallelism or input partitioning — required for
     * rank-identity and resume (SURVEY.md section 7 hard part 2).
     */
-  def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L): DataFrame =
-    assignDocIdsCounted(df, keyCols, parts, base)._1
+  def assignDocIds(df: DataFrame, keyCols: Seq[String], parts: Int, base: Long = 0L,
+      strategy: String = DocIdStrategy.KeyRange): DataFrame =
+    assignDocIdsCounted(df, keyCols, parts, base, strategy)._1
 
   /** As assignDocIds, additionally returning the sorted intermediate
     * (for callers that want to re-derive lineage) and the total row
@@ -155,11 +172,16 @@ object IndexBuilder {
     * per-partition imperative id assignment.
     */
   def assignDocIdsCounted(df: DataFrame, keyCols: Seq[String], parts: Int,
-      base: Long = 0L): (DataFrame, DataFrame, Long) = {
+      base: Long = 0L, strategy: String = DocIdStrategy.KeyRange): (DataFrame, DataFrame, Long) = {
     val keys = keyCols.map(col)
-    val sorted = df
-      .repartitionByRange(parts, keys: _*)
-      .sortWithinPartitions(keys: _*)
+    // Scan strategy: ids in arrival order over the input's own
+    // partitioning — no shuffle, no sort (tantivy's docId semantics:
+    // segment ordinals in ingest order). The key-range shuffle is the
+    // build's single largest cost at high thread counts (BENCH.md), so
+    // bulk one-shot builds that don't need key-ordered ids skip it.
+    val sorted =
+      if (strategy == DocIdStrategy.Scan) df
+      else df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
     // InternalRow path: no external-Row materialization in the build's
     // hottest phase — the count pass touches no fields at all and the
     // id-append pass is one UnsafeProjection over a JoinedRow (a byte
@@ -299,7 +321,8 @@ object IndexBuilder {
   def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex = {
     val spark = df.sparkSession
     val (withIds, _, numDocs) =
-      assignDocIdsCounted(df, config.keyCols, config.buildPartitions, docIdBase)
+      assignDocIdsCounted(df, config.keyCols, config.buildPartitions, docIdBase,
+        config.docIdStrategy)
     // numDocs is already known from the assignment counts — no extra
     // corpus pass; the docs cache materializes as a side effect of the
     // postings pass scanning it (one build = two passes total: the

@@ -124,13 +124,18 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed with fixed-K
-    * centroids: only pairs inside one cluster are compared. Expected
-    * cluster size is N/K, so this stays quadratic-in-cluster — for the
-    * true 100 TB path prefer `lshCosineDupPairs` (random-hyperplane
-    * LSH, bucket size set by signature width, not corpus size).
+    * centroids, quadratic blow-up BOUNDED: clusters larger than
+    * `maxBlock` are deterministically hash-split into ceil(size/maxBlock)
+    * sub-blocks and pairs are compared only within one (cluster, block) —
+    * so the per-task pair count is <= maxBlock^2 regardless of corpus
+    * size (the previous within-whole-cluster join was quadratic in N/K).
+    * Pairs straddling sub-blocks are missed — the standard recall cost of
+    * bounded blocking; `lshCosineDupPairs` is the recall-tuned 100 TB
+    * alternative. maxBlock=64 splits every sf0.01 cluster (sizes 48-70)
+    * into 2 blocks, so the oracle genuinely exercises the split path.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      numCentroids: Int = 8, threshold: Double = 0.45): DataFrame = {
+      numCentroids: Int = 8, threshold: Double = 0.45, maxBlock: Int = 64): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cents = e.withColumn("hk", centroidHash(col("vid")))
       .orderBy(col("hk").asc, col("vid").asc).limit(numCentroids)
@@ -140,9 +145,15 @@ object Similarity {
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cid").asc)
     val assigned = scoredC.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vid"), col("v"), col("cid").as("cluster"))
-    val a = assigned.select(col("cluster"), col("vid").as("a"), col("v").as("va"))
-    val b = assigned.select(col("cluster"), col("vid").as("b"), col("v").as("vb"))
-    a.join(b, "cluster").filter(col("a") < col("b"))
+    // exact integer arithmetic end-to-end (div, pmod) so the DuckDB
+    // oracle derives the identical block assignment
+    val blocked = assigned
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .withColumn("sub", pmod(centroidHash(col("vid")),
+        expr(s"(csize + ${maxBlock - 1}) div $maxBlock")))
+    val a = blocked.select(col("cluster"), col("sub"), col("vid").as("a"), col("v").as("va"))
+    val b = blocked.select(col("cluster"), col("sub"), col("vid").as("b"), col("v").as("vb"))
+    a.join(b, Seq("cluster", "sub")).filter(col("a") < col("b"))
       .withColumn("c", cosine(col("va"), col("vb")))
       .filter(col("c") >= threshold)
       .select(col("a"), col("b"), round(col("c"), 4).as("cosine"))
@@ -150,7 +161,7 @@ object Similarity {
   }
 
   def cosineDupPairsSqlDuck(idCol: String, vecCol: String,
-      numCentroids: Int = 8, threshold: Double = 0.45): String =
+      numCentroids: Int = 8, threshold: Double = 0.45, maxBlock: Int = 64): String =
     s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
        |cents AS (SELECT vid AS cid, v AS cv FROM e
        |          ORDER BY ${centroidHashDuck("vid")} ASC, vid ASC LIMIT $numCentroids),
@@ -161,10 +172,14 @@ object Similarity {
        |assigned AS (SELECT vid, v, cid AS cluster FROM
        |  (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cc DESC, cid ASC) AS rn FROM sc)
        |  WHERE rn = 1),
+       |sized AS (SELECT *, count(*) OVER (PARTITION BY cluster) AS csize FROM assigned),
+       |blk AS (SELECT vid, v, cluster,
+       |          ${centroidHashDuck("vid")} % ((csize + ${maxBlock - 1}) // $maxBlock) AS sub
+       |        FROM sized),
        |p AS (SELECT x.vid AS a, y.vid AS b,
        |        list_dot_product(x.v, y.v) /
        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
-       |      FROM assigned x JOIN assigned y USING (cluster) WHERE x.vid < y.vid)
+       |      FROM blk x JOIN blk y USING (cluster, sub) WHERE x.vid < y.vid)
        |SELECT a, b, round(c, 4) AS cosine FROM p WHERE c >= $threshold ORDER BY a, b""".stripMargin
 
   /** Deterministic pseudo-random hyperplane sign for (plane, dim):

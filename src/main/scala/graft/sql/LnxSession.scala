@@ -197,6 +197,11 @@ final class LnxSession(val spark: SparkSession) {
     })
     val pk = ct.columns.filter(_.primaryKey).map(_.name)
     require(pk.nonEmpty, "a primary key column is required")
+    // `score` is the score() projection's result column; a stored column
+    // of that name would be silently clobbered by the synthetic score of
+    // non-search SELECTs — reserve it at CREATE rather than corrupt later
+    if (ct.columns.exists(_.name == "score"))
+      throw ParseException("column name 'score' is reserved for score()", -1)
     // every scalar text column is indexed — including `raw`-tokenized
     // ones, which index the value as a single un-analyzed token so
     // fts(rawCol, 'exact value') exact-matches (apis/mod.rs:211-213,
@@ -322,6 +327,29 @@ final class LnxSession(val spark: SparkSession) {
           case "<>" | "!=" => col(p.col) =!= v
         }
     }
+  }
+
+  /** Ingest a document payload — JSON (one object), NDJSON, or MSGPACK
+    * (lnx-ffi/src/format.rs:2-13) — into a registered table, with the
+    * same UPSERT-by-PK semantics as INSERT (apis/mod.rs:81-82). The
+    * payload is request-sized (a REST body analogue), so the decoded
+    * rows pass through the driver for the same per-type normalization
+    * (ip canonical form, unsigned range checks) as SQL inserts.
+    */
+  def ingest(tableName: String, format: String, payload: Array[Byte]): DataFrame = {
+    val t = table(tableName)
+    val schema = t.rows.schema
+    val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
+    val decoded = graft.sources.DocDecode.decode(spark, format, payload, schema)
+    val newRows = decoded.collect().toSeq.map { r =>
+      Row.fromSeq(schema.fields.toSeq.map(f =>
+        normalize(tpeByName.getOrElse(f.name, ""), r.getAs[Any](f.name))))
+    }
+    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(newRows.toList), schema)
+    val pk = t.config.keyCols
+    t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
+    noteMutation(t)
+    status(s"ingested ${newRows.size} documents into $tableName")
   }
 
   private def runDelete(d: Delete, params: Seq[Lit]): DataFrame = {

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DocDecode, MsgPack}
+
+/** S3 document decode — JSON / NDJSON / MSGPACK payloads into schema-full
+  * rows (lnx-ffi/src/format.rs:2-13), plus the session ingest path.
+  */
+class DocDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType), StructField("ok", BooleanType),
+    StructField("tags", ArrayType(StringType))))
+
+  // ---- msgpack value-level roundtrips ----
+
+  private def rt(v: Any): Any = MsgPack.decodeValue(MsgPack.encode(v), 0)._1
+
+  test("msgpack scalar roundtrips across every width family") {
+    // fixint boundaries, each int width, negative widths, 64-bit extremes
+    val longs = Seq(0L, 1L, 127L, 128L, 255L, 256L, 65535L, 65536L, 4294967295L,
+      4294967296L, Long.MaxValue, -1L, -32L, -33L, -128L, -129L, -32768L, -32769L,
+      Int.MinValue.toLong, Int.MinValue.toLong - 1, Long.MinValue,
+      9007199254740993L) // 2^53+1: must NOT round-trip through double
+    longs.foreach(l => assert(rt(l) === l, s"long $l"))
+    assert(rt(null) === null)
+    assert(rt(true) === true)
+    assert(rt(false) === false)
+    assert(rt(3.25d) === 3.25d)
+    assert(rt(1.5f) === 1.5d) // float32 decodes as double (exact for 1.5)
+    assert(rt("") === "")
+    assert(rt("héllo wörld") === "héllo wörld")
+  }
+
+  test("msgpack str/bin/array/map length-tag boundaries") {
+    // fixstr(31) / str8(32, 255) / str16(256) / str32(65536)
+    Seq(31, 32, 255, 256, 65536).foreach { n =>
+      val s = "x" * n
+      assert(rt(s) === s, s"str length $n")
+    }
+    val bin = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    assert(rt(bin).asInstanceOf[Array[Byte]].toSeq === bin.toSeq)
+    // fixarray(15) / array16(16) boundary; nested arrays
+    assert(rt(Seq.tabulate(15)(_.toLong)) === Seq.tabulate(15)(_.toLong))
+    assert(rt(Seq.tabulate(16)(_.toLong)) === Seq.tabulate(16)(_.toLong))
+    assert(rt(Seq(Seq(1L, 2L), Seq("a"))) === Seq(Seq(1L, 2L), Seq("a")))
+    // fixmap(15) / map16(16) boundary
+    val m15 = (0 until 15).map(i => s"k$i" -> i.toLong).toMap
+    val m16 = (0 until 16).map(i => s"k$i" -> i.toLong).toMap
+    assert(rt(m15) === m15)
+    assert(rt(m16) === m16)
+  }
+
+  test("msgpack malformed input fails loudly, never silently") {
+    // truncated payloads at every cut point of an encoded doc
+    val full = MsgPack.encode(Map[String, Any]("id" -> 123456L, "name" -> "abc"))
+    (1 until full.length).foreach { cut =>
+      intercept[Exception](MsgPack.decodeDocs(full.take(cut)))
+    }
+    // invalid tag 0xC1
+    intercept[IllegalArgumentException](MsgPack.decodeValue(Array(0xC1.toByte), 0))
+    // ext types are not documents
+    intercept[IllegalArgumentException](
+      MsgPack.decodeValue(Array(0xD4.toByte, 0x01, 0x00), 0))
+    // uint64 above Long.MaxValue: rejected (same narrowing as the dialect)
+    val big = Array(0xCF.toByte) ++ Array.fill[Byte](8)(0xFF.toByte)
+    intercept[IllegalArgumentException](MsgPack.decodeValue(big, 0))
+    // non-map document
+    intercept[IllegalArgumentException](MsgPack.decodeDocs(MsgPack.encode(Seq(1L, 2L))))
+  }
+
+  test("msgpack top-level shapes: single map, array of maps, concatenated stream") {
+    val d1 = Map[String, Any]("id" -> 1L)
+    val d2 = Map[String, Any]("id" -> 2L)
+    assert(MsgPack.decodeDocs(MsgPack.encode(d1)) === Seq(d1))
+    assert(MsgPack.decodeDocs(MsgPack.encode(Seq(d1, d2))) === Seq(d1, d2))
+    assert(MsgPack.decodeDocs(MsgPack.encode(d1) ++ MsgPack.encode(d2)) === Seq(d1, d2))
+  }
+
+  // ---- DataFrame-level decode ----
+
+  private val doc1 = Map[String, Any]("id" -> 1L, "name" -> "alpha", "score" -> 0.5d,
+    "ok" -> true, "tags" -> Seq("x", "y"))
+  private val doc2 = Map[String, Any]("id" -> 2L, "name" -> "beta") // missing fields -> null
+
+  test("decode(msgpack) yields schema-typed rows; missing fields are null") {
+    val df = DocDecode.decode(spark, DocDecode.Msgpack,
+      MsgPack.encode(Seq(doc1, doc2)), schema)
+    assert(df.schema === schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0) === Row(1L, "alpha", 0.5d, true, Seq("x", "y")))
+    assert(rows(1) === Row(2L, "beta", null, null, null))
+  }
+
+  test("decode(json/ndjson) through the Spark-native reader") {
+    val j = """{"id": 7, "name": "solo", "score": 1.25, "ok": false, "tags": ["t"]}"""
+    val one = DocDecode.decode(spark, DocDecode.Json, j.getBytes("UTF-8"), schema).collect()
+    assert(one.toSeq === Seq(Row(7L, "solo", 1.25d, false, Seq("t"))))
+    val nd = "{\"id\": 1, \"name\": \"a\"}\n\n{\"id\": 2, \"name\": \"b\"}\n"
+    val many = DocDecode.decode(spark, DocDecode.NdJson, nd.getBytes("UTF-8"), schema)
+      .orderBy("id").select("id", "name").collect()
+    assert(many.toSeq === Seq(Row(1L, "a"), Row(2L, "b")))
+  }
+
+  test("decodePayloads: distributed decode of a binary payload column") {
+    import spark.implicits._
+    val payloads = Seq(
+      MsgPack.encode(Seq(doc1, doc2)),
+      MsgPack.encode(Map[String, Any]("id" -> 3L, "name" -> "gamma")))
+    val df = payloads.toDF("payload").repartition(2)
+    val out = DocDecode.decodePayloads(df, "payload", DocDecode.Msgpack, schema)
+    assert(out.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // ndjson payloads through the codegen from_json path
+    val ndPayloads = Seq("{\"id\": 10}\n{\"id\": 11}".getBytes("UTF-8"))
+    val out2 = DocDecode.decodePayloads(ndPayloads.toDF("payload"), "payload",
+      DocDecode.NdJson, schema)
+    assert(out2.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(10L, 11L))
+  }
+
+  test("session ingest: msgpack payload upserts by primary key") {
+    val sess = new graft.sql.LnxSession(spark)
+    sess.execute("CREATE TABLE ingest_t (id bigint primary key, name text, weight float64)")
+    sess.ingest("ingest_t", DocDecode.Msgpack, MsgPack.encode(Seq(
+      Map[String, Any]("id" -> 1L, "name" -> "first", "weight" -> 0.1d),
+      Map[String, Any]("id" -> 2L, "name" -> "second", "weight" -> 0.2d))))
+    // re-ingest id=2 with new values + a new id=3: UPSERT semantics
+    sess.ingest("ingest_t", DocDecode.Msgpack, MsgPack.encode(Seq(
+      Map[String, Any]("id" -> 2L, "name" -> "second-v2", "weight" -> 2.0d),
+      Map[String, Any]("id" -> 3L, "name" -> "third", "weight" -> 0.3d))))
+    val rows = sess.execute("SELECT id, name, weight FROM ingest_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "first", 0.1d), (2L, "second-v2", 2.0d), (3L, "third", 0.3d)))
+  }
+
+  test("CREATE TABLE rejects the reserved column name 'score'") {
+    val sess = new graft.sql.LnxSession(spark)
+    intercept[graft.sql.LnxSql.ParseException](
+      sess.execute("CREATE TABLE bad_t (id bigint primary key, score float64)"))
+  }
+
+  test("session ingest: type normalization applies (ip canonical form)") {
+    val sess = new graft.sql.LnxSession(spark)
+    sess.execute("CREATE TABLE ingest_ip (id bigint primary key, addr ip)")
+    sess.ingest("ingest_ip", DocDecode.Json,
+      """{"id": 1, "addr": "0:0:0:0:0:0:0:1"}""".getBytes("UTF-8"))
+    val addr = sess.execute("SELECT addr FROM ingest_ip ORDER BY id")
+      .collect()(0).getString(0)
+    assert(addr === sess.canonIp("::1")) // canonicalized, not stored verbatim
+  }
+}

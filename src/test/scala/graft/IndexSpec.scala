@@ -81,4 +81,44 @@ class IndexSpec extends AnyFunSuite {
       assert(dec.docIds.forall(d => (d / config.shardDocs).toInt == p.shard))
     }
   }
+
+  test("scan-strategy docIds: dense arrival order, deterministic for range-derived input") {
+    import graft.index.DocIdStrategy
+    // same 300 docs generated at two slice counts: scan-order ids follow
+    // the range value order in both, so the assignment must be identical
+    // (the strategy's determinism contract for spark.range-derived input)
+    val keys = Seq("repo", "path", "commit")
+    def ids(slices: Int): Map[String, Long] =
+      IndexBuilder.assignDocIds(graft.corpus.CodeCorpus.generate(spark, 300, slices),
+        keys, 4, strategy = DocIdStrategy.Scan)
+        .select("path", "docId").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val a = ids(3)
+    assert(a === ids(7))
+    assert(a.values.toSeq.sorted === (0L until 300L))
+  }
+
+  test("scan-strategy build: identical stats and bit-identical scores vs keyRange") {
+    import graft.index.DocIdStrategy
+    val corpus = graft.corpus.CodeCorpus.generate(spark, 500, 4)
+    val cfg = IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
+      shardDocs = 64, buildPartitions = 4)
+    val iKey = IndexBuilder.build(corpus, cfg)
+    val iScan = IndexBuilder.build(corpus, cfg.copy(docIdStrategy = DocIdStrategy.Scan))
+    try {
+      assert(iScan.numDocs === iKey.numDocs)
+      assert(iScan.fieldTokens === iKey.fieldTokens)
+      // per-doc BM25 is docId-independent: the (path, score-bits) sets of
+      // an unlimited match must agree exactly even though ids differ
+      def resultSet(ix: graft.index.BuiltIndex): Set[(String, Int)] = {
+        val e = new graft.query.QueryEngine(ix)
+        e.searchF32(Seq(graft.query.Fts("content", "binarySearchNeedle serach")), 10000)
+          .join(ix.docs, "docId")
+          .select(col("path"), col("score"))
+          .collect().map(r => (r.getString(0),
+            java.lang.Float.floatToIntBits(r.getFloat(1)))).toSet
+      }
+      assert(resultSet(iScan) === resultSet(iKey))
+      assert(resultSet(iScan).nonEmpty)
+    } finally { iKey.unpersist(); iScan.unpersist() }
+  }
 }
