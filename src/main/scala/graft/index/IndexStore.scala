@@ -141,10 +141,17 @@ object IndexStore {
       .repartitionByRange(parts, col("field"), col("term"))
       .sortWithinPartitions("field", "term", "shard")
       .write.mode(SaveMode.Overwrite).parquet(s"$segDir/postings.parquet")
+    // doc store: small row groups (8 MB vs the 128 MB default) — the
+    // access pattern is top-k point lookups by docId (lookupDocs), and
+    // row-group stats are the pruning unit, so a k-id fetch reads ~k
+    // small groups instead of k 128 MB ones. Scan-heavy consumers read
+    // postings, not docs, so the small-group overhead lands nowhere hot.
     idx.docs
       .repartitionByRange(parts, col("docId"))
       .sortWithinPartitions("docId")
-      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/docs.parquet")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(s"$segDir/docs.parquet")
     // term dictionary: range-partitioned like the postings so prefix /
     // exact lookups prune row groups (tiny at test scale, but a single
     // file would bottleneck a 10^12-doc dictionary)

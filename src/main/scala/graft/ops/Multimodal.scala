@@ -202,6 +202,124 @@ object Multimodal {
        |  (CASE WHEN $idCol % 2 = 0 THEN 0 ELSE 8000 + ($idCol % 8) * 1000 END)::BIGINT AS sample_rate
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic audio payload WITH samples: mono 16-bit PCM WAV at
+    * 8 kHz, 64 + (id % 64) samples, sample i = a fixed mixing function
+    * of (id, i) — so a frame-sampling oracle can recompute any sample
+    * from doc_id arithmetic alone.
+    */
+  def sampleValue(id: Long, i: Long): Long =
+    ((id * 2654435761L + i * 40503L) % 65536L) - 32768L
+
+  def wavBytesWithSamples(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) { b.putShort(sampleValue(id, i).toShort); i += 1 }
+    b.array()
+  }
+
+  def syntheticAudioPayload(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val ds = src.as[Long](Encoders.scalaLong)
+    ds.mapPartitions(ids => ids.map(id => (id, wavBytesWithSamples(id))))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
+  }
+
+  final case class FrameSample(doc_id: Long, frame_no: Long, pos: Long, sample: Long)
+
+  /** Frame sampling over an audio binary column: a REAL RIFF chunk walk
+    * (arbitrary chunk order, skips unknown chunks) to the `data` chunk,
+    * then `nFrames` evenly spaced 16-bit PCM frames — frame j sits at
+    * sample floor(j * nSamples / nFrames). The per-partition batched
+    * mapPartitions shape is where a native resampler plugs in at scale;
+    * payloads that aren't PCM WAV yield no rows (lenient, like
+    * decodeMedia) so one bad payload can't abort a corpus-sized job.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      nFrames: Int = 8): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    val ds = src.as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        try {
+          if (bytes.length < 44 || new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+              new String(bytes, 8, 4, "US-ASCII") != "WAVE") Iterator.empty
+          else {
+            // chunk walk: [ckId(4) ckSize(4) body(ckSize)] from offset 12
+            var off = 12
+            var dataOff = -1
+            var dataLen = 0
+            var pcm16 = false
+            while (off + 8 <= bytes.length && dataOff < 0) {
+              val ck = new String(bytes, off, 4, "US-ASCII")
+              val sz = le32At(bytes, off + 4)
+              if (ck == "fmt " && sz >= 16)
+                pcm16 = le16At(bytes, off + 8) == 1 && le16At(bytes, off + 22) == 16 &&
+                  le16At(bytes, off + 10) == 1 // PCM, 16-bit, mono
+              else if (ck == "data") { dataOff = off + 8; dataLen = sz }
+              off += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+            val nSamples = dataLen / 2
+            if (!pcm16 || dataOff < 0 || nSamples == 0 ||
+                dataOff + dataLen > bytes.length) Iterator.empty
+            else (0 until nFrames).iterator.map { j =>
+              val pos = j.toLong * nSamples / nFrames
+              FrameSample(id, j.toLong, pos, le16At(bytes, dataOff + 2 * pos.toInt).toShort.toLong)
+            }
+          }
+        } catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => Iterator.empty }
+      }
+    }(Encoders.product[FrameSample]).toDF().orderBy("doc_id", "frame_no")
+  }
+
+  /** Oracle for sampleFrames over syntheticAudioPayload: nSamples and
+    * every sample value recomputed from doc_id arithmetic in DuckDB.
+    */
+  def sampleFramesSqlDuck(idCol: String, nFrames: Int = 8): String =
+    s"""WITH f AS (SELECT unnest(range(0, $nFrames)) AS frame_no),
+       |d AS (SELECT $idCol AS doc_id, 64 + $idCol % 64 AS n FROM documents),
+       |p AS (SELECT doc_id, frame_no, (frame_no * n) // $nFrames AS pos FROM d CROSS JOIN f)
+       |SELECT doc_id, frame_no::BIGINT AS frame_no, pos::BIGINT AS pos,
+       |  ((doc_id * 2654435761 + pos * 40503) % 65536 - 32768)::BIGINT AS sample
+       |FROM p ORDER BY doc_id, frame_no""".stripMargin
+
+  /** Resize planning over real decoded PNG headers: aspect-fit into a
+    * target box (the arithmetic every image pipeline runs before the
+    * pixel pass). The pixel resample itself requires a codec this
+    * container does not ship — by design the STUB boundary (builder
+    * contract): the plumbing (decode → plan → batched per-partition
+    * kernel shape) is real and oracle-gated, the pixel kernel is not.
+    */
+  def resizePlan(df: DataFrame, idCol: String, payloadCol: String,
+      box: Int = 64): DataFrame = {
+    val dec = decodeMedia(df, idCol, payloadCol)
+      .filter(col("format") === "png")
+    // integer aspect-fit: scale the long edge to `box`; `div` (exact
+    // integer division, not double `/`) mirrors DuckDB's `//` bit-for-bit
+    dec.select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(box.toLong))
+          .otherwise(expr(s"width * $box div height")).cast("long").as("out_w"),
+        when(col("width") >= col("height"), expr(s"height * $box div width"))
+          .otherwise(lit(box.toLong)).cast("long").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  def resizePlanSqlDuck(idCol: String, box: Int = 64): String =
+    s"""WITH d AS (SELECT $idCol AS doc_id,
+       |  (1 + $idCol % 512)::BIGINT AS width,
+       |  (1 + ($idCol * 7) % 512)::BIGINT AS height
+       |  FROM documents WHERE $idCol % 2 = 0)
+       |SELECT doc_id, width, height,
+       |  (CASE WHEN width >= height THEN $box ELSE width * $box // height END)::BIGINT AS out_w,
+       |  (CASE WHEN width >= height THEN height * $box // width ELSE $box END)::BIGINT AS out_h
+       |FROM d ORDER BY doc_id""".stripMargin
+
   /** Oracle: the same arithmetic in DuckDB over the text payload
     * (payload = utf-8 bytes of `textCol`; ASCII corpus keeps char and
     * byte offsets aligned for the quarter split).

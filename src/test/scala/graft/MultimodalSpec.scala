@@ -61,4 +61,51 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("frame sampling: chunk walk + PCM extraction recover the embedded waveform") {
+    import spark.implicits._
+    val payloads = Multimodal.syntheticAudioPayload(
+      spark.range(0, 40).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.sampleFrames(payloads, "doc_id", "payload", nFrames = 8).collect()
+    assert(rows.length === 40 * 8)
+    rows.foreach { r =>
+      val (id, frame, pos, sample) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = 64 + id % 64
+      assert(pos === frame * n / 8)
+      assert(sample === Multimodal.sampleValue(id, pos))
+    }
+  }
+
+  test("frame sampling walks past unknown chunks and skips non-PCM payloads") {
+    import spark.implicits._
+    // a LIST chunk (3 bytes, word-aligned to 4) inserted before fmt/data
+    val base = Multimodal.wavBytesWithSamples(5L)
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write(base, 0, 12)
+    extra.write("LIST".getBytes("US-ASCII")); extra.write(Array[Byte](3, 0, 0, 0))
+    extra.write(Array[Byte](1, 2, 3, 0)) // body + pad byte
+    extra.write(base, 12, base.length - 12)
+    // fix the RIFF size field (not strictly checked, but keep it honest)
+    val withChunk = extra.toByteArray
+    val df = Seq((5L, withChunk), (6L, Multimodal.pngBytes(4, 4)),
+      (7L, "garbage".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleFrames(df, "doc_id", "payload", nFrames = 4).collect()
+    // only the WAV row yields frames; PNG and garbage yield none
+    assert(rows.map(_.getLong(0)).distinct.toSeq === Seq(5L))
+    assert(rows.length === 4)
+    rows.foreach(r => assert(r.getLong(3) === Multimodal.sampleValue(5L, r.getLong(2))))
+  }
+
+  test("resize plan: integer aspect-fit matches the oracle arithmetic") {
+    import spark.implicits._
+    val payloads = Multimodal.syntheticPayload(spark.range(0, 30).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.resizePlan(payloads, "doc_id", "payload", box = 64).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (w >= h) { assert(ow === 64L); assert(oh === h * 64 / w) }
+      else { assert(oh === 64L); assert(ow === w * 64 / h) }
+      assert(ow >= 1 && ow <= 64 && oh >= 1 && oh <= 64)
+    }
+  }
 }
