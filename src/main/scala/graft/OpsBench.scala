@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.corpus.CodeCorpus
-
 /** Second scale point for the training-data ops (VERDICT r02 task 9):
   * the driver bench times minhash/LSH only at sf0.1 (50k docs), which
   * gives one point and no slope. This main generates a deterministic
@@ -26,12 +24,31 @@ import graft.corpus.CodeCorpus
   */
 object OpsBench {
 
-  /** documents-shaped frame: ~10% of docs are near-duplicate mutations
-    * of an earlier doc (same id stream as CodeCorpus so text is
-    * deterministic at any parallelism). A near-dup keeps the base doc's
-    * token stream with every 13th token replaced, which lands Jaccard
-    * well above the 0.5 verify threshold at typical doc lengths.
+  /** documents-shaped frame with a REALISTIC vocabulary: tokens drawn
+    * Zipf-style from a 50k-word synthetic vocabulary (real corpora have
+    * ~1M distinct tokens; a small vocab makes random docs share shingles
+    * and inflates LSH band collisions quadratically — measured: reusing
+    * the 120-word CodeCorpus vocab here made 50k docs produce millions
+    * of FALSE minhash candidates and a ~quadratic bench). ~10% of docs
+    * are near-duplicate mutations of an earlier doc: every 13th token
+    * replaced, which lands shingle-Jaccard ~0.6, above the 0.5 verify
+    * threshold. Deterministic per id at any parallelism.
     */
+  private final val VocabSize = 50000
+
+  def genDocText(id: Long): String = {
+    val rnd = new scala.util.Random(id * 2654435761L + 42L)
+    val n = 60 + rnd.nextInt(200)
+    val sb = new StringBuilder(n * 9)
+    var i = 0
+    while (i < n) {
+      val idx = math.min((math.pow(VocabSize + 1.0, rnd.nextDouble()) - 1.0).toInt, VocabSize - 1)
+      sb.append("tok").append(idx).append(' ')
+      i += 1
+    }
+    sb.toString
+  }
+
   def genDocs(spark: SparkSession, n: Long, partitions: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).mapPartitions { it =>
@@ -39,7 +56,7 @@ object OpsBench {
         val id: Long = boxed
         val isDup = id % 10 == 9 && id >= 10
         val baseId: Long = if (isDup) id - 9 else id
-        val base = CodeCorpus.genDoc(baseId).content
+        val base = genDocText(baseId)
         val text =
           if (!isDup) base
           else {
@@ -98,12 +115,14 @@ object OpsBench {
     val emb = genEmbeddings(spark, nDocs, parts).persist()
     emb.count()
 
+    System.err.println(s"[opsbench] inputs materialized, starting minhash over $nDocs docs")
     val (nMinhash, tMinhash) = Bench.time(
       graft.ops.Dedup.minhashPairs(docs, "doc_id", "text").count())
     results("minhash_pairs") = nMinhash.toDouble
     results("minhash_sec") = tMinhash
     results("minhash_docs_per_sec") = nDocs.toDouble / tMinhash
 
+    System.err.println(s"[opsbench] minhash done in $tMinhash s ($nMinhash pairs), starting LSH")
     val (nLsh, tLsh) = Bench.time(
       graft.ops.Similarity.lshCosineDupPairs(emb, "vec_id", "embedding").count())
     results("lsh_cosine_pairs") = nLsh.toDouble

