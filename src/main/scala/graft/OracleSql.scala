@@ -95,6 +95,23 @@ object OracleSql {
        |$scorer
        |${topK(k, 1)}""".stripMargin
 
+  /** Several prefix tokens in ONE fts clause (the reference's own doc
+    * example shape `fts(name, 'Tim* Mich*')`, apis/mod.rs:221): one
+    * disjunction group over the union of per-prefix capped expansions;
+    * a term extending several prefixes scores once (the engine dedupes
+    * (field, term, group) keeping the first, and every prefix carries
+    * the same weight 1.0, so DISTINCT mirrors it exactly).
+    */
+  def ftsMultiPrefix(prefixes: Seq[String], k: Int): String = {
+    val per = prefixes.map(p =>
+      s"SELECT term FROM (SELECT term FROM dict WHERE term LIKE '$p%' ORDER BY term LIMIT 1024)")
+    s"""WITH $scaffold,
+       |qt AS (SELECT DISTINCT term, 1.0::DOUBLE AS w, 0 AS grp
+       |       FROM (${per.mkString(" UNION ALL ")})),
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
+  }
+
   /** Conjunction of per-group exact term sets; all groups required. */
   def ftsConj(groups: Seq[Seq[String]], k: Int): String = {
     val triples = groups.zipWithIndex.flatMap { case (ts, g) => ts.map(t => (t, 1.0, g)) }

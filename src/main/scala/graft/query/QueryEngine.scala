@@ -85,36 +85,50 @@ final class QueryEngine(val index: BuiltIndex) {
   private def prefixExpandAll(field: String,
       prefixes: Seq[String]): Map[String, Seq[(String, Long)]] = {
     if (prefixes.isEmpty) return Map.empty
-    val spark = index.spark
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    if (prefixes.distinct.size == 1) {
-      // single prefix (the common case): a LITERAL startsWith pushes to
-      // the parquet scan as StringStartsWith, pruning row groups of the
-      // term-sorted persisted dictionary — a column-to-column startsWith
-      // can't push
-      val pfx = prefixes.distinct.head
-      val terms = index.termStats
-        .filter(col("field") === field && col("term").startsWith(pfx))
-        .orderBy(col("term"))
-        .limit(MaxExpansions)
-        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
-      return Map(pfx -> terms)
-    }
-    // several prefixes: one job for all of them; per-prefix caps run
-    // in-plan via a window over the prefix-tagged candidates
-    val pdf = prefixes.distinct.toDF("pfx")
-    val w = Window.partitionBy(col("pfx")).orderBy(col("term").asc)
-    val rows = index.termStats
-      .filter(col("field") === field)
-      .join(broadcast(pdf), col("term").startsWith(col("pfx")))
-      .select(col("pfx"), col("term"), col("df"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= MaxExpansions)
-      .collect()
+    val rows = prefixCandidates(field, prefixes).collect()
     rows.groupBy(_.getString(0)).map { case (pfx, rs) =>
       pfx -> rs.map(r => (r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
     }
+  }
+
+  /** Capped (pfx, term, df) candidate frame for prefix expansion —
+    * package-visible so PlanSpec can assert the plan shape.
+    *
+    * Every prefix is a LITERAL, so each `startsWith` pushes to the
+    * parquet scan as StringStartsWith and their OR prunes row groups of
+    * the term-sorted persisted dictionary — the dataflow analogue of
+    * tantivy's per-prefix FST range scan (tantivy-sstable). The
+    * multi-prefix shape (`fts(name, 'Tim* Mich*')`, apis/mod.rs:221)
+    * previously joined the dictionary on a column-to-column startsWith,
+    * which planned as a BroadcastNestedLoopJoin — a full un-pruned
+    * dictionary scan per clause; now it is the SAME single pushed-down
+    * scan as one prefix, with in-plan tagging instead of a join.
+    */
+  private[graft] def prefixCandidates(field: String, prefixes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = prefixes.distinct
+    if (ps.size == 1) {
+      // single prefix (the common case): no window needed — the term
+      // sort + cap collapse into a TakeOrdered over the pruned scan
+      val pfx = ps.head
+      return index.termStats
+        .filter(col("field") === field && col("term").startsWith(pfx))
+        .orderBy(col("term"))
+        .limit(MaxExpansions)
+        .select(lit(pfx).as("pfx"), col("term"), col("df"))
+    }
+    // a term can extend several prefixes (e.g. 'mer' and 'merge'): tag
+    // it with each in-plan (array of matched prefixes -> explode), then
+    // cap per prefix via the window — one scan, one job, zero joins
+    val anyPfx = ps.map(p => col("term").startsWith(p)).reduce(_ || _)
+    val tags = array(ps.map(p => when(col("term").startsWith(p), lit(p))): _*)
+    val w = Window.partitionBy(col("pfx")).orderBy(col("term").asc)
+    index.termStats
+      .filter(col("field") === field && anyPfx)
+      .withColumn("pfx", explode(filter(tags, _.isNotNull)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxExpansions)
+      .select(col("pfx"), col("term"), col("df"))
   }
 
   /** Distributed fuzzy expansion. For the standard d <= 2 (the lnx
@@ -204,11 +218,25 @@ final class QueryEngine(val index: BuiltIndex) {
   }
 
   private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
-    index.termStats
-      .filter(col("field") === field && col("term").rlike("^(?:" + pattern + ")$"))
+    regexCandidates(field, pattern)
       .orderBy(col("term"))
       .limit(MaxExpansions)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+
+  /** Regex candidate frame — package-visible so PlanSpec can assert
+    * the pruned scan shape. `rlike` can never push to parquet, but a
+    * pattern with a required literal prefix (e.g. `foo.*`) admits a
+    * pushable StringStartsWith alongside it, pruning row groups of the
+    * term-sorted dictionary before the regex runs — the dataflow
+    * analogue of tantivy evaluating regexes over the FST, where the
+    * automaton's required prefix bounds the key range walked.
+    */
+  private[graft] def regexCandidates(field: String, pattern: String): DataFrame = {
+    val base = index.termStats.filter(col("field") === field)
+    val pfx = RegexPrefix.literalPrefix(pattern)
+    val pruned = if (pfx.isEmpty) base else base.filter(col("term").startsWith(pfx))
+    pruned.filter(col("term").rlike("^(?:" + pattern + ")$"))
+  }
 
   /** SymSpell delete-variant dictionary (field, variant, term, df) —
     * the build-time artifact behind fast-fuzzy. Segments written in
@@ -498,6 +526,51 @@ object SymSpellDict {
       .as[(String, String, Long)]
       .flatMap { case (f, t, df) => SymSpell.deletes(t).iterator.map(v => (f, v, t, df)) }
       .toDF("field", "variant", "term", "df")
+  }
+}
+
+/** Extracts the literal prefix a regex REQUIRES of every match when the
+  * pattern is anchored at the start (the engine always matches whole
+  * terms: `^(?:pattern)$`). Conservative: returns "" whenever the
+  * pattern's shape makes the leading literal optional.
+  */
+private[graft] object RegexPrefix {
+
+  /** Longest required literal prefix of `pattern`, or "" when none can
+    * be proven. Rules:
+    *  - a top-level `|` makes the leading branch optional -> ""
+    *  - scanning stops at the first metacharacter
+    *  - `*`, `?`, `{` quantify the PREVIOUS literal (possibly to zero
+    *    occurrences), so it is dropped; `+` requires >= 1, so it stays
+    */
+  def literalPrefix(pattern: String): String = {
+    // top-level alternation scan (chars inside (...) or [...] don't count)
+    var depth = 0
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' => i += 1 // skip escaped char
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth = math.max(0, depth - 1)
+        case '|' if depth == 0 => return ""
+        case _ =>
+      }
+      i += 1
+    }
+    val meta = ".[]{}()\\*+?|^$"
+    val sb = new StringBuilder
+    var j = 0
+    while (j < pattern.length) {
+      val c = pattern.charAt(j)
+      if (meta.indexOf(c) >= 0) {
+        if ((c == '*' || c == '?' || c == '{') && sb.nonEmpty)
+          sb.setLength(sb.length - 1)
+        return sb.toString
+      }
+      sb.append(c)
+      j += 1
+    }
+    sb.toString
   }
 }
 

@@ -62,6 +62,65 @@ class PlanSpec extends AnyFunSuite {
     assert(e.searchF32(Seq(FuzzyC("text", "mergeabc", maxDist = 3)), 10).count() > 0)
   }
 
+  test("multi-prefix expansion is ONE scan with StartsWith predicates: no join anywhere") {
+    val e = SparkEntry.storeEngine(spark, TestSpark.sf0001)
+    val cand = e.prefixCandidates("text", Seq("sor", "mer"))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"multi-prefix expansion must not join at all:\n${plan.take(2000)}")
+    // both literal prefixes reach the dictionary SCAN as predicates (the
+    // cached dictionary shows them on InMemoryTableScan, where StartsWith
+    // prunes cached batches by min/max stats; on a raw parquet relation
+    // the same predicates push as StringStartsWith — asserted below)
+    assert(plan.contains("StartsWith(term") && plan.contains(", sor)") && plan.contains(", mer)"),
+      plan.take(2000))
+    // and the per-prefix expansions match the single-prefix branch exactly
+    val multi = cand.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val singles = Seq("sor", "mer").flatMap(p =>
+      e.prefixCandidates("text", Seq(p)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))).toSet
+    assert(multi == singles)
+  }
+
+  test("OR of literal prefixes pushes to a persisted termstats parquet as StringStartsWith") {
+    // the uncached-dictionary path (a 10^12-doc dictionary won't pin
+    // memory): the exact filter shape prefixCandidates builds must push
+    // through to the parquet row groups of the store's term dictionary
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("plantest").toString
+    graft.index.IndexStore.create(docs,
+      graft.index.IndexConfig(Seq("doc_id"), Seq("text"), 1024, 4), tmp).unpersist()
+    val ts = spark.read.parquet(s"$tmp/seg-00000/termstats.parquet")
+      .filter(col("field") === "text" &&
+        (col("term").startsWith("sor") || col("term").startsWith("mer")))
+    val plan = ts.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,sor)") && plan.contains("StringStartsWith(term,mer)"),
+      plan.take(2000))
+  }
+
+  test("regex with a required literal prefix prunes the dictionary scan via a StartsWith predicate") {
+    val e = SparkEntry.storeEngine(spark, TestSpark.sf0001)
+    val plan = e.regexCandidates("text", "sor.+").queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith(term") && plan.contains(", sor)"), plan.take(2000))
+    // an alternation has no required prefix: the scan must NOT be pruned
+    val free = e.regexCandidates("text", "b.tch|sc.n").queryExecution.executedPlan.toString
+    assert(!free.contains("StartsWith(term"), free.take(2000))
+  }
+
+  test("RegexPrefix.literalPrefix: required-prefix extraction is conservative and exact") {
+    import graft.query.RegexPrefix.literalPrefix
+    assert(literalPrefix("sor.+") == "sor")
+    assert(literalPrefix("foo") == "foo")
+    assert(literalPrefix("ab*c") == "a")   // * admits zero 'b's
+    assert(literalPrefix("ab?c") == "a")   // ? admits zero 'b's
+    assert(literalPrefix("ab{0,2}c") == "a")
+    assert(literalPrefix("ab+c") == "ab")  // + requires >= 1 'b'
+    assert(literalPrefix("b.tch|sc.n") == "") // top-level alternation
+    assert(literalPrefix("(ab)c") == "")
+    assert(literalPrefix("\\d+x") == "")
+    assert(literalPrefix("me[rs]ge") == "me")
+    assert(literalPrefix("s[o|u]rt") == "s") // '|' inside a class is literal
+  }
+
   test("minhash verify stage carries no forced broadcast of the candidate-pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
