@@ -61,9 +61,15 @@ final class LnxSession(val spark: SparkSession) {
     case other => throw ParseException(s"unsupported type $other", -1)
   }
 
-  /** Canonical IP text: lnx stores IPv4/IPv6 in one canonical 16-byte
-    * form (apis/mod.rs:176), so '::1' and '0:0:0:0:0:0:0:1' must
-    * compare equal; IPv4-mapped IPv6 collapses to dotted IPv4. The
+  /** Canonical IP storage form: lnx stores IPv4/IPv6 in one canonical
+    * 16-byte value (apis/mod.rs:176) so range predicates order
+    * NUMERICALLY. The stored text is the fixed-width 32-char lowercase
+    * hex of that 16-byte value (IPv4 mapped to ::ffff:a.b.c.d), whose
+    * lexicographic order equals the numeric byte order — a plain-text
+    * canonicalization ('10.0.0.1') sorted lexicographically and put
+    * '10.0.0.1' BEFORE '9.0.0.1' (the r03-flagged silent wrong-order).
+    * '::1' and '0:0:0:0:0:0:0:1' still canonicalize equal; SELECT
+    * projections render back to display text via ipDisplay. The
     * literal-characters guard prevents InetAddress hostname lookups.
     */
   def canonIp(s: String): String = {
@@ -74,11 +80,34 @@ final class LnxSession(val spark: SparkSession) {
     val isLiteral = s.contains(":") ||
       (s.matches("""\d{1,3}(\.\d{1,3}){3}""") && s.split('.').forall(_.toInt <= 255))
     if (!isLiteral) throw ParseException(s"not an IP literal: $s", -1)
-    try java.net.InetAddress.getByName(s).getHostAddress
-    catch {
-      case _: java.net.UnknownHostException =>
-        throw ParseException(s"not an IP literal: $s", -1)
-    }
+    val bytes =
+      try java.net.InetAddress.getByName(s).getAddress
+      catch {
+        case _: java.net.UnknownHostException =>
+          throw ParseException(s"not an IP literal: $s", -1)
+      }
+    val b16 =
+      if (bytes.length == 4) // IPv4 -> IPv4-mapped IPv6 (::ffff:a.b.c.d)
+        Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++ bytes
+      else bytes
+    b16.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private final val V4MappedPrefix = "00000000000000000000ffff"
+
+  /** Render the stored 32-hex canonical form back to display text:
+    * IPv4-mapped values as the dotted quad, anything else as the
+    * 8-group leading-zero-trimmed IPv6 form (InetAddress
+    * getHostAddress style — '::1' displays as '0:0:0:0:0:0:0:1').
+    * Pure codegen'd string/conv arithmetic, no UDF.
+    */
+  def ipDisplay(c: Column): Column = {
+    val quad = concat_ws(".", (0 until 4).map(i =>
+      conv(substring(c, 25 + 2 * i, 2), 16, 10)): _*)
+    val groups = (0 until 8).map(i => lower(conv(substring(c, 4 * i + 1, 4), 16, 16)))
+    when(c.isNull, lit(null).cast(StringType))
+      .when(c.startsWith(V4MappedPrefix), quad)
+      .otherwise(concat_ws(":", groups: _*))
   }
 
   /** Per-lnx-type value normalization + range checks at the insert /
@@ -230,7 +259,18 @@ final class LnxSession(val spark: SparkSession) {
     case SLit(s) => dt match {
       case StringType => s
       case BinaryType => s.getBytes("UTF-8")
-      case TimestampType => java.sql.Timestamp.valueOf(s)
+      case TimestampType =>
+        // datetime is a UNIX-epoch value in the reference
+        // (apis/mod.rs:178-179): parse the literal as UTC wall-clock so
+        // the stored instant is independent of the JVM default timezone
+        // (Timestamp.valueOf would shift it by the driver's zone)
+        try java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC))
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw ParseException(s"not a timestamp literal: $s", -1)
+        }
       case DateType => java.sql.Date.valueOf(s)
       case _ => s
     }
@@ -502,18 +542,29 @@ final class LnxSession(val spark: SparkSession) {
     }
     val limited = ordered.limit(limit)
     val projected = s.cols.flatMap {
-      case StarCol => t.rows.columns.toSeq.map(c => col(c))
+      case StarCol => t.rows.columns.toSeq.map(c => outputCol(t, c))
       case NamedCol(n, a) =>
         // documents are sparse: a selected field no document carries is
         // null, not an error (apis/mod.rs:124-127; the reference's own
         // fuzzy.sql selects `rating`, absent from create_table.sql)
-        val base = if (t.rows.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
+        val base = if (t.rows.columns.contains(n)) outputCol(t, n) else lit(null).cast("string").as(n)
         Seq(a.fold(base)(al => base.as(al)))
       case ScoreCol(a) => Seq(a.fold(col("score"))(al => col("score").as(al)))
       case _: FacetCol => throw ParseException("facet_counts handled above", -1) // unreachable
     }
     limited.select(projected: _*)
   }
+
+  /** Projection form of a stored column: ip columns store the sortable
+    * 32-hex canonical value, so SELECT renders them back to display
+    * text (comparisons keep running on the stored form).
+    */
+  private def outputCol(t: TableState, n: String): Column =
+    t.columns.find(_.name == n) match {
+      case Some(c) if c.tpe == "ip" && !c.isArray => ipDisplay(col(n)).as(n)
+      case Some(c) if c.tpe == "ip" && c.isArray => transform(col(n), ipDisplay(_)).as(n)
+      case _ => col(n)
+    }
 
   private def orderByScore(df: DataFrame): DataFrame =
     if (df.columns.contains("docId")) df.orderBy(col("score").desc, col("docId").asc)

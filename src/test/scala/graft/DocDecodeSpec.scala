@@ -149,8 +149,13 @@ class DocDecodeSpec extends AnyFunSuite {
     sess.execute("CREATE TABLE ingest_ip (id bigint primary key, addr ip)")
     sess.ingest("ingest_ip", DocDecode.Json,
       """{"id": 1, "addr": "0:0:0:0:0:0:0:1"}""".getBytes("UTF-8"))
+    // canonicalized on ingest: the alternate spelling matches by
+    // equality (both normalize to the same stored 16-byte hex form)…
+    assert(sess.execute("SELECT id FROM ingest_ip WHERE addr = '::1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // …and SELECT renders the canonical display text, not the input verbatim
     val addr = sess.execute("SELECT addr FROM ingest_ip ORDER BY id")
       .collect()(0).getString(0)
-    assert(addr === sess.canonIp("::1")) // canonicalized, not stored verbatim
+    assert(addr === "0:0:0:0:0:0:0:1")
   }
 }

@@ -204,8 +204,49 @@ class LnxSqlSpec extends AnyFunSuite {
     intercept[ParseException](sess.canonIp("deadbeef"))
     intercept[ParseException](sess.canonIp("999.0.0.1"))
     intercept[ParseException](sess.canonIp("cafe"))
-    assert(sess.canonIp("10.0.0.1") === "10.0.0.1")
-    assert(sess.canonIp("::1") === "0:0:0:0:0:0:0:1")
+    // storage form = 32-hex of the canonical 16-byte value
+    // (IPv4-mapped for dotted quads) — lexicographic == numeric order
+    assert(sess.canonIp("10.0.0.1") === "00000000000000000000ffff0a000001")
+    assert(sess.canonIp("::1") === "00000000000000000000000000000001")
+    assert(sess.canonIp("::1") === sess.canonIp("0:0:0:0:0:0:0:1"))
+  }
+
+  test("ip range predicates order numerically: 10.0.0.1 > 9.0.0.1 (apis/mod.rs:176)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ipr (id bigint PRIMARY KEY, addr ip)")
+    sess.execute("INSERT INTO ipr (id, addr) VALUES (1, '9.0.0.1'), (2, '10.0.0.1'), " +
+      "(3, '9.0.0.2'), (4, '::1'), (5, '200.1.1.1')")
+    // text order would put '10.0.0.1' < '9.0.0.1'; 16-byte order must not.
+    // '::1' (::0001) sorts below every IPv4-mapped address.
+    assert(sess.execute("SELECT id FROM ipr WHERE addr > '9.0.0.1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L, 5L))
+    assert(sess.execute("SELECT id FROM ipr WHERE addr < '9.0.0.1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(sess.execute("SELECT id FROM ipr WHERE addr >= '10.0.0.1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 5L))
+    // SELECT renders the stored hex back to display text
+    val shown = sess.execute("SELECT id, addr FROM ipr ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(shown(1L) === "9.0.0.1" && shown(2L) === "10.0.0.1")
+    assert(shown(4L) === "0:0:0:0:0:0:0:1")
+    val star = sess.execute("SELECT * FROM ipr WHERE id = 5").collect()(0)
+    assert(star.getString(star.fieldIndex("addr")) === "200.1.1.1")
+  }
+
+  test("timestamp literals parse as UTC epoch values, independent of the JVM default timezone") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE tsu (id bigint PRIMARY KEY, ts timestamp)")
+    val dflt = java.util.TimeZone.getDefault
+    try {
+      // Timestamp.valueOf would interpret this wall-clock in GMT+5:30
+      // and store an instant shifted by -19800s; the UTC parse must not
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("GMT+05:30"))
+      sess.execute("INSERT INTO tsu (id, ts) VALUES (1, '2020-01-02 03:04:05')")
+    } finally java.util.TimeZone.setDefault(dflt)
+    val got = sess.execute("SELECT id, ts FROM tsu").collect()(0).getTimestamp(1)
+    assert(got.toInstant === java.time.Instant.parse("2020-01-02T03:04:05Z"))
+    intercept[ParseException](
+      sess.execute("INSERT INTO tsu (id, ts) VALUES (2, 'not a time')"))
   }
 
   test("unsigned range checks: uint64/uint32 reject out-of-range inserts") {
