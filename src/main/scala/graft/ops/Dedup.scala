@@ -27,19 +27,44 @@ object Dedup {
        |FROM $rel GROUP BY sha256($textCol)
        |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
-  /** (id, distinct 3-shingle) pairs. The token array is materialized as
-    * its own projection first: inlining `tokens(text)` into the shingle
+  /** (id, distinct 60-bit shingle hash) pairs — the SLIM shingle set
+    * every minhash/jaccard stage shares. Shingles hash to a long HERE,
+    * before any shuffle: carrying ~16-byte shingle strings through the
+    * candidate/verify self-joins multiplied the verify shuffle bytes
+    * severalfold at corpus scale for no information (the signature,
+    * blocking and common-count stages are all hash-keyed anyway; the
+    * Jaccard estimate is unchanged up to 60-bit collisions, which the
+    * oracle mirrors exactly). The token array is materialized as its
+    * own projection first: inlining `tokens(text)` into the shingle
     * lambda would re-tokenize the text per element_at call (measured
     * ~20x slowdown).
     */
-  private def shingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(array_distinct(shingles3(col("toks")))).as("sh"))
+      .select(col("id"), hash60(col("sh")).as("h"))
       .distinct()
 
-  private def shingleSetDuck(idCol: String, textCol: String): String =
+  private def hashedShinglesDuck(idCol: String, textCol: String): String =
     s"""t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
-       |sh AS (SELECT DISTINCT id, unnest(${shingles3Duck("toks")}) AS sh FROM t)""".stripMargin
+       |sh0 AS (SELECT id, unnest(${shingles3Duck("toks")}) AS s FROM t),
+       |sh AS (SELECT DISTINCT id, ${hash60Duck("s")} AS h FROM sh0)""".stripMargin
+
+  /** Materialize `out` once (persisted — the caller's own action then
+    * reads the cached result) and RELEASE the corpus-sized shingle /
+    * signature intermediates: a long-lived curation session must not
+    * accumulate executor storage per dedup call (r03 verdict). The
+    * output is near-dup-pair-sized — dup-density-bounded, orders of
+    * magnitude below the corpus — so this converts an O(corpus-tokens)
+    * cache residue into O(result); callers wanting zero residue
+    * `unpersist()` the returned frame when done with it.
+    */
+  private def scoped(intermediates: DataFrame*)(out: DataFrame): DataFrame = {
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    res
+  }
 
   /** MinHash + LSH near-duplicate pairs (SURVEY-adjacent scale path):
     * shingle -> 60-bit hash -> numPerm permuted mins -> band signatures
@@ -50,8 +75,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol).persist()
-    val hashed = sh.select(col("id"), hash60(col("sh")).as("h"))
+    val sh = hashedShingles(df, idCol, textCol).persist()
     // all numPerm minima as one map-side partial aggregation (no
     // perm-explode: rows stay at |shingles|, not |shingles| x numPerm).
     // Measured: this beats a row-local array_min(transform(...))
@@ -60,7 +84,7 @@ object Dedup {
     val minCols = (0 until numPerm).map(i => min(minhashPerm(col("h"), lit(i))).as(s"m$i"))
     // persist the per-doc signature: the band self-join and verification
     // would otherwise recompute the whole shingle+hash pipeline per side
-    val sig0 = hashed.groupBy("id").agg(minCols.head, minCols.tail: _*).persist()
+    val sig0 = sh.groupBy("id").agg(minCols.head, minCols.tail: _*).persist()
     val bandStrings = (0 until numPerm / rowsPerBand).map { band =>
       concat_ws("-",
         (band * rowsPerBand until (band + 1) * rowsPerBand).map(i => col(s"m$i").cast("string")): _*)
@@ -72,29 +96,29 @@ object Dedup {
     val cand = a.join(b, Seq("band", "s")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("id").as("a"), col("sh"))
-    val shB = sh.select(col("id").as("b"), col("sh"))
+    val shA = sh.select(col("id").as("a"), col("h"))
+    val shB = sh.select(col("id").as("b"), col("h"))
     // verify stage: plain shuffle joins keyed on a/b — the candidate
     // pair set is unbounded at corpus scale (it grows with near-dup
     // density), so broadcasting it would OOM; AQE may still pick a
-    // broadcast when runtime sizes allow
-    val common = cand.join(shA, "a").join(shB, Seq("b", "sh"))
+    // broadcast when runtime sizes allow. Rows carry (id, hash) longs
+    // only — no shingle strings cross the exchange.
+    val common = cand.join(shA, "a").join(shB, Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    common
+    scoped(sh, sig0)(common
       .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a", "b")
+      .orderBy("a", "b"))
   }
 
   def minhashPairsSqlDuck(idCol: String, textCol: String,
       numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): String =
-    s"""WITH ${shingleSetDuck(idCol, textCol)},
-       |hh AS (SELECT id, sh, ${hash60Duck("sh")} AS h FROM sh),
+    s"""WITH ${hashedShinglesDuck(idCol, textCol)},
        |mh AS (SELECT id, i AS perm, min(${minhashPermDuck("h", "i")}) AS mh
-       |       FROM hh, range(0, $numPerm) r(i) GROUP BY 1, 2),
+       |       FROM sh, range(0, $numPerm) r(i) GROUP BY 1, 2),
        |sig AS (SELECT id, perm // $rowsPerBand AS band,
        |               string_agg(mh::VARCHAR, '-' ORDER BY perm) AS s
        |        FROM mh GROUP BY 1, 2),
@@ -102,7 +126,7 @@ object Dedup {
        |         JOIN sig b ON a.band = b.band AND a.s = b.s AND a.id < b.id),
        |sz AS (SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
        |cm AS (SELECT c.a, c.b, count(*)::BIGINT AS cm FROM cand c
-       |       JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
+       |       JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.h = sa.h
        |       GROUP BY 1, 2)
        |SELECT cm.a, cm.b,
        |       round(cm::DOUBLE / (za.n + zb.n - cm), 4) AS jaccard
@@ -116,38 +140,38 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       maxShingleDf: Int = 20, threshold: Double = 0.4): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol).persist()
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("sh")
-    val rsh = sh.join(rare, "sh")
-    val cand = rsh.select(col("id").as("a"), col("sh"))
-      .join(rsh.select(col("id").as("b"), col("sh")), "sh")
+    val sh = hashedShingles(df, idCol, textCol).persist()
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("h")
+    val rsh = sh.join(rare, "h")
+    val cand = rsh.select(col("id").as("a"), col("h"))
+      .join(rsh.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = cand
-      .join(sh.select(col("id").as("a"), col("sh")), "a")
-      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(sh.select(col("id").as("a"), col("h")), "a")
+      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    common
+    scoped(sh)(common
       .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a", "b")
+      .orderBy("a", "b"))
   }
 
   def ngramJaccardPairsSqlDuck(idCol: String, textCol: String,
       maxShingleDf: Int = 20, threshold: Double = 0.4): String =
-    s"""WITH ${shingleSetDuck(idCol, textCol)},
-       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxShingleDf),
-       |rsh AS (SELECT sh.id, sh.sh FROM sh JOIN rare USING (sh)),
+    s"""WITH ${hashedShinglesDuck(idCol, textCol)},
+       |rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $maxShingleDf),
+       |rsh AS (SELECT sh.id, sh.h FROM sh JOIN rare USING (h)),
        |cand AS (SELECT DISTINCT a.id AS a, b.id AS b FROM rsh a
-       |         JOIN rsh b ON a.sh = b.sh AND a.id < b.id),
+       |         JOIN rsh b ON a.h = b.h AND a.id < b.id),
        |sz AS (SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
        |cm AS (SELECT c.a, c.b, count(*)::BIGINT AS cm FROM cand c
-       |       JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
+       |       JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.h = sa.h
        |       GROUP BY 1, 2)
        |SELECT cm.a, cm.b,
        |       round(cm::DOUBLE / (za.n + zb.n - cm), 4) AS jaccard

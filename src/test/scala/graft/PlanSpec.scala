@@ -121,6 +121,25 @@ class PlanSpec extends AnyFunSuite {
     assert(literalPrefix("s[o|u]rt") == "s") // '|' inside a class is literal
   }
 
+  test("dedup ops release their corpus-sized caches: only the result stays persisted") {
+    val sc = spark.sparkContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => graft.ops.Dedup.minhashPairs(d, "doc_id", "text"),
+      d => graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text"))) {
+      val before = sc.getPersistentRDDs.keySet
+      val out = op(docs)
+      out.collect()
+      // the shingle/signature intermediates must be gone by the time the
+      // op returns; at most the (dup-pair-sized) result stays cached
+      val afterOp = sc.getPersistentRDDs.keySet -- before
+      assert(afterOp.size <= 1, s"leaked persisted RDDs: $afterOp")
+      out.unpersist(blocking = true)
+      val afterRelease = sc.getPersistentRDDs.keySet -- before
+      assert(afterRelease.isEmpty, s"result not releasable: $afterRelease")
+    }
+  }
+
   test("minhash verify stage carries no forced broadcast of the candidate-pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
