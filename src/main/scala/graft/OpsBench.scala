@@ -129,6 +129,19 @@ object OpsBench {
     results("lsh_cosine_sec") = tLsh
     results("lsh_docs_per_sec") = nDocs.toDouble / tLsh
 
+    // IVF observability: with auto-K (= sqrt(N)) the per-query candidate
+    // set must grow ~sqrt(N) across size legs, not linearly (r03 weak #1)
+    System.err.println(s"[opsbench] LSH done in $tLsh s ($nLsh pairs), probing IVF candidates")
+    val (ivfRows, tIvf) = Bench.time(
+      graft.ops.Similarity.ivfCandidateCounts(emb, "vec_id", "embedding").collect())
+    if (ivfRows.nonEmpty) {
+      results("ivf_num_centroids") = ivfRows(0).getLong(2).toDouble
+      results("ivf_avg_candidates") =
+        ivfRows.map(_.getLong(1)).sum.toDouble / ivfRows.length
+      results("ivf_max_candidates") = ivfRows.map(_.getLong(1)).max.toDouble
+    }
+    results("ivf_probe_sec") = tIvf
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"ops_bench","nDocs":$nDocs,"cpus":$cpus,"queries":$qs}""")
     spark.stop()

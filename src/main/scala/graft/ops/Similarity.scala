@@ -66,17 +66,23 @@ object Similarity {
   private def centroidHashDuck(vid: String): String =
     s"(($vid * 48271) % 2147483647)"
 
-  /** IVF-bucketed ANN (the scale path): fixed-K deterministic
-    * centroids, each vector assigned to its nearest centroid via a
-    * broadcast argmax (K rows, constant), queries probe their `nProbe`
-    * nearest clusters. Recall < 1 by construction; the exactness
-    * contract is vs. the identically-bucketed oracle.
+  /** Auto centroid count K = max(8, ceil(sqrt(N))): the r03-flagged
+    * fixed K=8 made per-query candidate sets O(N/8) — linear in the
+    * corpus; K ~ sqrt(N) keeps them O(nProbe x sqrt(N)). Deterministic
+    * from the corpus count alone, so the DuckDB oracle derives the
+    * identical K with a scalar subquery.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      numCentroids: Int = 8, nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+  private def autoCentroids(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** (qid, qv, vid, v, cluster) candidate frame shared by ivfTopK and
+    * the candidate-count observability leg: deterministic hash-ranked
+    * centroids, broadcast argmax assignment, queries probing their
+    * nProbe nearest clusters.
+    */
+  private def ivfCandidates(e: DataFrame, kCent: Int, nProbe: Int, nQueries: Int): DataFrame = {
     val cents = e.withColumn("hk", centroidHash(col("vid")))
-      .orderBy(col("hk").asc, col("vid").asc).limit(numCentroids)
+      .orderBy(col("hk").asc, col("vid").asc).limit(kCent)
       .select(col("vid").as("cid"), col("v").as("cv"))
     val scoredC = e.join(broadcast(cents), lit(true))
       .withColumn("cc", cosine(col("cv"), col("v")))
@@ -88,8 +94,22 @@ object Similarity {
     // single-assigned, so probe sets never duplicate a candidate)
     val qProbe = ranked.filter(col("vid") < nQueries && col("rn") <= nProbe)
       .select(col("vid").as("qid"), col("v").as("qv"), col("cid").as("cluster"))
-    val cand = assigned.join(broadcast(qProbe), Seq("cluster"))
+    assigned.join(broadcast(qProbe), Seq("cluster"))
       .filter(col("vid") =!= col("qid"))
+  }
+
+  /** IVF-bucketed ANN (the scale path): deterministic hash-ranked
+    * centroids (K = sqrt(N) by default, see autoCentroids), each vector
+    * assigned to its nearest centroid via a broadcast argmax (K rows),
+    * queries probe their `nProbe` nearest clusters. Recall < 1 by
+    * construction; the exactness contract is vs. the identically-
+    * bucketed oracle. numCentroids <= 0 selects the auto-K.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 0, nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val kCent = if (numCentroids > 0) numCentroids else autoCentroids(e.count())
+    val cand = ivfCandidates(e, kCent, nProbe, nQueries)
       .withColumn("c", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -99,11 +119,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-query candidate-set sizes for the IVF path — the scale
+    * observability leg (candidates must grow ~sqrt(N), not N).
+    */
+  def ivfCandidateCounts(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 0, nProbe: Int = 2, nQueries: Int = 5): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val kCent = if (numCentroids > 0) numCentroids else autoCentroids(e.count())
+    ivfCandidates(e, kCent, nProbe, nQueries)
+      .groupBy("qid").agg(count(lit(1)).as("candidates"))
+      .withColumn("num_centroids", lit(kCent.toLong))
+      .orderBy("qid")
+  }
+
   def ivfTopKSqlDuck(idCol: String, vecCol: String,
-      numCentroids: Int = 8, nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): String =
+      numCentroids: Int = 0, nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): String = {
+    val kExpr =
+      if (numCentroids > 0) numCentroids.toString
+      else "(SELECT greatest(8, ceil(sqrt(count(*)))::BIGINT) FROM e)"
     s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vid AS cid, v AS cv FROM e
-       |          ORDER BY ${centroidHashDuck("vid")} ASC, vid ASC LIMIT $numCentroids),
+       |cents AS (SELECT vid AS cid, v AS cv FROM
+       |            (SELECT vid, v, row_number() OVER
+       |               (ORDER BY ${centroidHashDuck("vid")} ASC, vid ASC) AS crn FROM e)
+       |          WHERE crn <= $kExpr),
        |sc AS (SELECT e.vid, e.v, c.cid,
        |         list_dot_product(c.cv, e.v) /
        |         (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(e.v, e.v))) AS cc
@@ -122,6 +160,7 @@ object Similarity {
        |SELECT qid AS query_id, rank::BIGINT AS rank, vid AS neighbor_id,
        |       round(c, 4) AS cosine
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed with fixed-K
     * centroids, quadratic blow-up BOUNDED: clusters larger than
