@@ -111,8 +111,9 @@ object Analyzer {
   *    dictionary sanity cap, the raw analogue of RemoveLongFilter).
   *  - `whitespace`: split on whitespace runs only — no lowercasing, no
   *    camelCase splitting (tantivy's whitespace tokenizer).
-  *  - `en_stem`: the default analysis followed by Porter stemming per
-  *    token (tantivy's en_stem registry entry; PorterStemmer).
+  *  - `en_stem`: the default analysis followed by Snowball English
+  *    ("Porter2") stemming per token — the algorithm tantivy's en_stem
+  *    registry entry runs via rust-stemmers (SnowballStemmer).
   *
   * Unknown names are rejected at CREATE TABLE instead of silently
   * falling back to the default analyzer.
@@ -129,7 +130,7 @@ object Tokenizers {
       if (s.isEmpty || s.length > MaxRawLen) Array.empty else Array(s)
     case "whitespace" =>
       s.split("\\s+").filter(t => t.nonEmpty && t.length <= Analyzer.MaxTokenLen)
-    case "en_stem" => Analyzer.tokenize(s).map(PorterStemmer.stem)
+    case "en_stem" => Analyzer.tokenize(s).map(SnowballStemmer.stem)
     case _ => Analyzer.tokenize(s)
   }
 

@@ -256,15 +256,23 @@ object Multimodal {
             var dataOff = -1
             var dataLen = 0
             var pcm16 = false
-            while (off + 8 <= bytes.length && dataOff < 0) {
+            var corrupt = false
+            while (off + 8 <= bytes.length && dataOff < 0 && !corrupt) {
               val ck = new String(bytes, off, 4, "US-ASCII")
               val sz = le32At(bytes, off + 4)
-              if (ck == "fmt " && sz >= 16)
-                pcm16 = le16At(bytes, off + 8) == 1 && le16At(bytes, off + 22) == 16 &&
-                  le16At(bytes, off + 10) == 1 // PCM, 16-bit, mono
-              else if (ck == "data") { dataOff = off + 8; dataLen = sz }
-              off += 8 + sz + (sz & 1) // chunks are word-aligned
-            }
+              // le32At is SIGNED: a crafted size >= 2^31 comes back
+              // negative and would advance `off` by zero or backwards,
+              // spinning this task forever — a hang is worse than the
+              // abort the lenient contract already forbids, so bail
+              if (sz < 0) corrupt = true
+              else {
+                if (ck == "fmt " && sz >= 16)
+                  pcm16 = le16At(bytes, off + 8) == 1 && le16At(bytes, off + 22) == 16 &&
+                    le16At(bytes, off + 10) == 1 // PCM, 16-bit, mono
+                else if (ck == "data") { dataOff = off + 8; dataLen = sz }
+                off += 8 + sz + (sz & 1) // chunks are word-aligned
+              }
+            } // corrupt exits with dataOff = -1 -> the guard below yields empty
             val nSamples = dataLen / 2
             if (!pcm16 || dataOff < 0 || nSamples == 0 ||
                 dataOff + dataLen > bytes.length) Iterator.empty

@@ -53,13 +53,16 @@ object DocDecode {
     val spark = df.sparkSession
     format match {
       case Json | NdJson =>
-        // codegen path: split to lines, from_json each line
+        // codegen path: split to lines, from_json each line. FAILFAST
+        // matches the driver-side decode() contract: a malformed line
+        // must error loudly, not surface as an all-null row (PERMISSIVE
+        // from_json returns a null struct for garbage)
         val lines =
           if (format == Json) array(col(payloadCol).cast("string"))
           else split(col(payloadCol).cast("string"), "\n")
         df.select(explode(lines).as("__line"))
           .filter(length(trim(col("__line"))) > 0)
-          .select(from_json(col("__line"), schema).as("d"))
+          .select(from_json(col("__line"), schema, Map("mode" -> "FAILFAST")).as("d"))
           .select(col("d.*"))
       case Msgpack =>
         val rdd = df.select(col(payloadCol)).rdd.mapPartitions { it =>
@@ -150,6 +153,16 @@ object MsgPack {
       (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
     def i64(i: Int): Long = (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | u8(i + k))
     def need(n: Int): Unit = require(pos + n <= b.length, s"truncated msgpack at $pos")
+    // 32-bit lengths/counts arrive as unsigned; a crafted value >= 2^31
+    // would narrow negative via toInt and make the arr/map loops silently
+    // yield EMPTY collections at a misaligned offset — validate against
+    // the remaining payload first (an element/byte needs >= 1 byte, so
+    // any honest length is <= bytes remaining) and fail LOUDLY otherwise
+    def len32(i: Int, what: String): Int = {
+      val n = u32(i)
+      require(n <= (b.length - pos).toLong, s"$what length $n exceeds payload at $pos")
+      n.toInt
+    }
     def str(off: Int, len: Int): (String, Int) = {
       require(pos + off + len <= b.length, s"truncated str at $pos")
       (new String(b, pos + off, len, UTF_8), pos + off + len)
@@ -192,7 +205,7 @@ object MsgPack {
       case 0xC3 => (true, pos + 1)
       case 0xC4 => need(2); bin(2, u8(pos + 1))
       case 0xC5 => need(3); bin(3, u16(pos + 1))
-      case 0xC6 => need(5); bin(5, u32(pos + 1).toInt)
+      case 0xC6 => need(5); bin(5, len32(pos + 1, "bin32"))
       case 0xCA => need(5); (java.lang.Float.intBitsToFloat(u32(pos + 1).toInt).toDouble, pos + 5)
       case 0xCB => need(9); (java.lang.Double.longBitsToDouble(i64(pos + 1)), pos + 9)
       case 0xCC => need(2); (u8(pos + 1).toLong, pos + 2)
@@ -211,11 +224,11 @@ object MsgPack {
       case 0xD3 => need(9); (i64(pos + 1), pos + 9)
       case 0xD9 => need(2); str(2, u8(pos + 1))
       case 0xDA => need(3); str(3, u16(pos + 1))
-      case 0xDB => need(5); str(5, u32(pos + 1).toInt)
+      case 0xDB => need(5); str(5, len32(pos + 1, "str32"))
       case 0xDC => need(3); arr(3, u16(pos + 1))
-      case 0xDD => need(5); arr(5, u32(pos + 1).toInt)
+      case 0xDD => need(5); arr(5, len32(pos + 1, "arr32"))
       case 0xDE => need(3); map(3, u16(pos + 1))
-      case 0xDF => need(5); map(5, u32(pos + 1).toInt)
+      case 0xDF => need(5); map(5, len32(pos + 1, "map32"))
       case 0xC1 => throw new IllegalArgumentException(s"invalid msgpack tag 0xC1 at $pos")
       case t => throw new IllegalArgumentException(
         f"unsupported msgpack tag 0x$t%02X at $pos (ext types are not documents)")

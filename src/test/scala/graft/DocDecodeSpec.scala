@@ -73,6 +73,17 @@ class DocDecodeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MsgPack.decodeValue(big, 0))
     // non-map document
     intercept[IllegalArgumentException](MsgPack.decodeDocs(MsgPack.encode(Seq(1L, 2L))))
+    // crafted 32-bit lengths >= 2^31: previously narrowed NEGATIVE via
+    // toInt, making arr/map decode a silently-empty collection at a
+    // misaligned offset — must fail loudly instead
+    for (tag <- Seq(0xDB, 0xDD, 0xDF, 0xC6)) {
+      val crafted = Array[Byte](tag.toByte, 0x80.toByte, 0, 0, 0) ++
+        Array.fill[Byte](16)(0)
+      intercept[IllegalArgumentException](MsgPack.decodeValue(crafted, 0))
+    }
+    // and an in-range-but-over-payload 32-bit count also fails loudly
+    val overCount = Array[Byte](0xDD.toByte, 0, 0, 0x10, 0) // arr32 of 4096 elems, no bytes
+    intercept[IllegalArgumentException](MsgPack.decodeValue(overCount, 0))
   }
 
   test("msgpack top-level shapes: single map, array of maps, concatenated stream") {
@@ -121,6 +132,17 @@ class DocDecodeSpec extends AnyFunSuite {
     val out2 = DocDecode.decodePayloads(ndPayloads.toDF("payload"), "payload",
       DocDecode.NdJson, schema)
     assert(out2.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(10L, 11L))
+  }
+
+  test("decodePayloads(json/ndjson) fails loudly on malformed lines, like driver-side decode") {
+    import spark.implicits._
+    val bad = Seq("{\"id\": 20}\nnot json at all\n{\"id\": 21}".getBytes("UTF-8"))
+    val out = DocDecode.decodePayloads(bad.toDF("payload"), "payload",
+      DocDecode.NdJson, schema)
+    val e = intercept[Exception](out.collect())
+    // FAILFAST surfaces as a SparkException chain, never as all-null rows
+    assert(e.toString.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.toString.toLowerCase.contains("malformed")), e.toString)
   }
 
   test("session ingest: msgpack payload upserts by primary key") {

@@ -96,6 +96,25 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) === Multimodal.sampleValue(5L, r.getLong(2))))
   }
 
+  test("frame sampling bails on a negative RIFF chunk size instead of spinning") {
+    import spark.implicits._
+    // chunk size 0xFFFFFFF8 reads back as -8 through the signed le32:
+    // off += 8 + sz + (sz & 1) would then advance by ZERO and hang the
+    // task forever — the walk must yield no rows and terminate
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("RIFF".getBytes("US-ASCII")); evil.write(Array[Byte](36, 0, 0, 0))
+    evil.write("WAVE".getBytes("US-ASCII"))
+    evil.write("junk".getBytes("US-ASCII"))
+    evil.write(Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)) // sz = -8
+    evil.write(Array.fill[Byte](32)(0))
+    val df = Seq((1L, evil.toByteArray)).toDF("doc_id", "payload")
+    val fut = scala.concurrent.Future(
+      Multimodal.sampleFrames(df, "doc_id", "payload", nFrames = 4).collect())(
+      scala.concurrent.ExecutionContext.global)
+    val rows = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration("60s"))
+    assert(rows.isEmpty)
+  }
+
   test("resize plan: integer aspect-fit matches the oracle arithmetic") {
     import spark.implicits._
     val payloads = Multimodal.syntheticPayload(spark.range(0, 30).toDF("doc_id"), "doc_id")
