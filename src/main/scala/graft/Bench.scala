@@ -22,6 +22,25 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Single-thread CPU-steal calibration: 1e9 xorshift64 rounds of pure
+    * register arithmetic — fixed work whose wall time scales 1:1 with
+    * host CPU steal (this VM swings ~4-5x between regimes, BENCH.md, so
+    * raw cross-round wall comparisons are meaningless without it).
+    * Cross-round comparisons should use latency / calib_sec.
+    */
+  def calibrate(): Double = {
+    var x = 88172645463325252L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 1000000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("xorshift fixpoint") // keep the loop live
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -43,6 +62,9 @@ object Bench {
     val sf = sfDir.split("sf").last.toDouble
     val nCorpus = math.max(5000L, (sf * 500000).toLong) // sf0.1 -> 50k files
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // steal calibration brackets the run (the regime can shift mid-run)
+    val calibStart = calibrate()
 
     // 1. index-build throughput on the synthetic source-code corpus.
     // Partitioning is scale-dependent: 4 task waves win at millions of
@@ -125,11 +147,20 @@ object Bench {
     val filesPerSec = nCorpus.toDouble / tBuild
     results("build_files_per_sec") = filesPerSec
 
+    val calibEnd = calibrate()
+    val calib = (calibStart + calibEnd) / 2
+    results("calib_start_sec") = calibStart
+    results("calib_end_sec") = calibEnd
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results // only latencies sum into the headline (not rates/counters)
-      .filterNot { case (k, _) => k == "build_files_per_sec" || k.startsWith("wand_blocks") }
+    val total = results // only latencies sum into the headline (not rates/counters/calibration)
+      .filterNot { case (k, _) =>
+        k == "build_files_per_sec" || k.startsWith("wand_blocks") || k.startsWith("calib") }
       .values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total_norm = total in units of the calibration loop: regime-free
+    // cross-round comparisons compare THIS, not raw wall seconds
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,""" +
+      s""""total_norm":${total / calib},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

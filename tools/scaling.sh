@@ -1,0 +1,17 @@
+#!/bin/bash
+# 4-point scaling curve (north-rule evidence): one JVM per level —
+# same-JVM runs inherit each other's GC/JIT state — all levels run
+# back-to-back in ONE session so they share a host-steal regime, and
+# each LEVEL line carries its own calibration marker (Bench.calibrate).
+#
+#   LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec>
+#
+# Usage: tools/scaling.sh [docs]   (default 80000)
+set -e
+cd "$(dirname "$0")/.."
+export SPARK_GRAFT_LOCAL_DIR=${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/spark-tmp}
+mkdir -p "$SPARK_GRAFT_LOCAL_DIR"
+export SPARK_GRAFT_SCALE_DOCS=${1:-${SPARK_GRAFT_SCALE_DOCS:-80000}}
+for c in 4 8 16 32; do
+  sbt -batch "runMain graft.ScalingBench $c" 2>/dev/null | grep '^LEVEL'
+done
