@@ -11,8 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict sequential-fold cosine over two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Strict sequential-fold cosine over two array<double> columns —
+    * a native one-pass codegen'd expression (`functions.CosineSim`);
+    * the HOF formulation below is retained only as the parity
+    * reference (VectorOpsSpec asserts bit-identical results).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
+
+  /** The original higher-order-function cosine: allocates a zipped
+    * array and interprets two lambdas per element, which dominated the
+    * N x K IVF assignment leg at 200k vectors. Kept as the spec's
+    * independent reference implementation.
+    */
+  private[graft] def hofCosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -75,24 +87,47 @@ object Similarity {
   private def autoCentroids(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  /** (qid, qv, vid, v, cluster) candidate frame shared by ivfTopK and
-    * the candidate-count observability leg: deterministic hash-ranked
-    * centroids, broadcast argmax assignment, queries probing their
-    * nProbe nearest clusters.
-    */
-  private def ivfCandidates(e: DataFrame, kCent: Int, nProbe: Int, nQueries: Int): DataFrame = {
-    val cents = e.withColumn("hk", centroidHash(col("vid")))
+  /** Deterministic hash-ranked centroid frame (cid, cv). */
+  private def centroidFrame(e: DataFrame, kCent: Int): DataFrame =
+    e.withColumn("hk", centroidHash(col("vid")))
       .orderBy(col("hk").asc, col("vid").asc).limit(kCent)
       .select(col("vid").as("cid"), col("v").as("cv"))
-    val scoredC = e.join(broadcast(cents), lit(true))
+
+  /** Nearest-centroid assignment (vid, v, cluster) as a map-side
+    * max_by aggregate: the broadcast join still evaluates the required
+    * N x K cosines, but the per-vid argmax collapses in the PARTIAL
+    * aggregate (rows for one vid are generated inside one partition),
+    * so no N x K exchange ever materializes. The previous window-based
+    * argmax (partitionBy(vid) + row_number) shuffled all N x K rows
+    * with BOTH vectors attached (~1 KB each) — with K = sqrt(N) that
+    * is a terabyte-class exchange at 1M x dim64, dead on arrival.
+    * Tie-break (max cc, then min cid, via the (cc, -cid) struct order)
+    * equals the oracle's ORDER BY cc DESC, cid ASC exactly.
+    */
+  private def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
+    val slim = e.join(broadcast(cents), lit(true))
       .withColumn("cc", cosine(col("cv"), col("v")))
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cid").asc)
-    val ranked = scoredC.withColumn("rn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("cid").as("cluster"))
-    // queries probe their nProbe nearest clusters (vectors stay
-    // single-assigned, so probe sets never duplicate a candidate)
-    val qProbe = ranked.filter(col("vid") < nQueries && col("rn") <= nProbe)
+      .groupBy("vid")
+      .agg(max_by(col("cid"), struct(col("cc"), col("cid") * lit(-1L))).as("cluster"))
+    e.join(slim, "vid").select(col("vid"), col("v"), col("cluster"))
+  }
+
+  /** (qid, qv, vid, v, cluster) candidate frame shared by ivfTopK and
+    * the candidate-count observability leg: deterministic hash-ranked
+    * centroids, map-side argmax assignment, queries probing their
+    * nProbe nearest clusters (the query-side ranking IS a window, but
+    * over nQueries x K rows — constant-sized).
+    */
+  private def ivfCandidates(e: DataFrame, kCent: Int, nProbe: Int, nQueries: Int): DataFrame = {
+    val cents = centroidFrame(e, kCent)
+    val assigned = assignClusters(e, cents)
+    val qScored = e.filter(col("vid") < nQueries)
+      .join(broadcast(cents), lit(true))
+      .withColumn("cc", cosine(col("cv"), col("v")))
+    val wq = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cid").asc)
+    // vectors stay single-assigned, so probe sets never duplicate a candidate
+    val qProbe = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
       .select(col("vid").as("qid"), col("v").as("qv"), col("cid").as("cluster"))
     assigned.join(broadcast(qProbe), Seq("cluster"))
       .filter(col("vid") =!= col("qid"))
@@ -176,14 +211,7 @@ object Similarity {
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int = 8, threshold: Double = 0.45, maxBlock: Int = 64): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val cents = e.withColumn("hk", centroidHash(col("vid")))
-      .orderBy(col("hk").asc, col("vid").asc).limit(numCentroids)
-      .select(col("vid").as("cid"), col("v").as("cv"))
-    val scoredC = e.join(broadcast(cents), lit(true))
-      .withColumn("cc", cosine(col("cv"), col("v")))
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cid").asc)
-    val assigned = scoredC.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vid"), col("v"), col("cid").as("cluster"))
+    val assigned = assignClusters(e, centroidFrame(e, numCentroids))
     // exact integer arithmetic end-to-end (div, pmod) so the DuckDB
     // oracle derives the identical block assignment
     val blocked = assigned
@@ -232,9 +260,16 @@ object Similarity {
   /** Random-hyperplane LSH signature (SimHash over embeddings): bit p =
     * sign of the dot product with pseudo-random +-1 hyperplane p. Strict
     * left-to-right fold in both engines, so near-zero dots resolve the
-    * same bit.
+    * same bit. Native one-pass expression (`functions.HyperplaneSig`);
+    * the HOF form below is the spec's parity reference.
     */
-  def lshSignature(v: Column, nBits: Int): Column = {
+  def lshSignature(v: Column, nBits: Int): Column =
+    graft.functions.VectorOps.hyperplaneSigCol(v, nBits)
+
+  /** Original HOF signature: nBits separate zip_with/aggregate passes
+    * per row. Kept for VectorOpsSpec parity assertions only.
+    */
+  private[graft] def hofLshSignature(v: Column, nBits: Int): Column = {
     val idx = sequence(lit(0L), size(v).cast("long") - 1L)
     val bits = (0 until nBits).map { p =>
       val dot = aggregate(
