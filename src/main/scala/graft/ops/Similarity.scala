@@ -104,13 +104,18 @@ object Similarity {
     * Tie-break (max cc, then min cid, via the (cc, -cid) struct order)
     * equals the oracle's ORDER BY cc DESC, cid ASC exactly.
     */
-  private def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
-    val slim = e.join(broadcast(cents), lit(true))
+  private def assignClusters(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
       .withColumn("cc", cosine(col("cv"), col("v")))
       .groupBy("vid")
-      .agg(max_by(col("cid"), struct(col("cc"), col("cid") * lit(-1L))).as("cluster"))
-    e.join(slim, "vid").select(col("vid"), col("v"), col("cluster"))
-  }
+      // every row of a vid-group carries the SAME v (the group is one
+      // input row x K broadcast centroids), so any_value rides the
+      // vector through the aggregate — no join-back of (vid, cluster)
+      // to e, which would cost two more vid-keyed exchanges
+      .agg(
+        any_value(col("v")).as("v"),
+        max_by(col("cid"), struct(col("cc"), col("cid") * lit(-1L))).as("cluster"))
+      .select(col("vid"), col("v"), col("cluster"))
 
   /** (qid, qv, vid, v, cluster) candidate frame shared by ivfTopK and
     * the candidate-count observability leg: deterministic hash-ranked
