@@ -61,7 +61,8 @@ object ScalingBench {
     * in this JVM and prints a single line (docIdStrategy: keyRange |
     * scan — see IndexConfig); with no args, runs both levels in-process
     * (subject to same-JVM GC interference — prefer one JVM per level,
-    * see tools/scaling.sh).
+    * see tools/scaling.sh). The no-arg path writes its summary to
+    * SCALING.md — NOT BENCH.md, which is hand-curated across rounds.
     */
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "80000").toLong
@@ -76,7 +77,7 @@ object ScalingBench {
     val eff = hi.filesPerSec / (4.0 * lo.filesPerSec)
     val qSpeedup = lo.queryBatchSec / hi.queryBatchSec
     val md =
-      s"""# BENCH — scaling evidence (local[8] vs local[32], same input)
+      s"""# SCALING — scaling evidence (local[8] vs local[32], same input)
          |
          |North rule: throughput scaling efficiency >= 0.8 between N and 4N
          |parallelism. No real cluster in this sandbox (BASELINE.md), so the
@@ -98,7 +99,7 @@ object ScalingBench {
          |
          |Generated by `sbt "runMain graft.ScalingBench"` (SPARK_GRAFT_SCALE_DOCS=$nDocs).
          |""".stripMargin
-    Files.write(Paths.get("BENCH.md"), md.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get("SCALING.md"), md.getBytes(StandardCharsets.UTF_8))
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
       s""""build8":${lo.buildSec},"build32":${hi.buildSec},""" +
       s""""files_per_sec8":${lo.filesPerSec},"files_per_sec32":${hi.filesPerSec}}""")

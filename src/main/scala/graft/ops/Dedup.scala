@@ -66,6 +66,28 @@ object Dedup {
     res
   }
 
+  /** Restrict the corpus-sized shingle set to candidate documents before
+    * the exact-Jaccard verify joins. The candidate-doc id set is tiny
+    * relative to the corpus (dup-density-bounded), so when its size is
+    * known to fit (`2*nCand <= broadcastIdLimit`) it is broadcast and the
+    * semi-join streams the cached shingle partitions map-side — the
+    * verify stage then never shuffles corpus-sized data, in ANY planner
+    * regime. This must not rely on AQE's runtime broadcast conversion:
+    * the materializing persist in `scoped` plans its child statically
+    * (cached plans don't re-plan adaptively), which r4 measured as a 4x
+    * wall regression when the verify joins fell back to sort-merge over
+    * the full shingle frame. Above the gate the semi-join degrades to a
+    * shuffle join — still keyed on slim longs, still candidate-bounded
+    * output.
+    */
+  private def candidateShingles(sh: DataFrame, cand: DataFrame, nCand: Long,
+      broadcastIdLimit: Long): DataFrame = {
+    val candDocs = cand.select(col("a").as("id"))
+      .union(cand.select(col("b").as("id"))).distinct()
+    val cd = if (2 * nCand <= broadcastIdLimit) broadcast(candDocs) else candDocs
+    sh.join(cd, "id")
+  }
+
   /** MinHash + LSH near-duplicate pairs (SURVEY-adjacent scale path):
     * shingle -> 60-bit hash -> numPerm permuted mins -> band signatures
     * -> bucket self-join for candidates -> exact Jaccard verification.
@@ -74,7 +96,8 @@ object Dedup {
     * collisions (band width tunes precision/recall).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol).persist()
     // all numPerm minima as one map-side partial aggregation (no
     // perm-explode: rows stay at |shingles|, not |shingles| x numPerm).
@@ -94,18 +117,20 @@ object Dedup {
     val a = sig.select(col("id").as("a"), col("band"), col("s"))
     val b = sig.select(col("id").as("b"), col("band"), col("s"))
     val cand = a.join(b, Seq("band", "s")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("id").as("a"), col("h"))
-    val shB = sh.select(col("id").as("b"), col("h"))
-    // verify stage: plain shuffle joins keyed on a/b — the candidate
-    // pair set is unbounded at corpus scale (it grows with near-dup
-    // density), so broadcasting it would OOM; AQE may still pick a
-    // broadcast when runtime sizes allow. Rows carry (id, hash) longs
-    // only — no shingle strings cross the exchange.
-    val common = cand.join(shA, "a").join(shB, Seq("b", "h"))
+      .select("a", "b").distinct().persist()
+    val nCand = cand.count()
+    // verify stage over CANDIDATE shingles only (see candidateShingles):
+    // the pair set itself is never broadcast (unbounded at corpus scale
+    // — it grows with near-dup density); the id semi-join bounds every
+    // downstream join input by candidate size, and sizes (na/nb) come
+    // from the restricted set too (a candidate doc's shingle rows are
+    // all retained, so the counts equal the full-corpus sizes).
+    val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
+    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = cand.join(shc.select(col("id").as("a"), col("h")), "a")
+      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    scoped(sh, sig0)(common
+    scoped(sh, sig0, cand, shc)(common
       .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
@@ -139,7 +164,8 @@ object Dedup {
     * self-join fan-out under hot shingles — the skew lever).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      maxShingleDf: Int = 20, threshold: Double = 0.4): DataFrame = {
+      maxShingleDf: Int = 20, threshold: Double = 0.4,
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol).persist()
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("h")
@@ -147,13 +173,17 @@ object Dedup {
     val cand = rsh.select(col("id").as("a"), col("h"))
       .join(rsh.select(col("id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      .select("a", "b").distinct().persist()
+    val nCand = cand.count()
+    // candidate-bounded verify, same shape as minhashPairs (see
+    // candidateShingles for the no-AQE-reliance rationale)
+    val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
+    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
     val common = cand
-      .join(sh.select(col("id").as("a"), col("h")), "a")
-      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .join(shc.select(col("id").as("a"), col("h")), "a")
+      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    scoped(sh)(common
+    scoped(sh, cand, shc)(common
       .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))

@@ -140,12 +140,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("minhash verify stage carries no forced broadcast of the candidate-pair set") {
+  test("minhash verify broadcasts only the gated candidate-ID set, never the pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    // default gate: the (count-verified tiny) candidate-doc ID frame is
+    // broadcast so the verify semi-join never shuffles the corpus-sized
+    // shingle set — and the hint must cover ONLY an ids projection
     val df = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text")
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.isEmpty, s"candidate pairs must not be broadcast (unbounded at scale): $hints")
+    assert(hints.nonEmpty, "expected the candidate-ID semi-join side to carry a broadcast hint")
+    assert(hints.forall(_.child.output.map(_.name) == Seq("id")),
+      s"only the ids-only frame may be broadcast: ${hints.map(_.child.output.map(_.name))}")
+    // gate closed (limit 0): no broadcast anywhere — the unbounded-pair
+    // fallback is a plain shuffle join
+    val gated = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text", broadcastIdLimit = 0L)
+    val gh = gated.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(gh.isEmpty, s"gate closed must not broadcast: $gh")
+    gated.unpersist(blocking = true)
+    df.unpersist(blocking = true)
   }
 
   test("LSH near-dup plan: banded self-join is an equi-join, never a cartesian product") {
