@@ -85,13 +85,20 @@ object OracleSql {
        |$scorer
        |${topK(k, 1)}""".stripMargin
 
-  /** Prefix query: dictionary expansion LIKE 'p%', cap 1024 by term order
-    * (mirrors QueryEngine.prefixExpand / SearchDefaults.MaxExpansions).
+  /** The ONE prefix-expansion contract all prefix oracles share
+    * (mirrors QueryEngine.prefixExpand / SearchDefaults.MaxExpansions):
+    * LIKE 'p%', cap 1024 by term order. Kept in a single helper so a
+    * cap or ordering change can't desynchronize one oracle from the
+    * engine while the others still pass.
     */
+  private def prefixExpansionSql(prefix: String): String =
+    s"SELECT term FROM dict WHERE term LIKE '$prefix%' ORDER BY term LIMIT 1024"
+
+  /** Prefix query: one capped dictionary expansion. */
   def ftsPrefix(prefix: String, k: Int): String =
     s"""WITH $scaffold,
-       |qt AS (SELECT term, 1.0::DOUBLE AS w, 0 AS grp FROM dict
-       |       WHERE term LIKE '$prefix%' ORDER BY term LIMIT 1024),
+       |qt AS (SELECT term, 1.0::DOUBLE AS w, 0 AS grp
+       |       FROM (${prefixExpansionSql(prefix)})),
        |$scorer
        |${topK(k, 1)}""".stripMargin
 
@@ -103,8 +110,7 @@ object OracleSql {
     * the same weight 1.0, so DISTINCT mirrors it exactly).
     */
   def ftsMultiPrefix(prefixes: Seq[String], k: Int): String = {
-    val per = prefixes.map(p =>
-      s"SELECT term FROM (SELECT term FROM dict WHERE term LIKE '$p%' ORDER BY term LIMIT 1024)")
+    val per = prefixes.map(p => s"SELECT term FROM (${prefixExpansionSql(p)})")
     s"""WITH $scaffold,
        |qt AS (SELECT DISTINCT term, 1.0::DOUBLE AS w, 0 AS grp
        |       FROM (${per.mkString(" UNION ALL ")})),
@@ -172,9 +178,8 @@ object OracleSql {
     */
   def prefixFuzzyConj(prefix: String, fuzzyTok: String, k: Int): String =
     s"""WITH $scaffold,
-       |qt AS (SELECT * FROM (
-       |         SELECT term, 1.0::DOUBLE AS w, 0 AS grp FROM dict
-       |         WHERE term LIKE '$prefix%' ORDER BY term LIMIT 1024)
+       |qt AS (SELECT term, 1.0::DOUBLE AS w, 0 AS grp
+       |       FROM (${prefixExpansionSql(prefix)})
        |       UNION ALL
        |       SELECT * FROM (
        |         SELECT term, (CASE levenshtein(term, '$fuzzyTok') WHEN 0 THEN 1.0

@@ -14,7 +14,7 @@ import graft.query._
   * runs at local[8] and local[32] on the identical deterministic input
   * (the corpus generator is seeded per docId, so both levels index the
   * same files), and efficiency = throughput(32) / (4 x throughput(8)).
-  * Writes BENCH.md and prints one JSON line.
+  * Writes SCALING.md and prints one JSON line.
   */
 object ScalingBench {
 

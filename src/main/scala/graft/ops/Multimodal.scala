@@ -274,12 +274,18 @@ object Multimodal {
               }
             } // corrupt exits with dataOff = -1 -> the guard below yields empty
             val nSamples = dataLen / 2
+            // bound check in Long: dataLen near 2^31 overflows the Int
+            // sum to negative and would sneak past a signed compare
             if (!pcm16 || dataOff < 0 || nSamples == 0 ||
-                dataOff + dataLen > bytes.length) Iterator.empty
-            else (0 until nFrames).iterator.map { j =>
+                dataOff.toLong + dataLen.toLong > bytes.length) Iterator.empty
+            else (0 until nFrames).toVector.map { j =>
+              // materialized (not a lazy iterator): flatMap consumes the
+              // rows AFTER this try/catch returns, so any decode error
+              // surfacing lazily would escape the lenient handler and
+              // abort the job the contract says one bad row can't
               val pos = j.toLong * nSamples / nFrames
               FrameSample(id, j.toLong, pos, le16At(bytes, dataOff + 2 * pos.toInt).toShort.toLong)
-            }
+            }.iterator
           }
         } catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => Iterator.empty }
       }

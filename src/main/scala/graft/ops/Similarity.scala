@@ -166,8 +166,15 @@ object Similarity {
       numCentroids: Int = 0, nProbe: Int = 2, nQueries: Int = 5): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val kCent = if (numCentroids > 0) numCentroids else autoCentroids(e.count())
-    ivfCandidates(e, kCent, nProbe, nQueries)
+    // left-join against the full query-id set: a query whose probed
+    // clusters hold only itself has ZERO candidates, and dropping it
+    // (groupBy emits no row) would overstate the avg/max growth this
+    // leg exists to measure
+    val qids = e.select(col("vid").as("qid")).filter(col("qid") < nQueries)
+    val counts = ivfCandidates(e, kCent, nProbe, nQueries)
       .groupBy("qid").agg(count(lit(1)).as("candidates"))
+    qids.join(counts, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("candidates"), lit(0L)).as("candidates"))
       .withColumn("num_centroids", lit(kCent.toLong))
       .orderBy("qid")
   }

@@ -115,6 +115,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.isEmpty)
   }
 
+  test("frame sampling rejects a data-chunk size that overflows the Int bound check") {
+    import spark.implicits._
+    // sz = 0x7FFFFFFF passes the sz<0 walk guard, and dataOff + dataLen
+    // overflows Int to negative — an Int-arithmetic bound check would
+    // accept the row and the frame pass would throw AIOOBE from a LAZY
+    // iterator consumed after the lenient try/catch returned, aborting
+    // the job; the Long-arithmetic check must yield no rows instead
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("RIFF".getBytes("US-ASCII")); evil.write(Array[Byte](36, 0, 0, 0))
+    evil.write("WAVE".getBytes("US-ASCII"))
+    evil.write("fmt ".getBytes("US-ASCII")); evil.write(Array[Byte](16, 0, 0, 0))
+    evil.write(Array[Byte](1, 0, 1, 0)) // PCM, mono
+    evil.write(Array[Byte](0x40, 0x1F, 0, 0, (0x80 & 0xFF).toByte, 0x3E, 0, 0, 2, 0))
+    evil.write(Array[Byte](16, 0)) // 16-bit
+    evil.write("data".getBytes("US-ASCII"))
+    evil.write(Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)) // sz = Int.MaxValue
+    evil.write(Array.fill[Byte](8)(0)) // a few real bytes, far fewer than sz
+    val df = Seq((1L, evil.toByteArray)).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleFrames(df, "doc_id", "payload", nFrames = 4).collect()
+    assert(rows.isEmpty)
+  }
+
   test("resize plan: integer aspect-fit matches the oracle arithmetic") {
     import spark.implicits._
     val payloads = Multimodal.syntheticPayload(spark.range(0, 30).toDF("doc_id"), "doc_id")

@@ -99,6 +99,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 17L).get.getLong(1) == 0L)
   }
 
+  test("ivfCandidateCounts reports zero-candidate queries instead of dropping them") {
+    // a single-vector corpus: the only query's probed cluster holds
+    // only itself, so it has ZERO candidates — a bare groupBy would
+    // emit no row for it, biasing the avg/max candidate-growth
+    // evidence upward exactly when sparse clusters appear
+    val rnd = new scala.util.Random(11)
+    val df = vecDf(Seq((0L, randVec(rnd, 8), randVec(rnd, 8))))
+      .select(col("id").as("vec_id"), col("a").as("embedding"))
+    val rows = Similarity.ivfCandidateCounts(df, "vec_id", "embedding", nQueries = 1).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("qid") == 0L)
+    assert(rows.head.getAs[Long]("candidates") == 0L)
+  }
+
   test("interpreted eval matches codegen (nullSafeEval path)") {
     // driving the expression through a literal-free filter on a tiny
     // frame with codegen disabled exercises nullSafeEval
