@@ -41,6 +41,44 @@ object Bench {
     dt
   }
 
+  /** Single-thread DRAM-bandwidth calibration: the register-only loop above
+    * is blind to the VM's OTHER degradation mode — memory-fabric pressure,
+    * which has hit 5x on identical binaries with matching CPU calibs
+    * (BENCH.md r4). This times 4 sequential XOR-sum passes over a 512 MB
+    * long array (far beyond LLC, so every pass streams from DRAM): fixed
+    * work whose wall time scales with fabric bandwidth contention.
+    *
+    * Scope honesty: the buffer lives in the pretouch-committed heap, so
+    * the timed passes never enter the kernel fault path — a regime that is
+    * bandwidth-clean but page-fault-degraded (the AlwaysPreTouch
+    * 10-15-min mode in CLAUDE.md) will NOT show here. A round is
+    * regime-comparable only when calib_sec AND mem_calib_sec both match;
+    * matching markers make a mismatch unlikely, not impossible.
+    * Healthy-regime anchor on this VM: ~0.28 s (~7 GB/s single-thread).
+    */
+  private lazy val memCalibBuf: Array[Long] = {
+    val n = 64 * 1024 * 1024 // 64M longs = 512 MB, allocated once per JVM
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  def calibrateMem(): Double = {
+    val a = memCalibBuf
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 4) {
+      var j = 0
+      while (j < a.length) { acc ^= a(j); j += 1 }
+      pass += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("memsum fixpoint") // keep the loop live
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -65,6 +103,7 @@ object Bench {
 
     // steal calibration brackets the run (the regime can shift mid-run)
     val calibStart = calibrate()
+    val memCalibStart = calibrateMem()
 
     // 1. index-build throughput on the synthetic source-code corpus.
     // Partitioning is scale-dependent: 4 task waves win at millions of
@@ -148,19 +187,25 @@ object Bench {
     results("build_files_per_sec") = filesPerSec
 
     val calibEnd = calibrate()
+    val memCalibEnd = calibrateMem()
     val calib = (calibStart + calibEnd) / 2
+    val memCalib = (memCalibStart + memCalibEnd) / 2
     results("calib_start_sec") = calibStart
     results("calib_end_sec") = calibEnd
+    results("mem_calib_start_sec") = memCalibStart
+    results("mem_calib_end_sec") = memCalibEnd
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results // only latencies sum into the headline (not rates/counters/calibration)
       .filterNot { case (k, _) =>
-        k == "build_files_per_sec" || k.startsWith("wand_blocks") || k.startsWith("calib") }
+        k == "build_files_per_sec" || k.startsWith("wand_blocks") ||
+          k.startsWith("calib") || k.startsWith("mem_calib") }
       .values.sum
     // total_norm = total in units of the calibration loop: regime-free
-    // cross-round comparisons compare THIS, not raw wall seconds
+    // cross-round comparisons compare THIS, not raw wall seconds — and
+    // only when mem_calib_sec ALSO matches (fabric blind spot, BENCH.md)
     println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,""" +
-      s""""total_norm":${total / calib},"queries":$qs,"sf":"$sfDir"}""")
+      s""""mem_calib_sec":$memCalib,"total_norm":${total / calib},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,7 @@ import graft.query._
 object ScalingBench {
 
   final case class LevelResult(cores: Int, buildSec: Double, filesPerSec: Double,
-      queryBatchSec: Double, calibSec: Double)
+      queryBatchSec: Double, calibSec: Double, memCalibSec: Double)
 
   def runLevel(cores: Int, nDocs: Long,
       docIdStrategy: String = graft.index.DocIdStrategy.KeyRange): LevelResult = {
@@ -51,9 +51,12 @@ object ScalingBench {
         for (_ <- 0 until 4; q <- qs)
           engine.searchF32(Seq(Fts("content", q)), 10, useWand = true).collect()
       }
-      // per-level steal calibration: levels run minutes apart (one JVM
-      // each), so each carries its own regime marker (Bench.calibrate)
-      LevelResult(cores, tBuild, nDocs.toDouble / tBuild, tQ, Bench.calibrate())
+      // per-level regime markers: levels run minutes apart (one JVM
+      // each), so each carries its own CPU-steal marker (Bench.calibrate)
+      // AND memory-fabric marker (Bench.calibrateMem — the xorshift loop
+      // is blind to fabric degradation, which has hit 5x; BENCH.md r4)
+      LevelResult(cores, tBuild, nDocs.toDouble / tBuild, tQ,
+        Bench.calibrate(), Bench.calibrateMem())
     } finally spark.stop()
   }
 
@@ -69,7 +72,7 @@ object ScalingBench {
     if (args.length >= 1) {
       val strategy = if (args.length > 1) args(1) else graft.index.DocIdStrategy.KeyRange
       val r = runLevel(args(0).toInt, nDocs, strategy)
-      println(s"LEVEL ${r.cores} ${r.buildSec} ${r.filesPerSec} ${r.queryBatchSec} ${r.calibSec}")
+      println(s"LEVEL ${r.cores} ${r.buildSec} ${r.filesPerSec} ${r.queryBatchSec} ${r.calibSec} ${r.memCalibSec}")
       return
     }
     val lo = runLevel(8, nDocs)
@@ -85,10 +88,14 @@ object ScalingBench {
          |on the identical deterministic ${nDocs}-file synthetic source-code
          |corpus (CodeCorpus, seeded per docId).
          |
-         || level | build sec | files/sec | 20-query batch sec |
-         ||---|---|---|---|
-         || local[8]  | ${f"${lo.buildSec}%.2f"} | ${f"${lo.filesPerSec}%.0f"} | ${f"${lo.queryBatchSec}%.2f"} |
-         || local[32] | ${f"${hi.buildSec}%.2f"} | ${f"${hi.filesPerSec}%.0f"} | ${f"${hi.queryBatchSec}%.2f"} |
+         || level | build sec | files/sec | 20-query batch sec | calib sec | mem calib sec |
+         ||---|---|---|---|---|---|
+         || local[8]  | ${f"${lo.buildSec}%.2f"} | ${f"${lo.filesPerSec}%.0f"} | ${f"${lo.queryBatchSec}%.2f"} | ${f"${lo.calibSec}%.2f"} | ${f"${lo.memCalibSec}%.2f"} |
+         || local[32] | ${f"${hi.buildSec}%.2f"} | ${f"${hi.filesPerSec}%.0f"} | ${f"${hi.queryBatchSec}%.2f"} | ${f"${hi.calibSec}%.2f"} | ${f"${hi.memCalibSec}%.2f"} |
+         |
+         |Per-level regime markers (CPU steal + memory fabric): the two
+         |levels run minutes apart in one process, so a marker drift between
+         |rows means a regime shift corrupted the efficiency ratio.
          |
          |**Index-build throughput scaling efficiency (8 -> 32 cores):
          |${f"$eff%.3f"}** (target >= 0.8)
@@ -102,6 +109,8 @@ object ScalingBench {
     Files.write(Paths.get("SCALING.md"), md.getBytes(StandardCharsets.UTF_8))
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
       s""""build8":${lo.buildSec},"build32":${hi.buildSec},""" +
-      s""""files_per_sec8":${lo.filesPerSec},"files_per_sec32":${hi.filesPerSec}}""")
+      s""""files_per_sec8":${lo.filesPerSec},"files_per_sec32":${hi.filesPerSec},""" +
+      s""""calib8":${lo.calibSec},"calib32":${hi.calibSec},""" +
+      s""""mem_calib8":${lo.memCalibSec},"mem_calib32":${hi.memCalibSec}}""")
   }
 }

@@ -2,9 +2,10 @@
 # 4-point scaling curve (north-rule evidence): one JVM per level —
 # same-JVM runs inherit each other's GC/JIT state — all levels run
 # back-to-back in ONE session so they share a host-steal regime, and
-# each LEVEL line carries its own calibration marker (Bench.calibrate).
+# each LEVEL line carries its own regime markers: CPU steal
+# (Bench.calibrate) and memory fabric (Bench.calibrateMem).
 #
-#   LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec>
+#   LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec> <memCalibSec>
 #
 # Usage: tools/scaling.sh [docs]   (default 80000)
 set -e
