@@ -216,7 +216,15 @@ object IndexStore {
       .reduce(_ unionByName _)
     val deletes = loadDeletes(spark, dir, epochs.map(_.epoch).toSet)
     val docs = deletes match {
-      case Some(d) => docsAll.join(d, Seq("docId"), "left_anti")
+      case Some(d) =>
+        // the anti-join sits INSIDE the frame persist() may freeze, and
+        // a cached plan never gets AQE's runtime broadcast conversion
+        // (CLAUDE.md): make the broadcast decision explicitly, count-
+        // gated — tombstones are slim docId longs, so 4M rows ≈ 32 MB;
+        // above the gate fall back to a plain shuffle join rather than
+        // sort-merging the whole doc store against a tiny delete set
+        val rhs = if (d.count() <= 4000000L) broadcast(d) else d
+        docsAll.join(rhs, Seq("docId"), "left_anti")
       case None => docsAll
     }
     val termStats = segPaths.map(p => spark.read.parquet(s"$dir/$p/termstats.parquet"))
@@ -321,8 +329,12 @@ object IndexStore {
     val segName = f"seg-$epoch%05d"
     writeSegment(idx, s"$dir/$segName")
     writeLineage(idx, dir, epoch)
-    // upsert tombstones: previous docIds whose key reappears in this epoch
-    val old = load(spark, dir)
+    // upsert tombstones: previous docIds whose key reappears in this
+    // epoch. cacheDocs = false: this pass only streams (docId, key)
+    // columns out of the committed doc store — the cacheDocs default
+    // would pin the ENTIRE corpus's stored fields in executor memory on
+    // every incremental append, which cannot hold at store scale
+    val old = load(spark, dir, cacheDocs = false)
     val keyCols = config.keyCols
     val tombstones = old.docs.select((col("docId") +: keyCols.map(col)): _*)
       .join(idx.docs.select(keyCols.map(col): _*), keyCols, "left_semi")

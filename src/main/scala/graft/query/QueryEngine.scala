@@ -244,8 +244,24 @@ final class QueryEngine(val index: BuiltIndex) {
     * pushdown, the reference's index-time pre-compute, README.md:28);
     * otherwise it builds lazily on first use.
     */
-  lazy val symspellDict: DataFrame = index.symspell.getOrElse(
-    SymSpellDict.build(index.termStats).persist(StorageLevel.MEMORY_AND_DISK))
+  private var symspellMaterialized = false
+  lazy val symspellDict: DataFrame = {
+    symspellMaterialized = true
+    index.symspell.getOrElse(
+      SymSpellDict.build(index.termStats).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Release every cached frame this engine pinned: the underlying
+    * index, plus the session-built SymSpell dictionary if it was
+    * materialized (an index-carried dictionary is unpersisted by
+    * index.unpersist() itself). Spark's CacheManager holds persisted
+    * datasets strongly — dropping the engine reference alone leaks the
+    * MEMORY_AND_DISK blocks until executor storage eviction.
+    */
+  def release(): Unit = {
+    index.unpersist()
+    if (symspellMaterialized && index.symspell.isEmpty) symspellDict.unpersist()
+  }
 
   /** Fast-fuzzy correction of ALL query tokens in one lookup job —
     * fast-fuzzy is the reference's *fast* path (README.md:28,41), so a
@@ -544,14 +560,31 @@ private[graft] object RegexPrefix {
     *    occurrences), so it is dropped; `+` requires >= 1, so it stays
     */
   def literalPrefix(pattern: String): String = {
-    // top-level alternation scan (chars inside (...) or [...] don't count)
+    // top-level alternation scan (chars inside (...) or [...] don't
+    // count). Character classes need their own state, not a depth
+    // counter: '(' inside a class is a LITERAL, so counting it as a
+    // group opener would leave a later top-level '|' at depth > 0 and
+    // return a non-conservative prefix (e.g. 'x[(]|y' must yield "",
+    // not "x" — "x..." would silently exclude terms matching the 'y'
+    // branch from the candidate scan).
     var depth = 0
+    var inClass = false
     var i = 0
     while (i < pattern.length) {
-      pattern.charAt(i) match {
-        case '\\' => i += 1 // skip escaped char
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth = math.max(0, depth - 1)
+      val c = pattern.charAt(i)
+      if (c == '\\') i += 1 // skip escaped char (in or out of a class)
+      else if (inClass) {
+        if (c == ']') inClass = false
+      } else c match {
+        case '[' =>
+          inClass = true
+          // ']' directly after '[' or '[^' is a literal class member,
+          // not the class terminator — skip it so we don't exit early
+          var k = i + 1
+          if (k < pattern.length && pattern.charAt(k) == '^') k += 1
+          if (k < pattern.length && pattern.charAt(k) == ']') i = k
+        case '(' => depth += 1
+        case ')' => depth = math.max(0, depth - 1)
         case '|' if depth == 0 => return ""
         case _ =>
       }

@@ -47,6 +47,17 @@ object Wand {
     private var exhausted = false
     decodeCurrent()
 
+    // ULP safety margin on every BOUND (never on exact scores): the
+    // driver loop sums per-cursor UBs in byDoc order while the exact
+    // score sums in the original cursors order — each f32 addend
+    // dominates its exact counterpart, but f32 addition is not
+    // order-monotone, so the "upper" bound sum can land a few ULPs
+    // below the true score and wrongly prune a threshold-tying doc
+    // (same hazard wandShardConj documents for its weight sums).
+    // ~8 ULPs of slack dominates the rounding hazard and only makes
+    // pruning infinitesimally more conservative.
+    private final val UbMargin = 1.000001f
+
     // suffix max of block UBs, precomputed once: remainingUB is O(1)
     private val ubSuffix: Array[Float] = {
       val n = p.blockOffset.length
@@ -54,7 +65,7 @@ object Wand {
       var b = n - 1
       var m = 0.0f
       while (b >= 0) {
-        val ub = Bm25.tfScoreF32(weight, p.blockMaxTf(b), cache(p.blockMinNorm(b)))
+        val ub = Bm25.tfScoreF32(weight, p.blockMaxTf(b), cache(p.blockMinNorm(b))) * UbMargin
         if (ub > m) m = ub
         a(b) = m
         b -= 1
@@ -66,7 +77,7 @@ object Wand {
     def remainingUB: Float = if (exhausted) 0.0f else ubSuffix(blockIdx)
 
     def currentBlockUB: Float =
-      Bm25.tfScoreF32(weight, p.blockMaxTf(blockIdx), cache(p.blockMinNorm(blockIdx)))
+      Bm25.tfScoreF32(weight, p.blockMaxTf(blockIdx), cache(p.blockMinNorm(blockIdx))) * UbMargin
 
     def currentBlockLast: Long = p.blockLast(blockIdx)
 

@@ -34,6 +34,11 @@ final class LnxSession(val spark: SparkSession) {
   private final val LineageTruncateEvery = 16
 
   private def noteMutation(t: TableState): Unit = {
+    // release the stale engine's cached frames BEFORE dropping the
+    // reference: the CacheManager pins persisted datasets strongly, so
+    // a mutate-then-query loop would otherwise accumulate one cached
+    // index copy per rebuild until executors spill/evict
+    t.engine.foreach(_.release())
     t.engine = None
     t.mutations += 1
     if (t.mutations % LineageTruncateEvery == 0)
@@ -165,12 +170,54 @@ final class LnxSession(val spark: SparkSession) {
     */
   def attach(name: String, dir: String): Unit = {
     val idx = graft.index.IndexStore.load(spark, dir, cacheDocs = false)
-    val defs = idx.docs.schema.fields.filterNot(_.name == "docId").map(f =>
-      ColumnDef(f.name, f.dataType.simpleString, idx.config.keyCols.contains(f.name),
-        notNull = false, default = None, isArray = false))
+    // lnx logical types (ip, facet, unsigned ranges) are NOT derivable
+    // from the Spark schema — an ip column reads back as plain
+    // "string", so predicates would skip canonicalization and compare
+    // dotted quads against stored 32-hex, silently matching nothing.
+    // Stores written by persist() carry the session ColumnDefs in the
+    // config KV; restore them, falling back to schema-derived defs for
+    // stores created outside a session (their columns had no lnx types).
+    val defs = graft.index.IndexStore.configValue(spark, dir, ColumnsKvKey) match {
+      case Some(enc) => decodeDefs(enc, idx.config.keyCols)
+      case None => idx.docs.schema.fields.filterNot(_.name == "docId").toSeq.map(f =>
+        ColumnDef(f.name, f.dataType.simpleString, idx.config.keyCols.contains(f.name),
+          notNull = false, default = None, isArray = false))
+    }
     tables.put(name,
-      TableState(idx.docs.drop("docId"), idx.config, defs.toSeq, Some(new QueryEngine(idx))))
+      TableState(idx.docs.drop("docId"), idx.config, defs, Some(new QueryEngine(idx))))
   }
+
+  /** Persist a session table as an IndexStore segment dir, carrying the
+    * lnx column types in the store's config KV so a later attach()
+    * (this session or another) restores full logical-type semantics.
+    * DEFAULT literals are not round-tripped (they are a session-DDL
+    * convenience; attached-table inserts treat missing columns as NULL).
+    */
+  def persist(tableName: String, dir: String, snapshotId: String = "epoch-0"): Unit = {
+    val t = table(tableName)
+    graft.index.IndexStore.create(t.rows, t.config, dir, snapshotId).unpersist()
+    graft.index.IndexStore.updateConfig(spark, dir,
+      set = Map(ColumnsKvKey -> encodeDefs(t.columns)))
+  }
+
+  /** Reserved store-KV key for the serialized session ColumnDefs. */
+  private final val ColumnsKvKey = "lnx.columns"
+
+  // ASCII unit (\u001F) / record (\u001E) separators can't appear in
+  // SQL identifiers or type names, so the encoding needs no escaping
+  private final val FieldSep = '\u001F'
+  private final val ColSep = '\u001E'
+
+  private def encodeDefs(defs: Seq[ColumnDef]): String =
+    defs.map(d => Seq(d.name, d.tpe, d.notNull.toString, d.isArray.toString)
+      .mkString(FieldSep.toString)).mkString(ColSep.toString)
+
+  private def decodeDefs(s: String, keyCols: Seq[String]): Seq[ColumnDef] =
+    s.split(ColSep).toSeq.filter(_.nonEmpty).map { c =>
+      val f = c.split(FieldSep)
+      ColumnDef(f(0), f(1), keyCols.contains(f(0)), f(2).toBoolean,
+        default = None, isArray = f(3).toBoolean)
+    }
 
   /** Register an existing DataFrame as an lnx table. */
   def register(name: String, df: DataFrame, keyCols: Seq[String], fields: Seq[String],
@@ -317,12 +364,29 @@ final class LnxSession(val spark: SparkSession) {
         normalize(tpeByName.getOrElse(f.name, ""), raw)
       })
     }
-    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(newRows.toList), schema)
     val pk = t.config.keyCols
+    // a batch may repeat a PK ("INSERT ... VALUES (1,'a'),(1,'b')"):
+    // upsert means the LAST write wins (apis/mod.rs:81-82, Cassandra
+    // analogy) — without the dedup both rows would survive the
+    // anti-join and the unique-key docId-determinism invariant breaks
+    val deduped = dedupeByPk(newRows, schema, pk)
+    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(deduped.toList), schema)
     // INSERT is always UPSERT by PK (apis/mod.rs:81-82)
     t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
     noteMutation(t)
-    status(s"upserted ${newRows.size} rows into ${in.table}")
+    status(s"upserted ${deduped.size} rows into ${in.table}")
+  }
+
+  /** Last-occurrence-wins PK dedup of a driver-side row batch,
+    * preserving the surviving rows' input order.
+    */
+  private def dedupeByPk(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType,
+      pk: Seq[String]): Seq[Row] = {
+    if (pk.isEmpty) return rows
+    val pkIdx = pk.map(schema.fieldIndex)
+    def keyOf(r: Row): Seq[Any] = pkIdx.map(r.get)
+    val lastIdx = rows.zipWithIndex.map { case (r, i) => keyOf(r) -> i }.toMap
+    rows.zipWithIndex.collect { case (r, i) if lastIdx(keyOf(r)) == i => r }
   }
 
   private def colFilter(p: ColPred, params: Seq[Lit], t: TableState): Column = {
@@ -385,11 +449,12 @@ final class LnxSession(val spark: SparkSession) {
       Row.fromSeq(schema.fields.toSeq.map(f =>
         normalize(tpeByName.getOrElse(f.name, ""), r.getAs[Any](f.name))))
     }
-    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(newRows.toList), schema)
     val pk = t.config.keyCols
+    val deduped = dedupeByPk(newRows, schema, pk) // last write wins within a payload
+    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(deduped.toList), schema)
     t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
     noteMutation(t)
-    status(s"ingested ${newRows.size} documents into $tableName")
+    status(s"ingested ${deduped.size} documents into $tableName")
   }
 
   private def runDelete(d: Delete, params: Seq[Lit]): DataFrame = {
@@ -397,7 +462,11 @@ final class LnxSession(val spark: SparkSession) {
     require(d.where.forall(_.isInstanceOf[ColPred]), "DELETE supports column predicates")
     val cond = d.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t))
       .reduceOption(_ && _).getOrElse(lit(true))
-    t.rows = t.rows.filter(!cond)
+    // three-valued logic: a NULL predicate must KEEP the row (standard
+    // SQL DELETE removes only rows where the predicate is TRUE), but
+    // filter(!cond) drops NULL rows too — !NULL is NULL, and filter
+    // keeps only TRUE. Coalesce pins NULL to "not matched".
+    t.rows = t.rows.filter(!coalesce(cond, lit(false)))
     noteMutation(t)
     status(s"deleted from ${d.table}")
   }
@@ -511,21 +580,36 @@ final class LnxSession(val spark: SparkSession) {
       if (searches.nonEmpty) {
         val e = engineFor(t)
         val clauses = searches.map(toClause(_, params))
-        var scored = e.matchF32(clauses)
-        // per-clause thresholds: supported when there is a single search
-        // clause (then clause score == total score, apis/mod.rs:221)
-        searches.flatMap(_.cmp).foreach { case (op, v) =>
-          require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
-          scored = applyCmp(scored, op, v)
-        }
-        scorePreds.foreach(sp => scored = applyCmp(scored, sp.op, sp.value))
-        // when no column predicate can drop rows after the join and the
-        // final order is the score order, take the top-k on the slim
-        // (docId, score) set BEFORE joining stored fields — the join
-        // side is then <= limit rows instead of the full match set
-        if (colPreds.isEmpty && orderIsScore)
-          scored = Scorer.topK(scored, limit)
-        e.index.docs.join(scored, "docId")
+        val noThresholds = searches.flatMap(_.cmp).isEmpty && scorePreds.isEmpty
+        // can the top-k be taken on the slim (docId, score) set BEFORE
+        // joining stored fields? (no column predicate drops rows after
+        // the join, and the final order is the score order)
+        val capped = colPreds.isEmpty && orderIsScore
+        val scored =
+          if (capped && noThresholds) {
+            // the flagship shape (fts/fuzzy WHERE + ORDER BY score()
+            // LIMIT k, fuzzy.sql): searchF32 routes eligible queries
+            // through block-max WAND (exact vs exhaustive, WandSpec)
+            // instead of scoring every matching posting. Thresholded
+            // queries stay on the exhaustive path: filters must apply
+            // to the full match set before any k-cap.
+            e.searchF32(clauses, limit)
+          } else {
+            var m = e.matchF32(clauses)
+            // per-clause thresholds: supported when there is a single
+            // search clause (clause score == total score, apis/mod.rs:221)
+            searches.flatMap(_.cmp).foreach { case (op, v) =>
+              require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
+              m = applyCmp(m, op, v)
+            }
+            scorePreds.foreach(sp => m = applyCmp(m, sp.op, sp.value))
+            if (capped) Scorer.topK(m, limit) else m
+          }
+        // a capped scored side is <= limit rows: hint the broadcast
+        // explicitly (AQE may not see the cap through the shuffle, and
+        // anything later persisted would freeze a sort-merge plan)
+        if (capped) e.index.docs.join(broadcast(scored), "docId")
+        else e.index.docs.join(scored, "docId")
       } else {
         t.rows.withColumn("score", lit(0.0f))
       }

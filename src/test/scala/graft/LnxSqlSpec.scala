@@ -99,6 +99,45 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(sess.execute("SELECT id FROM books").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("DELETE keeps rows where the predicate is NULL (three-valued logic)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE delnull (id bigint PRIMARY KEY, t text NOT NULL, rating float)")
+    // rating omitted on doc 3 -> NULL (apis/mod.rs:124-127)
+    sess.execute("INSERT INTO delnull (id, t, rating) VALUES (1, 'a', 1.0), (2, 'b', 5.0)")
+    sess.execute("INSERT INTO delnull (id, t) VALUES (3, 'c')")
+    // predicate is NULL for doc 3: standard SQL deletes only TRUE rows,
+    // so doc 3 must SURVIVE (filter(!cond) would silently drop it)
+    sess.execute("DELETE FROM delnull WHERE rating < 2")
+    assert(sess.execute("SELECT id FROM delnull").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
+  }
+
+  test("duplicate PKs within one INSERT batch: last write wins (upsert semantics)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE dupb (id bigint PRIMARY KEY, t text NOT NULL)")
+    sess.execute("INSERT INTO dupb (id, t) VALUES (1, 'first'), (2, 'other'), (1, 'second')")
+    val rows = sess.execute("SELECT id, t FROM dupb").collect()
+    assert(rows.length === 2, "duplicate PK must collapse to one live row")
+    assert(rows.find(_.getLong(0) == 1L).get.getString(1) === "second")
+  }
+
+  test("mutation releases the previous engine's cached index frames") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE relm (id bigint PRIMARY KEY, t text NOT NULL)")
+    sess.execute("INSERT INTO relm (id, t) VALUES (1, 'alpha beta'), (2, 'beta gamma')")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    sess.execute("SELECT id FROM relm WHERE fts(t, 'beta')").collect()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "a SELECT must have built and cached an engine index")
+    // the INSERT invalidates the engine; its cached frames must be
+    // RELEASED, not just dereferenced (the CacheManager pins persisted
+    // datasets strongly — a mutate-then-query loop would otherwise
+    // accumulate one cached index copy per rebuild)
+    sess.execute("INSERT INTO relm (id, t) VALUES (3, 'gamma delta')")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after & pinned).isEmpty, "stale engine cache leaked past a mutation")
+  }
+
   test("multi-field index: conjunction across title and description (fuzzy.sql:9-12)") {
     val sess = new LnxSession(spark)
     sess.execute(
@@ -231,6 +270,35 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(shown(4L) === "0:0:0:0:0:0:0:1")
     val star = sess.execute("SELECT * FROM ipr WHERE id = 5").collect()(0)
     assert(star.getString(star.fieldIndex("addr")) === "200.1.1.1")
+  }
+
+  test("persist + attach round-trips lnx column types: ip semantics survive the store") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ipp (id bigint PRIMARY KEY, addr ip, note text)")
+    sess.execute("INSERT INTO ipp (id, addr, note) VALUES " +
+      "(1, '9.0.0.1', 'alpha'), (2, '10.0.0.1', 'beta'), (3, '200.1.1.1', 'gamma')")
+    val dir = java.nio.file.Files.createTempDirectory("lnx-persist-attach").toString
+    try {
+      sess.persist("ipp", dir)
+      // a FRESH session (no in-memory defs) attaches the store: without
+      // the KV-carried ColumnDefs 'addr' would degrade to plain string —
+      // the range predicate would compare dotted quads against stored
+      // 32-hex and silently match nothing
+      val s2 = new LnxSession(spark)
+      s2.attach("ipp2", dir)
+      assert(s2.execute("SELECT id FROM ipp2 WHERE addr > '9.0.0.1' ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+      assert(s2.execute("SELECT id FROM ipp2 WHERE addr = '10.0.0.1'")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+      // projection renders display text, not the stored hex
+      val shown = s2.execute("SELECT id, addr FROM ipp2 ORDER BY id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(shown(1L) === "9.0.0.1" && shown(2L) === "10.0.0.1")
+      s2.table("ipp2").engine.foreach(_.release())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 
   test("timestamp literals parse as UTC epoch values, independent of the JVM default timezone") {

@@ -119,6 +119,12 @@ class PlanSpec extends AnyFunSuite {
     assert(literalPrefix("\\d+x") == "")
     assert(literalPrefix("me[rs]ge") == "me")
     assert(literalPrefix("s[o|u]rt") == "s") // '|' inside a class is literal
+    // '(' inside a class is a literal, NOT a group opener: it must not
+    // mask a later top-level alternation (a "x" prefix here would
+    // silently drop terms matching the 'y' branch)
+    assert(literalPrefix("x[(]|y") == "")
+    assert(literalPrefix("a[)]b") == "a")  // class-closing ')' can't underflow depth
+    assert(literalPrefix("[]x]a|b") == "") // leading ']' is a literal class member
   }
 
   test("dedup ops release their corpus-sized caches: only the result stays persisted") {
