@@ -139,11 +139,18 @@ object Dedup {
       .orderBy("a", "b"))
   }
 
+  /** Oracle twin of minhashPairs. The perm range is capped at FULL
+    * bands ((numPerm / rowsPerBand) * rowsPerBand): the Spark side
+    * builds floor(numPerm/rowsPerBand) bands and ignores remainder
+    * perms, so an uncapped `perm // rowsPerBand` here would form an
+    * extra PARTIAL band from them and generate candidates Spark never
+    * sees whenever numPerm % rowsPerBand != 0.
+    */
   def minhashPairsSqlDuck(idCol: String, textCol: String,
       numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): String =
     s"""WITH ${hashedShinglesDuck(idCol, textCol)},
        |mh AS (SELECT id, i AS perm, min(${minhashPermDuck("h", "i")}) AS mh
-       |       FROM sh, range(0, $numPerm) r(i) GROUP BY 1, 2),
+       |       FROM sh, range(0, ${(numPerm / rowsPerBand) * rowsPerBand}) r(i) GROUP BY 1, 2),
        |sig AS (SELECT id, perm // $rowsPerBand AS band,
        |               string_agg(mh::VARCHAR, '-' ORDER BY perm) AS s
        |        FROM mh GROUP BY 1, 2),
@@ -241,20 +248,43 @@ object Dedup {
   /** SimHash near-dup pairs: 4 x 15-bit band blocking (any pair within
     * hamming distance 3 matches exactly on >= 1 band), verified with
     * bit_count(xor) <= maxHamming.
+    *
+    * Bucket-size BOUND, mirroring every sibling dedup operator
+    * (ngramJaccard maxShingleDf, cosineDup maxBlock, lshCosine
+    * maxBucket): heavy boilerplate puts thousands of docs on identical
+    * band values, and an unbounded (band, key) self-join fans out
+    * quadratically. Buckets above `maxBucket` are deterministically
+    * hash-split into ceil(size/maxBucket) sub-buckets; per-task pairs
+    * are then <= maxBucket^2 regardless of corpus size. Pairs
+    * straddling sub-buckets of the SAME band can still match on
+    * another band — the recall cost is bounded by the standard
+    * banded-LSH argument, and the DuckDB twin mirrors the split
+    * exactly.
     */
-  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val banded = sim.withColumn("band", explode(sequence(lit(0), lit(3))))
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val banded0 = sim.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
-    val a = banded.select(col("id").as("a"), col("simhash").as("ha"), col("band"), col("key"))
-    val b = banded.select(col("id").as("b"), col("simhash").as("hb"), col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+    // bucket sizes via map-side partial count + broadcast join back —
+    // the size frame is <= 4 x 2^15 rows (statically bounded), so the
+    // broadcast decision needs no runtime count gate, and no corpus-
+    // sized window shuffle happens
+    val bsizes = banded0.groupBy("band", "key").agg(count(lit(1)).as("bsize"))
+    val banded = banded0.join(broadcast(bsizes), Seq("band", "key"))
+      .withColumn("sub", pmod(hash60(col("id").cast("string")),
+        expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+    val a = banded.select(col("id").as("a"), col("simhash").as("ha"),
+      col("band"), col("key"), col("sub"))
+    val b = banded.select(col("id").as("b"), col("simhash").as("hb"),
+      col("band"), col("key"), col("sub"))
+    a.join(b, Seq("band", "key", "sub")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
 
-  def simhashPairsSqlDuck(idCol: String, textCol: String, maxHamming: Int = 3): String = {
+  def simhashPairsSqlDuck(idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 256): String = {
     val bitSums = (0 until 60).map(j =>
       s"sum(((((h >> $j) & 1) * 2) - 1) * tf) AS b$j").mkString(", ")
     val hashExpr = (0 until 60).map(j =>
@@ -265,10 +295,16 @@ object Dedup {
        |hh AS (SELECT id, tf, ${hash60Duck("term")} AS h FROM tf),
        |agg AS (SELECT id, $bitSums FROM hh GROUP BY id),
        |simq AS (SELECT id, ($hashExpr)::BIGINT AS simhash FROM agg),
-       |banded AS (SELECT id, simhash, i AS band, (simhash >> (i * 15)) & 32767 AS key
-       |           FROM simq, range(0, 4) r(i)),
+       |banded0 AS (SELECT id, simhash, i AS band, (simhash >> (i * 15)) & 32767 AS key
+       |            FROM simq, range(0, 4) r(i)),
+       |banded AS (SELECT id, simhash, band, key,
+       |             ${hash60Duck("id::VARCHAR")} %
+       |               ((count(*) OVER (PARTITION BY band, key) + ${maxBucket - 1}) // $maxBucket)
+       |               AS sub
+       |           FROM banded0),
        |pairs AS (SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS ha, b.simhash AS hb
-       |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |               AND a.sub = b.sub AND a.id < b.id)
        |SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming FROM pairs
        |WHERE bit_count(xor(ha, hb)) <= $maxHamming ORDER BY a, b""".stripMargin
   }

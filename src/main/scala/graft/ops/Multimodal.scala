@@ -257,7 +257,10 @@ object Multimodal {
             var dataLen = 0
             var pcm16 = false
             var corrupt = false
-            while (off + 8 <= bytes.length && dataOff < 0 && !corrupt) {
+            // walk until BOTH fmt and data are seen (chunk order is
+            // arbitrary per the RIFF spec — stopping at the data chunk
+            // would silently drop payloads whose fmt chunk follows it)
+            while (off + 8 <= bytes.length && (dataOff < 0 || !pcm16) && !corrupt) {
               val ck = new String(bytes, off, 4, "US-ASCII")
               val sz = le32At(bytes, off + 4)
               // le32At is SIGNED: a crafted size >= 2^31 comes back

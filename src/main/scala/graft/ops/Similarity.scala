@@ -224,10 +224,18 @@ object Similarity {
       numCentroids: Int = 8, threshold: Double = 0.45, maxBlock: Int = 64): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val assigned = assignClusters(e, centroidFrame(e, numCentroids))
+    // cluster sizes via a map-side partial count + broadcast join back,
+    // NOT count().over(Window.partitionBy(cluster)): the window would
+    // shuffle every row WITH its full embedding vector into at most
+    // numCentroids partitions — a parallelism collapse at corpus scale.
+    // The size frame is <= numCentroids rows (statically known), so the
+    // broadcast decision needs no runtime count gate.
+    val csizes = assigned.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val sized = assigned.join(
+      if (numCentroids <= 4000000) broadcast(csizes) else csizes, "cluster")
     // exact integer arithmetic end-to-end (div, pmod) so the DuckDB
     // oracle derives the identical block assignment
-    val blocked = assigned
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    val blocked = sized
       .withColumn("sub", pmod(centroidHash(col("vid")),
         expr(s"(csize + ${maxBlock - 1}) div $maxBlock")))
     val a = blocked.select(col("cluster"), col("sub"), col("vid").as("a"), col("v").as("va"))
@@ -322,11 +330,25 @@ object Similarity {
     val sigs = e.withColumn("sig", lshSignature(col("v"), nBits))
       .select("vid", "sig")
     val mask = (1L << bandBits) - 1
-    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+    val keyed = sigs.withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("key", expr(s"shiftright(sig, band * $bandBits) & $mask"))
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    // bucket sizes via map-side partial count + broadcast join back,
+    // NOT a (band, key) window: the window shuffles the whole banded
+    // corpus into <= nBands * 2^bandBits partitions, and a clustered
+    // corpus piles into a handful of them (straggler tasks). The size
+    // frame is bounded by nBands * 2^bandBits rows — statically known,
+    // so the broadcast gate needs no runtime count job.
+    val bsizes = keyed.groupBy("band", "key").agg(count(lit(1)).as("bsize"))
+    val banded = keyed.join(
+      if ((nBands.toLong << bandBits) <= 4000000L) broadcast(bsizes) else bsizes,
+      Seq("band", "key"))
       .withColumn("sub", pmod(centroidHash(col("vid")),
         expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+    // deliberately NOT persisted: the a/b sides of the candidate join
+    // canonicalize to the same exchange, which Spark reuses (verified:
+    // 2 ReusedExchange nodes in the final adaptive plan), while a
+    // persist would freeze the plan and disable the runtime broadcast
+    // decisions downstream (CLAUDE.md persist/AQE trap)
     val a = banded.select(col("vid").as("a"), col("band"), col("key"), col("sub"))
     val b = banded.select(col("vid").as("b"), col("band"), col("key"), col("sub"))
     val cand = a.join(b, Seq("band", "key", "sub")).filter(col("a") < col("b"))

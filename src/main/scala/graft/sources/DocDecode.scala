@@ -79,7 +79,7 @@ object DocDecode {
     * the wire format's value tags (a msgpack uint8 inserts fine into a
     * bigint column).
     */
-  private[sources] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+  private[graft] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: Long, LongType) => l
     case (l: Long, IntegerType) =>
@@ -90,8 +90,19 @@ object DocDecode {
     case (l: Long, FloatType) => l.toFloat
     case (d: Double, DoubleType) => d
     case (d: Double, FloatType) => d.toFloat
-    case (d: Double, LongType) if d.isWhole => d.toLong
-    case (d: Double, IntegerType) if d.isWhole => d.toInt
+    // whole-double narrowing must range-check LOUDLY like the Long
+    // path above: d.toLong/.toInt saturate at MaxValue, silently
+    // storing 2147483647 for a payload that encoded 3e10 as float64.
+    // 9.223372036854776E18 is 2^63 exactly — the first whole double
+    // OUTSIDE long range (Long.MaxValue itself is not a double).
+    case (d: Double, LongType) if d.isWhole =>
+      if (d < -9.223372036854776e18 || d >= 9.223372036854776e18)
+        throw new IllegalArgumentException(s"int64 out of range: $d")
+      d.toLong
+    case (d: Double, IntegerType) if d.isWhole =>
+      if (d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble)
+        throw new IllegalArgumentException(s"int32 out of range: $d")
+      d.toInt
     case (s: String, StringType) => s
     case (b: Boolean, BooleanType) => b
     case (b: Array[Byte], BinaryType) => b
@@ -144,8 +155,19 @@ object MsgPack {
   }
 
   /** Decode one value at `pos`; returns (value, position-after). */
-  def decodeValue(b: Array[Byte], pos: Int): (Any, Int) = {
+  def decodeValue(b: Array[Byte], pos: Int): (Any, Int) = decodeValue(b, pos, 0)
+
+  /** Recursion depth is bounded: a crafted payload of nested fixarray
+    * headers (0x91 repeated) recurses once per byte, and the resulting
+    * StackOverflowError is an Error no lenient handler catches — the
+    * malformed-input contract promises IllegalArgumentException, never
+    * a task-killing crash. 128 levels is far beyond any honest document.
+    */
+  private final val MaxDepth = 128
+
+  private def decodeValue(b: Array[Byte], pos: Int, depth: Int): (Any, Int) = {
     require(pos < b.length, s"truncated msgpack at $pos")
+    require(depth < MaxDepth, s"msgpack nesting deeper than $MaxDepth at $pos")
     val tag = b(pos) & 0xFF
     def u8(i: Int) = b(i) & 0xFF
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -175,7 +197,7 @@ object MsgPack {
       var p = pos + off
       val out = Seq.newBuilder[Any]
       var i = 0
-      while (i < n) { val (v, q) = decodeValue(b, p); out += v; p = q; i += 1 }
+      while (i < n) { val (v, q) = decodeValue(b, p, depth + 1); out += v; p = q; i += 1 }
       (out.result(), p)
     }
     def map(off: Int, n: Int): (Map[String, Any], Int) = {
@@ -183,13 +205,13 @@ object MsgPack {
       val out = Map.newBuilder[String, Any]
       var i = 0
       while (i < n) {
-        val (k, q) = decodeValue(b, p)
+        val (k, q) = decodeValue(b, p, depth + 1)
         val key = k match {
           case s: String => s
           case o => throw new IllegalArgumentException(
             s"map key must be a string, got ${o.getClass.getSimpleName}")
         }
-        val (v, r) = decodeValue(b, q)
+        val (v, r) = decodeValue(b, q, depth + 1)
         out += (key -> v); p = r; i += 1
       }
       (out.result(), p)

@@ -24,10 +24,16 @@ object StreamingIndexer {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          IndexStore.appendEpoch(batch, indexDir, s"stream-batch-$batchId")
-          ()
-        }
+        // appendEpoch runs several actions over the batch (index build,
+        // lineage, tombstone pass) plus the isEmpty probe — without a
+        // persist each action re-reads the micro-batch source files
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            IndexStore.appendEpoch(batch, indexDir, s"stream-batch-$batchId")
+            ()
+          }
+        } finally { batch.unpersist(); () }
       }
       .start()
 

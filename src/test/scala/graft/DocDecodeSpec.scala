@@ -84,6 +84,26 @@ class DocDecodeSpec extends AnyFunSuite {
     // and an in-range-but-over-payload 32-bit count also fails loudly
     val overCount = Array[Byte](0xDD.toByte, 0, 0, 0x10, 0) // arr32 of 4096 elems, no bytes
     intercept[IllegalArgumentException](MsgPack.decodeValue(overCount, 0))
+    // deep nesting: repeated one-element fixarray headers recurse once
+    // per byte — must fail with IAE, not kill the task with
+    // StackOverflowError (an Error no lenient handler catches)
+    val deep = Array.fill[Byte](100000)(0x91.toByte) :+ 0x01.toByte
+    intercept[IllegalArgumentException](MsgPack.decodeValue(deep, 0))
+  }
+
+  test("whole-double narrowing range-checks loudly instead of saturating") {
+    import org.apache.spark.sql.types._
+    // 3e10 encoded as float64 into an int32 column: previously
+    // d.toInt silently saturated to Int.MaxValue
+    intercept[IllegalArgumentException](DocDecode.coerce(3.0e10, IntegerType))
+    // 1e19 into int64: previously saturated to Long.MaxValue
+    intercept[IllegalArgumentException](DocDecode.coerce(1.0e19, LongType))
+    // 2^63 exactly is the first whole double OUTSIDE long range
+    intercept[IllegalArgumentException](DocDecode.coerce(9.223372036854776e18, LongType))
+    // in-range whole doubles still narrow exactly
+    assert(DocDecode.coerce(3.0e10, LongType) === 30000000000L)
+    assert(DocDecode.coerce(-2147483648.0, IntegerType) === Int.MinValue)
+    assert(DocDecode.coerce(-9.223372036854776e18, LongType) === Long.MinValue)
   }
 
   test("msgpack top-level shapes: single map, array of maps, concatenated stream") {

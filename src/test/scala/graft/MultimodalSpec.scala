@@ -96,6 +96,21 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) === Multimodal.sampleValue(5L, r.getLong(2))))
   }
 
+  test("frame sampling handles fmt AFTER data (arbitrary RIFF chunk order)") {
+    import spark.implicits._
+    // reorder the generator's chunks: [RIFF WAVE][data ...][fmt ...] —
+    // spec-valid, and the walk must NOT stop at the data chunk or the
+    // payload silently yields zero frames (pcm16 never set)
+    val base = Multimodal.wavBytesWithSamples(9L)
+    val fmtChunk = java.util.Arrays.copyOfRange(base, 12, 36)
+    val dataChunk = java.util.Arrays.copyOfRange(base, 36, base.length)
+    val reordered = base.take(12) ++ dataChunk ++ fmtChunk
+    val df = Seq((9L, reordered)).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleFrames(df, "doc_id", "payload", nFrames = 4).collect()
+    assert(rows.length === 4, "fmt-after-data payload must still decode")
+    rows.foreach(r => assert(r.getLong(3) === Multimodal.sampleValue(9L, r.getLong(2))))
+  }
+
   test("frame sampling bails on a negative RIFF chunk size instead of spinning") {
     import spark.implicits._
     // chunk size 0xFFFFFFF8 reads back as -8 through the signed le32:
