@@ -245,9 +245,9 @@ object Dedup {
        |SELECT id, ($hashExpr)::BIGINT AS simhash FROM agg ORDER BY id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: 4 x 15-bit band blocking (any pair within
-    * hamming distance 3 matches exactly on >= 1 band), verified with
-    * bit_count(xor) <= maxHamming.
+  /** SimHash near-dup pairs: 4 x 15-bit band blocking (by pigeonhole,
+    * any pair within hamming distance 3 agrees exactly on >= 1 band),
+    * verified with bit_count(xor) <= maxHamming.
     *
     * Bucket-size BOUND, mirroring every sibling dedup operator
     * (ngramJaccard maxShingleDf, cosineDup maxBlock, lshCosine
@@ -255,11 +255,18 @@ object Dedup {
     * band values, and an unbounded (band, key) self-join fans out
     * quadratically. Buckets above `maxBucket` are deterministically
     * hash-split into ceil(size/maxBucket) sub-buckets; per-task pairs
-    * are then <= maxBucket^2 regardless of corpus size. Pairs
-    * straddling sub-buckets of the SAME band can still match on
-    * another band — the recall cost is bounded by the standard
-    * banded-LSH argument, and the DuckDB twin mirrors the split
-    * exactly.
+    * are then <= maxBucket^2 regardless of corpus size.
+    *
+    * The split makes the pigeonhole guarantee PROBABILISTIC for pairs
+    * whose every matching band sits in an oversized bucket: such a pair
+    * is kept with P = 1 - prod_b(1 - 1/nSub_b) over its matching bands,
+    * which is why the split hash is salted per band (saltedHash60 —
+    * independent splits per band; an unsalted split is all-or-nothing
+    * across bands and loses (1 - 1/nSub) of true duplicates in the
+    * heavy-boilerplate case the bound exists for). Pass
+    * maxBucket = Int.MaxValue to restore the exact-recall behavior at
+    * the cost of quadratic fan-out on degenerate buckets. The DuckDB
+    * twin mirrors the split exactly.
     */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val banded0 = sim.withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -270,8 +277,8 @@ object Dedup {
     // sized window shuffle happens
     val bsizes = banded0.groupBy("band", "key").agg(count(lit(1)).as("bsize"))
     val banded = banded0.join(broadcast(bsizes), Seq("band", "key"))
-      .withColumn("sub", pmod(hash60(col("id").cast("string")),
-        expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+      .withColumn("sub",
+        subSplit(saltedHash60(col("id"), col("band")), "bsize", maxBucket))
     val a = banded.select(col("id").as("a"), col("simhash").as("ha"),
       col("band"), col("key"), col("sub"))
     val b = banded.select(col("id").as("b"), col("simhash").as("hb"),
@@ -298,9 +305,8 @@ object Dedup {
        |banded0 AS (SELECT id, simhash, i AS band, (simhash >> (i * 15)) & 32767 AS key
        |            FROM simq, range(0, 4) r(i)),
        |banded AS (SELECT id, simhash, band, key,
-       |             ${hash60Duck("id::VARCHAR")} %
-       |               ((count(*) OVER (PARTITION BY band, key) + ${maxBucket - 1}) // $maxBucket)
-       |               AS sub
+       |             ${subSplitDuck(saltedHash60Duck("id", "band"),
+                       s"count(*) OVER (PARTITION BY band, key)", maxBucket)} AS sub
        |           FROM banded0),
        |pairs AS (SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS ha, b.simhash AS hb
        |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key

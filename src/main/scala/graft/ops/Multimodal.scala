@@ -275,7 +275,9 @@ object Multimodal {
                 else if (ck == "data") { dataOff = off + 8; dataLen = sz }
                 off += 8 + sz + (sz & 1) // chunks are word-aligned
               }
-            } // corrupt exits with dataOff = -1 -> the guard below yields empty
+            } // the loop only runs while fmt or data is still unseen, so a
+              // corrupt exit always leaves pcm16 false OR dataOff -1 (possibly
+              // not both) and the guard below rejects either way
             val nSamples = dataLen / 2
             // bound check in Long: dataLen near 2^31 overflows the Int
             // sum to negative and would sneak past a signed compare

@@ -49,4 +49,31 @@ object OpsSql {
     (((i * 2 + 1) * (h % MinhashP)) + (i * 101 + 17)) % MinhashP
   def minhashPermDuck(h: String, i: String): String =
     s"((($i * 2 + 1) * (($h) % $MinhashP)) + ($i * 101 + 17)) % $MinhashP"
+
+  /** Bounded-bucket split hash, salted per band. Every dedup/similarity
+    * blocking op splits buckets above its size bound into
+    * ceil(size/max) sub-buckets by hashing the row id; when the SAME
+    * bucket population recurs across bands (identical docs share every
+    * band key), the split decision must be INDEPENDENT per band or a
+    * pair lands in the same sub-bucket either in every band or in none
+    * and the multi-band OR-construction stops protecting recall. The
+    * salt therefore enters the md5 digest itself — an affine shift
+    * (hash + band*C) would preserve pairwise collision structure mod
+    * nSub and decorrelate nothing.
+    */
+  def saltedHash60(id: Column, salt: Column): Column =
+    hash60(concat(id.cast("string"), lit("#"), salt.cast("string")))
+  def saltedHash60Duck(id: String, salt: String): String =
+    hash60Duck(s"($id)::VARCHAR || '#' || ($salt)::VARCHAR")
+
+  /** Sub-bucket assignment: splitHash mod ceil(size/maxBucket). The
+    * arithmetic lives here ONCE because the DuckDB twin must reproduce
+    * it bit-for-bit (integer div, non-negative mod) — `sizeExpr` is a
+    * SQL expression for the bucket size (a window count or a joined-in
+    * size column) so both engines share the exact formula.
+    */
+  def subSplit(splitHash: Column, sizeExpr: String, maxBucket: Int): Column =
+    pmod(splitHash, expr(s"($sizeExpr + ${maxBucket - 1}) div $maxBucket"))
+  def subSplitDuck(hashExpr: String, sizeExpr: String, maxBucket: Int): String =
+    s"$hashExpr % (($sizeExpr + ${maxBucket - 1}) // $maxBucket)"
 }

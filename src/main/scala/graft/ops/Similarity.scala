@@ -236,8 +236,7 @@ object Similarity {
     // exact integer arithmetic end-to-end (div, pmod) so the DuckDB
     // oracle derives the identical block assignment
     val blocked = sized
-      .withColumn("sub", pmod(centroidHash(col("vid")),
-        expr(s"(csize + ${maxBlock - 1}) div $maxBlock")))
+      .withColumn("sub", OpsSql.subSplit(centroidHash(col("vid")), "csize", maxBlock))
     val a = blocked.select(col("cluster"), col("sub"), col("vid").as("a"), col("v").as("va"))
     val b = blocked.select(col("cluster"), col("sub"), col("vid").as("b"), col("v").as("vb"))
     a.join(b, Seq("cluster", "sub")).filter(col("a") < col("b"))
@@ -261,7 +260,7 @@ object Similarity {
        |  WHERE rn = 1),
        |sized AS (SELECT *, count(*) OVER (PARTITION BY cluster) AS csize FROM assigned),
        |blk AS (SELECT vid, v, cluster,
-       |          ${centroidHashDuck("vid")} % ((csize + ${maxBlock - 1}) // $maxBlock) AS sub
+       |          ${OpsSql.subSplitDuck(centroidHashDuck("vid"), "csize", maxBlock)} AS sub
        |        FROM sized),
        |p AS (SELECT x.vid AS a, y.vid AS b,
        |        list_dot_product(x.v, y.v) /
@@ -316,7 +315,10 @@ object Similarity {
     *     per-task pair count is <= maxBucket^2; total candidates are
     *     O(N x maxBucket x nBands), linear in N. Pairs straddling
     *     sub-splits of one band can still match in another band — the
-    *     multi-band OR-construction is what keeps recall.
+    *     multi-band OR-construction is what keeps recall — which is
+    *     only true because the split hash is salted per band
+    *     (OpsSql.saltedHash60); unsalted splits correlate across bands
+    *     for identical vectors and fail all-or-nothing.
     *  2. **Slim candidates.** Pairs dedup as bare (a, b) ids BEFORE the
     *     vectors join back; carrying two full embedding vectors per
     *     candidate through the exchange+dedup multiplies the shuffle by
@@ -339,11 +341,14 @@ object Similarity {
     // frame is bounded by nBands * 2^bandBits rows — statically known,
     // so the broadcast gate needs no runtime count job.
     val bsizes = keyed.groupBy("band", "key").agg(count(lit(1)).as("bsize"))
+    // split hash salted per band (OpsSql.saltedHash60): identical
+    // vectors share every band key, so an unsalted split correlates
+    // across bands and voids the multi-band recall protection below
     val banded = keyed.join(
       if ((nBands.toLong << bandBits) <= 4000000L) broadcast(bsizes) else bsizes,
       Seq("band", "key"))
-      .withColumn("sub", pmod(centroidHash(col("vid")),
-        expr(s"(bsize + ${maxBucket - 1}) div $maxBucket")))
+      .withColumn("sub",
+        OpsSql.subSplit(OpsSql.saltedHash60(col("vid"), col("band")), "bsize", maxBucket))
     // deliberately NOT persisted: the a/b sides of the candidate join
     // canonicalize to the same exchange, which Spark reuses (verified:
     // 2 ReusedExchange nodes in the final adaptive plan), while a
@@ -379,9 +384,8 @@ object Similarity {
        |banded0 AS (SELECT vid, sig, i AS band, (sig >> (i * $bandBits)) & $mask AS key
        |            FROM sig, range(0, $nBands) r(i)),
        |banded AS (SELECT vid, band, key,
-       |             ${centroidHashDuck("vid")} %
-       |               ((count(*) OVER (PARTITION BY band, key) + ${maxBucket - 1}) // $maxBucket)
-       |               AS sub
+       |             ${OpsSql.subSplitDuck(OpsSql.saltedHash60Duck("vid", "band"),
+                       s"count(*) OVER (PARTITION BY band, key)", maxBucket)} AS sub
        |           FROM banded0),
        |cand AS (SELECT DISTINCT a.vid AS a, b.vid AS b
        |         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key

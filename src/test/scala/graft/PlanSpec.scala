@@ -146,6 +146,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash sub-bucket split is salted per band: oversized-bucket recall survives") {
+    import spark.implicits._
+    // 40 byte-identical docs: every pair is hamming-0 and every band
+    // bucket holds all 40 docs — the exact boilerplate case maxBucket
+    // exists for. maxBucket=20 -> nSub=2 per band. Per-band-INDEPENDENT
+    // splits keep a pair with P = 1-(1/2)^4 = 93.75%; a split hash
+    // correlated across bands (e.g. unsalted hash60(id)) keeps only
+    // ~50% — each pair collides in every band or in none. The corpus
+    // is fixed so the count is deterministic; 80% leaves slack against
+    // hash-detail drift while staying far above the correlated regime.
+    val docs = (1L to 40L)
+      .map(i => (i, "object Boilerplate { def run(): Unit = { val x = 1 } }"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.simhashPairs(
+      graft.ops.Dedup.simhash(docs, "doc_id", "text"), maxBucket = 20)
+    val found = pairs.count()
+    val total = 40L * 39 / 2
+    assert(found >= (total * 0.8).toLong,
+      s"salted split recall too low: $found of $total identical pairs")
+    assert(found < total,
+      s"maxBucket=20 over 40-doc buckets must drop SOME pairs or the split path wasn't exercised")
+  }
+
   test("minhash verify broadcasts only the gated candidate-ID set, never the pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
