@@ -109,6 +109,12 @@ object OpsBench {
     val parts = cpus * 4
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // regime markers BRACKET the run like graft.Bench's: a mid-run host
+    // shift shows up as start/end drift instead of hiding behind one
+    // healthy end-of-run sample
+    results("calib_sec_start") = Bench.calibrate()
+    results("mem_calib_sec_start") = Bench.calibrateMem()
+
     // materialize inputs first so op timings exclude generation
     val docs = genDocs(spark, nDocs, parts).persist()
     results("n_docs") = docs.count().toDouble
@@ -129,9 +135,22 @@ object OpsBench {
     results("lsh_cosine_sec") = tLsh
     results("lsh_docs_per_sec") = nDocs.toDouble / tLsh
 
+    // the output-bounded dedup path: O(N) assignments instead of the
+    // (quadratic-in-group-size) pair enumeration above — the number to
+    // compare against lsh_cosine_sec at every scale leg
+    System.err.println(
+      s"[opsbench] LSH done in $tLsh s ($nLsh pairs), starting lshCosineDedup")
+    val (nDedup, tDedup) = Bench.time(
+      graft.ops.Similarity.lshCosineDedup(emb, "vec_id", "embedding")
+        .where("rep < id").count())
+    results("lsh_dedup_dups") = nDedup.toDouble
+    results("lsh_dedup_sec") = tDedup
+    results("lsh_dedup_docs_per_sec") = nDocs.toDouble / tDedup
+
     // IVF observability: with auto-K (= sqrt(N)) the per-query candidate
     // set must grow ~sqrt(N) across size legs, not linearly (r03 weak #1)
-    System.err.println(s"[opsbench] LSH done in $tLsh s ($nLsh pairs), probing IVF candidates")
+    System.err.println(
+      s"[opsbench] dedup done in $tDedup s ($nDedup dups), probing IVF candidates")
     val (ivfRows, tIvf) = Bench.time(
       graft.ops.Similarity.ivfCandidateCounts(emb, "vec_id", "embedding").collect())
     if (ivfRows.nonEmpty) {
@@ -141,6 +160,11 @@ object OpsBench {
       results("ivf_max_candidates") = ivfRows.map(_.getLong(1)).max.toDouble
     }
     results("ivf_probe_sec") = tIvf
+
+    // closing markers (cross-leg comparisons need BOTH matched at BOTH
+    // ends — CLAUDE.md: cpu steal AND memory-fabric state)
+    results("calib_sec") = Bench.calibrate()
+    results("mem_calib_sec") = Bench.calibrateMem()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"ops_bench","nDocs":$nDocs,"cpus":$cpus,"queries":$qs}""")

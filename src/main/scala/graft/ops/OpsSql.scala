@@ -75,5 +75,5 @@ object OpsSql {
   def subSplit(splitHash: Column, sizeExpr: String, maxBucket: Int): Column =
     pmod(splitHash, expr(s"($sizeExpr + ${maxBucket - 1}) div $maxBucket"))
   def subSplitDuck(hashExpr: String, sizeExpr: String, maxBucket: Int): String =
-    s"$hashExpr % (($sizeExpr + ${maxBucket - 1}) // $maxBucket)"
+    s"($hashExpr) % (($sizeExpr + ${maxBucket - 1}) // $maxBucket)"
 }

@@ -270,11 +270,18 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane sign for (plane, dim):
     * +1/-1 from exact integer arithmetic so Spark and DuckDB draw the
-    * identical hyperplanes.
+    * identical hyperplanes. Wang-style 32-bit mix of p*1000003 + i —
+    * see VectorOps.hyperplaneSig for why a real mix is load-bearing
+    * (the single-LCG `% 2` draw it replaces made all planes collinear
+    * and collapsed the signature space to 2 values).
     */
-  private def hyperplaneSign(p: Int, i: Column): Column =
-    when(pmod((lit(p.toLong * 1000003L) + i) * lit(48271L), lit(2147483647L)) % 2 === 0,
-      lit(1.0d)).otherwise(lit(-1.0d))
+  private def hyperplaneSign(p: Int, i: Column): Column = {
+    val h0 = pmod((lit(p.toLong * 1000003L) + i) * lit(2654435761L), lit(4294967296L))
+    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val h2 = pmod(h1 * lit(40503L), lit(4294967296L))
+    val h3 = h2.bitwiseXOR(shiftright(h2, 13))
+    when(h3 % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
+  }
 
   /** Random-hyperplane LSH signature (SimHash over embeddings): bit p =
     * sign of the dot product with pseudo-random +-1 hyperplane p. Strict
@@ -303,7 +310,17 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH —
-    * the 100 TB path. Two properties make it scale:
+    * the 100 TB path. Defaults: 56-bit signatures in 7 bands of 8 bits
+    * (56 keeps the sig strictly positive — bit 63 would flip the sign
+    * in BOTH engines' shift arithmetic), maxBucket 256 (<= 32k verify
+    * pairs per task). Band math at the corpus's ~0.89 intra-cluster
+    * cosine (per-bit agreement p ~ 1 - angle/pi = 0.85): one 8-bit band
+    * collides at p^8 = 27%, seven bands give 1-(1-0.27)^7 = 89% banding
+    * recall; two bands (the old nBits=16) gave 47%. Measured on the
+    * OpsBench corpus at 20k: bounded/unbounded pair recall 99%+ with
+    * these defaults vs 59% at nBits=16/maxBucket=64.
+    *
+    * Two properties make it scale:
     *
     *  1. **Bounded buckets.** 2^bandBits buckets per band only bounds
     *     bucket size for uniformly-distributed signatures; clustered
@@ -324,11 +341,11 @@ object Similarity {
     *     candidate through the exchange+dedup multiplies the shuffle by
     *     the vector width (~16x at dim=64) for no information.
     */
-  def lshCosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45,
-      maxBucket: Int = 64): DataFrame = {
+  /** Shared LSH banding pipeline: (vid, band, key, sub) with bounded,
+    * per-band-salted sub-buckets. `e` must be (vid, v: array<double>).
+    */
+  private def lshBanded(e: DataFrame, nBits: Int, bandBits: Int, maxBucket: Int): DataFrame = {
     val nBands = nBits / bandBits
-    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val sigs = e.withColumn("sig", lshSignature(col("v"), nBits))
       .select("vid", "sig")
     val mask = (1L << bandBits) - 1
@@ -343,12 +360,20 @@ object Similarity {
     val bsizes = keyed.groupBy("band", "key").agg(count(lit(1)).as("bsize"))
     // split hash salted per band (OpsSql.saltedHash60): identical
     // vectors share every band key, so an unsalted split correlates
-    // across bands and voids the multi-band recall protection below
-    val banded = keyed.join(
+    // across bands and voids the multi-band recall protection
+    keyed.join(
       if ((nBands.toLong << bandBits) <= 4000000L) broadcast(bsizes) else bsizes,
       Seq("band", "key"))
       .withColumn("sub",
         OpsSql.subSplit(OpsSql.saltedHash60(col("vid"), col("band")), "bsize", maxBucket))
+      .select("vid", "band", "key", "sub")
+  }
+
+  def lshCosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 256): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val banded = lshBanded(e, nBits, bandBits, maxBucket)
     // deliberately NOT persisted: the a/b sides of the candidate join
     // canonicalize to the same exchange, which Spark reuses (verified:
     // 2 ReusedExchange nodes in the final adaptive plan), while a
@@ -367,18 +392,83 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  def lshCosineDupPairsSqlDuck(idCol: String, vecCol: String,
-      nBits: Int = 16, bandBits: Int = 8, threshold: Double = 0.45,
-      maxBucket: Int = 64): String = {
+  /** Scalable near-duplicate REPRESENTATIVE assignment — the output-
+    * bounded 100 TB dedup primitive. `lshCosineDupPairs` enumerates all
+    * near-dup PAIRS, which is inherently quadratic in group size (a
+    * 195-member near-identical cluster emits ~19k pairs; measured 7.65M
+    * pairs over the 200k OpsBench corpus — the OUTPUT is the quadratic
+    * term, no blocking can fix that). A curation pipeline doesn't need
+    * the pairs: it needs one canonical representative per group. Here
+    * every sub-bucket elects rep = min(vid); each member is cosine-
+    * verified against its <= nBands bucket reps (O(N x nBands) verify
+    * work, zero quadratic term anywhere) and assigned the smallest
+    * verified rep, or itself if none. rep <= id always (the rep IS the
+    * bucket minimum), so `keep rows where rep = id` is the dedup
+    * filter. One LSH pass — rep chains (a rep that is itself a dup of
+    * a smaller rep) resolve by iterating the operator; groups whose
+    * members share buckets (the common case) collapse in one pass.
+    */
+  def lshCosineDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 256): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val banded = lshBanded(e, nBits, bandBits, maxBucket)
+    val reps = banded.groupBy("band", "key", "sub").agg(min(col("vid")).as("rep"))
+    // slim (vid, rep) edges dedup BEFORE the vector join-back, exactly
+    // like the pairs op's candidate dedup
+    val edges = banded.join(reps, Seq("band", "key", "sub"))
+      .filter(col("vid") =!= col("rep"))
+      .select("vid", "rep").distinct()
+    val verified = edges
+      .join(e.select(col("vid"), col("v").as("va")), "vid")
+      .join(e.select(col("vid").as("rep"), col("v").as("vb")), "rep")
+      .withColumn("c", cosine(col("va"), col("vb")))
+      .filter(col("c") >= threshold)
+      .groupBy("vid").agg(min(col("rep")).as("rep"))
+    e.select("vid").join(verified, Seq("vid"), "left_outer")
+      .select(col("vid").as("id"), coalesce(col("rep"), col("vid")).as("rep"))
+      .orderBy("id")
+  }
+
+  def lshCosineDedupSqlDuck(idCol: String, vecCol: String,
+      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 256): String =
+    s"""WITH ${lshBandedDuck(idCol, vecCol, nBits, bandBits, maxBucket)},
+       |reps AS (SELECT band, key, sub, min(vid) AS rep FROM banded GROUP BY 1, 2, 3),
+       |edges AS (SELECT DISTINCT b.vid, r.rep
+       |          FROM banded b JOIN reps r USING (band, key, sub) WHERE b.vid <> r.rep),
+       |ver AS (SELECT g.vid, min(g.rep) AS rep
+       |        FROM edges g JOIN e x ON g.vid = x.vid JOIN e y ON g.rep = y.vid
+       |        WHERE list_dot_product(x.v, y.v) /
+       |              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+       |              >= $threshold
+       |        GROUP BY 1)
+       |SELECT e.vid AS id, coalesce(ver.rep, e.vid) AS rep
+       |FROM e LEFT JOIN ver ON e.vid = ver.vid ORDER BY id""".stripMargin
+
+  /** Shared CTE prefix (e, sig, banded0, banded) of the two LSH twins —
+    * the DuckDB mirror of `lshBanded`.
+    */
+  private def lshBandedDuck(idCol: String, vecCol: String,
+      nBits: Int, bandBits: Int, maxBucket: Int): String = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
+    // the Wang-mix draw (see hyperplaneSign): xor() has no SQL-lambda
+    // let-binding, so the mixed-state subexpressions repeat textually —
+    // oracle-side cost only
+    def mixDuck(p: Int): String = {
+      val h0 = s"((($p*1000003 + (i-1)) * 2654435761) % 4294967296)"
+      val h1 = s"xor($h0, $h0 >> 16)"
+      val h2 = s"(($h1 * 40503) % 4294967296)"
+      s"xor($h2, $h2 >> 13)"
+    }
     val bitTerms = (0 until nBits).map { p =>
       s"""(CASE WHEN list_reduce(list_transform(range(1, len(v)+1), i -> v[i] *
-         |  (CASE WHEN ((($p*1000003 + (i-1)) * 48271) % 2147483647) % 2 = 0
+         |  (CASE WHEN (${mixDuck(p)}) % 2 = 0
          |   THEN 1.0 ELSE -1.0 END)), (acc, x) -> acc + x) > 0
          | THEN (1::BIGINT << $p) ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""WITH e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT $idCol AS vid, $vecCol::DOUBLE[] AS v FROM embeddings),
        |sig AS (SELECT vid, v,
        |          (CASE WHEN len(v) = 0 THEN 0 ELSE ($bitTerms) END)::BIGINT AS sig FROM e),
        |banded0 AS (SELECT vid, sig, i AS band, (sig >> (i * $bandBits)) & $mask AS key
@@ -386,7 +476,13 @@ object Similarity {
        |banded AS (SELECT vid, band, key,
        |             ${OpsSql.subSplitDuck(OpsSql.saltedHash60Duck("vid", "band"),
                        s"count(*) OVER (PARTITION BY band, key)", maxBucket)} AS sub
-       |           FROM banded0),
+       |           FROM banded0)""".stripMargin
+  }
+
+  def lshCosineDupPairsSqlDuck(idCol: String, vecCol: String,
+      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 256): String =
+    s"""WITH ${lshBandedDuck(idCol, vecCol, nBits, bandBits, maxBucket)},
        |cand AS (SELECT DISTINCT a.vid AS a, b.vid AS b
        |         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
        |              AND a.sub = b.sub AND a.vid < b.vid),
@@ -395,5 +491,4 @@ object Similarity {
        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
        |      FROM cand JOIN e x ON cand.a = x.vid JOIN e y ON cand.b = y.vid)
        |SELECT a, b, round(c, 4) AS cosine FROM p WHERE c >= $threshold ORDER BY a, b""".stripMargin
-  }
 }

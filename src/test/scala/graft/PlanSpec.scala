@@ -169,6 +169,27 @@ class PlanSpec extends AnyFunSuite {
       s"maxBucket=20 over 40-doc buckets must drop SOME pairs or the split path wasn't exercised")
   }
 
+  test("lshCosineDedup collapses clustered near-dup groups in one pass, output O(N)") {
+    // the op's design regime: buckets ~ near-identical groups (heavy
+    // boilerplate). 2000 vectors in 32 tight clusters (~62 members,
+    // intra-cluster cosine ~0.89): members share band keys with their
+    // cluster, the bucket min IS a cluster-mate, and the star verify
+    // passes — most docs must collapse onto a smaller-id rep. (At
+    // sf0.01-style scattered corpora the bucket min is a random
+    // dissimilar doc and the op legitimately keeps everything — q47
+    // gates the exact arithmetic there, THIS gates the dedup effect.)
+    val emb = OpsBench.genEmbeddings(spark, 2000L, 8, nClusters = 32)
+    val out = graft.ops.Similarity.lshCosineDedup(emb, "vec_id", "embedding").collect()
+    assert(out.length == 2000, "one assignment row per input vector")
+    out.foreach(r => assert(r.getLong(1) <= r.getLong(0), "rep is never larger than the id"))
+    val dups = out.count(r => r.getLong(1) < r.getLong(0))
+    assert(dups >= 1200, s"expected most of 2000 clustered docs to collapse, got $dups")
+    val plan = graft.ops.Similarity.lshCosineDedup(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "dedup must stay equi-join only")
+  }
+
   test("minhash verify broadcasts only the gated candidate-ID set, never the pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
