@@ -95,18 +95,19 @@ object Dedup {
     * band join is the only quadratic-risk step and is bounded by bucket
     * collisions (band width tunes precision/recall).
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5,
-      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol).persist()
-    // all numPerm minima as one map-side partial aggregation (no
-    // perm-explode: rows stay at |shingles|, not |shingles| x numPerm).
-    // Measured: this beats a row-local array_min(transform(...))
-    // signature 4x — the array path allocates 32 intermediate arrays
-    // per row while this stays in codegen'd scalar aggregates.
+  /** Banded minhash signatures (id, band, s) over the hashed shingle
+    * set. All numPerm minima compute as ONE map-side partial aggregation
+    * (no perm-explode: rows stay at |shingles|, not |shingles| x
+    * numPerm). Measured: this beats a row-local array_min(transform(..))
+    * signature 4x — the array path allocates 32 intermediate arrays per
+    * row while this stays in codegen'd scalar aggregates. Returns the
+    * persisted wide signature too (the band self-join / rep election
+    * would otherwise recompute the whole shingle+hash pipeline per
+    * side); the caller releases it via `scoped`.
+    */
+  private def minhashBands(sh: DataFrame, numPerm: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
     val minCols = (0 until numPerm).map(i => min(minhashPerm(col("h"), lit(i))).as(s"m$i"))
-    // persist the per-doc signature: the band self-join and verification
-    // would otherwise recompute the whole shingle+hash pipeline per side
     val sig0 = sh.groupBy("id").agg(minCols.head, minCols.tail: _*).persist()
     val bandStrings = (0 until numPerm / rowsPerBand).map { band =>
       concat_ws("-",
@@ -114,6 +115,14 @@ object Dedup {
     }
     val sig = sig0.select(col("id"), posexplode(array(bandStrings: _*)))
       .toDF("id", "band", "s")
+    (sig0, sig)
+  }
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol).persist()
+    val (sig0, sig) = minhashBands(sh, numPerm, rowsPerBand)
     val a = sig.select(col("id").as("a"), col("band"), col("s"))
     val b = sig.select(col("id").as("b"), col("band"), col("s"))
     val cand = a.join(b, Seq("band", "s")).filter(col("a") < col("b"))
@@ -165,6 +174,125 @@ object Dedup {
        |FROM cm JOIN sz za ON za.id = cm.a JOIN sz zb ON zb.id = cm.b
        |WHERE cm::DOUBLE / (za.n + zb.n - cm) >= $threshold
        |ORDER BY a, b""".stripMargin
+
+  /** Output-bounded MinHash dedup — the text twin of
+    * `Similarity.lshCosineDedup`. `minhashPairs` enumerates near-dup
+    * PAIRS, which is inherently quadratic in group size (a G-member
+    * boilerplate cluster IS ~G²/2 pairs — the output is the quadratic
+    * term, no blocking fixes that). A curation pipeline needs one
+    * canonical representative per group instead: every (band, s) bucket
+    * elects rep = min(id); each member exact-Jaccard-verifies against
+    * its <= numBands bucket reps (O(N x numBands) verify work, zero
+    * quadratic term anywhere) and takes the smallest verified rep, or
+    * itself. Output is exactly one (id, rep) row per input doc;
+    * `rep = id` is the keep filter. rep <= id always (the rep is a
+    * bucket minimum), so the pointer graph is a forest — rep chains
+    * (a rep itself a dup of a smaller rep) resolve via `resolveReps`.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol).persist()
+    val (sig0, sig) = minhashBands(sh, numPerm, rowsPerBand)
+    val reps = sig.groupBy("band", "s").agg(min(col("id")).as("rep"))
+    // slim (a=id, b=rep) edges dedup BEFORE any shingle join-back,
+    // mirroring the pairs op's candidate dedup; a/b naming lets the
+    // edge set ride the same candidateShingles/verify machinery
+    val edges = sig.join(reps, Seq("band", "s"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("a"), col("rep").as("b")).distinct().persist()
+    val nCand = edges.count()
+    val shc = candidateShingles(sh, edges, nCand, broadcastIdLimit).persist()
+    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = edges
+      .join(shc.select(col("id").as("a"), col("h")), "a")
+      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+    val verified = common
+      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
+      .filter(col("cm").cast("double") / (col("na") + col("nb") - col("cm")) >= threshold)
+      .groupBy("a").agg(min(col("b")).as("rep"))
+    scoped(sh, sig0, edges, shc)(
+      df.select(col(idCol).as("id"))
+        .join(verified, col("id") === col("a"), "left_outer")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+        .orderBy("id"))
+  }
+
+  /** Oracle twin of minhashDedup (same full-band perm cap as
+    * minhashPairsSqlDuck).
+    */
+  def minhashDedupSqlDuck(idCol: String, textCol: String,
+      numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5): String =
+    s"""WITH ${hashedShinglesDuck(idCol, textCol)},
+       |mh AS (SELECT id, i AS perm, min(${minhashPermDuck("h", "i")}) AS mh
+       |       FROM sh, range(0, ${(numPerm / rowsPerBand) * rowsPerBand}) r(i) GROUP BY 1, 2),
+       |sig AS (SELECT id, perm // $rowsPerBand AS band,
+       |               string_agg(mh::VARCHAR, '-' ORDER BY perm) AS s
+       |        FROM mh GROUP BY 1, 2),
+       |reps AS (SELECT band, s, min(id) AS rep FROM sig GROUP BY 1, 2),
+       |edges AS (SELECT DISTINCT g.id AS a, r.rep AS b
+       |          FROM sig g JOIN reps r ON g.band = r.band AND g.s = r.s
+       |          WHERE g.id <> r.rep),
+       |sz AS (SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT e.a, e.b, count(*)::BIGINT AS cm FROM edges e
+       |       JOIN sh sa ON sa.id = e.a JOIN sh sb ON sb.id = e.b AND sb.h = sa.h
+       |       GROUP BY 1, 2),
+       |ver AS (SELECT cm.a, min(cm.b) AS rep
+       |        FROM cm JOIN sz za ON za.id = cm.a JOIN sz zb ON zb.id = cm.b
+       |        WHERE cm::DOUBLE / (za.n + zb.n - cm) >= $threshold GROUP BY 1)
+       |SELECT d.$idCol AS id, coalesce(ver.rep, d.$idCol) AS rep
+       |FROM documents d LEFT JOIN ver ON d.$idCol = ver.a ORDER BY id""".stripMargin
+
+  /** Transitive closure of a representative assignment (id, rep) by
+    * distributed POINTER JUMPING. The one-pass dedup ops
+    * (`minhashDedup`, `Similarity.lshCosineDedup`) can leave chains: a
+    * rep that is itself assigned a smaller rep. Each round replaces
+    * every pointer with its target's pointer (rep <- rep(rep)),
+    * doubling resolved-prefix length, so depth-D chains close in
+    * ceil(log2 D) + 1 rounds; each round is ONE equi-join shuffle of
+    * slim (long, long) rows plus a fixpoint-count job — the round count
+    * depends on chain DEPTH only, never on corpus size (near-dup chains
+    * are shallow by construction: rep is a bucket minimum, so depth is
+    * bounded by the dup-group diameter across buckets). Requires
+    * rep <= id (true for min-elected reps): the pointer graph is then a
+    * forest and convergence is guaranteed. The driver-side loop is
+    * O(log D) distributed jobs, not a per-row collect; only the newest
+    * round's frame stays persisted (the previous one is released as
+    * soon as its successor materializes), so the storage residue is one
+    * slim N-row (id, rep, moved) frame backing the returned result —
+    * the same result-sized residue as the `scoped` dedup ops.
+    */
+  def resolveReps(assign: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // curStore is the ONE persisted frame alive at any moment; cur is a
+    // cheap projection over it (reads the cache). The fixpoint count
+    // materializes each round's frame BEFORE its predecessor is
+    // released, so no recomputation cascades through unpersisted plans.
+    var curStore = assign.select(col("id"), col("rep")).persist(lvl)
+    var cur = curStore
+    var rounds = 0
+    var moved = 1L
+    while (moved > 0 && rounds < maxRounds) {
+      val jumped = cur
+        .join(cur.select(col("id").as("rid"), col("rep").as("rrep")),
+          col("rep") === col("rid"))
+        .select(col("id"), col("rrep").as("rep"),
+          (col("rep") =!= col("rrep")).as("moved"))
+        .persist(lvl)
+      moved = jumped.filter(col("moved")).count()
+      if (moved == 0) {
+        jumped.unpersist(blocking = false)
+      } else {
+        curStore.unpersist(blocking = false)
+        curStore = jumped
+        cur = jumped.select("id", "rep")
+        rounds += 1
+      }
+    }
+    cur.orderBy("id")
+  }
 
   /** n-gram Jaccard with rare-shingle blocking: candidates share at
     * least one shingle with global df <= maxShingleDf (bounds the

@@ -430,10 +430,13 @@ object Similarity {
       .orderBy("id")
   }
 
-  def lshCosineDedupSqlDuck(idCol: String, vecCol: String,
-      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
-      maxBucket: Int = 256): String =
-    s"""WITH ${lshBandedDuck(idCol, vecCol, nBits, bandBits, maxBucket)},
+  /** CTE chain (banded ... assign) shared by the dedup twin and its
+    * transitive-closure variant: `assign` is the one-pass (id, rep)
+    * representative assignment.
+    */
+  private def lshDedupAssignDuck(idCol: String, vecCol: String,
+      nBits: Int, bandBits: Int, threshold: Double, maxBucket: Int): String =
+    s"""${lshBandedDuck(idCol, vecCol, nBits, bandBits, maxBucket)},
        |reps AS (SELECT band, key, sub, min(vid) AS rep FROM banded GROUP BY 1, 2, 3),
        |edges AS (SELECT DISTINCT b.vid, r.rep
        |          FROM banded b JOIN reps r USING (band, key, sub) WHERE b.vid <> r.rep),
@@ -442,9 +445,31 @@ object Similarity {
        |        WHERE list_dot_product(x.v, y.v) /
        |              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
        |              >= $threshold
-       |        GROUP BY 1)
-       |SELECT e.vid AS id, coalesce(ver.rep, e.vid) AS rep
-       |FROM e LEFT JOIN ver ON e.vid = ver.vid ORDER BY id""".stripMargin
+       |        GROUP BY 1),
+       |assign AS (SELECT e.vid AS id, coalesce(ver.rep, e.vid) AS rep
+       |           FROM e LEFT JOIN ver ON e.vid = ver.vid)""".stripMargin
+
+  def lshCosineDedupSqlDuck(idCol: String, vecCol: String,
+      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 256): String =
+    s"""WITH ${lshDedupAssignDuck(idCol, vecCol, nBits, bandBits, threshold, maxBucket)}
+       |SELECT id, rep FROM assign ORDER BY id""".stripMargin
+
+  /** Oracle twin of Dedup.resolveReps ∘ lshCosineDedup: follow rep
+    * pointers with a recursive CTE until they stop moving. rep strictly
+    * decreases along a chain (each rep is a bucket MINIMUM), so the walk
+    * terminates and the chain root is min(rep) over the walk.
+    */
+  def lshCosineDedupResolvedSqlDuck(idCol: String, vecCol: String,
+      nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
+      maxBucket: Int = 256): String =
+    s"""WITH RECURSIVE ${lshDedupAssignDuck(idCol, vecCol, nBits, bandBits, threshold, maxBucket)},
+       |walk(id, rep) AS (
+       |  SELECT id, rep FROM assign
+       |  UNION ALL
+       |  SELECT w.id, a.rep FROM walk w JOIN assign a ON w.rep = a.id
+       |  WHERE a.rep <> w.rep)
+       |SELECT id, min(rep) AS rep FROM walk GROUP BY id ORDER BY id""".stripMargin
 
   /** Shared CTE prefix (e, sig, banded0, banded) of the two LSH twins —
     * the DuckDB mirror of `lshBanded`.

@@ -190,6 +190,48 @@ class PlanSpec extends AnyFunSuite {
       "dedup must stay equi-join only")
   }
 
+  test("resolveReps closes a depth-9 chain in <= 5 pointer-jump rounds (log, not linear)") {
+    // rep = id-1 except at multiples of 10: ten chains of depth 9.
+    // Linear pointer-chasing needs 8 rounds; pointer jumping doubles
+    // the resolved distance per round, so maxRounds = 5 proves the
+    // log-round contract (4 jump rounds + the fixpoint-detect round).
+    val assign = spark.range(0, 100).select(col("id"),
+      when(col("id") % 10 === 0, col("id")).otherwise(col("id") - 1).as("rep"))
+    val resolved = graft.ops.Dedup.resolveReps(assign, maxRounds = 5).collect()
+    assert(resolved.length == 100)
+    resolved.foreach { r =>
+      val (id, rep) = (r.getLong(0), r.getLong(1))
+      assert(rep == id - (id % 10), s"id $id resolved to $rep, expected ${id - (id % 10)}")
+    }
+    // idempotence: a resolved assignment is its own fixpoint
+    val again = graft.ops.Dedup.resolveReps(
+      spark.range(0, 100).select(col("id"), (col("id") - (col("id") % 10)).as("rep")),
+      maxRounds = 5).collect()
+    again.foreach(r => assert(r.getLong(1) == r.getLong(0) - (r.getLong(0) % 10)))
+  }
+
+  test("minhashDedup assigns every planted duplicate a smaller-id rep, output O(N), equi-join only") {
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val dups = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val corpus = docs.unionByName(dups)
+    val n = corpus.count()
+    val out = graft.ops.Dedup.minhashDedup(corpus, "doc_id", "text")
+    val rows = out.collect()
+    assert(rows.length == n, "exactly one (id, rep) row per input doc")
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0), "rep is never larger than the id"))
+    // every exact copy shares EVERY band with its original, so its
+    // bucket rep verifies at jaccard 1.0 and the copy must collapse
+    val copies = rows.filter(_.getLong(0) >= 100000)
+    assert(copies.length == 50)
+    copies.foreach(r =>
+      assert(r.getLong(1) < 100000, s"copy ${r.getLong(0)} kept rep ${r.getLong(1)}"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "dedup must stay equi-join only")
+    out.unpersist(blocking = true)
+  }
+
   test("minhash verify broadcasts only the gated candidate-ID set, never the pair set") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
