@@ -128,7 +128,19 @@ object OpsBench {
     results("minhash_sec") = tMinhash
     results("minhash_docs_per_sec") = nDocs.toDouble / tMinhash
 
-    System.err.println(s"[opsbench] minhash done in $tMinhash s ($nMinhash pairs), starting LSH")
+    // text twin of the lsh_dedup leg below: O(N) rep assignments
+    // instead of pair enumeration — compare against minhash_sec
+    System.err.println(
+      s"[opsbench] minhash done in $tMinhash s ($nMinhash pairs), starting minhashDedup")
+    val (nTxtDedup, tTxtDedup) = Bench.time(
+      graft.ops.Dedup.minhashDedup(docs, "doc_id", "text")
+        .where("rep < id").count())
+    results("minhash_dedup_dups") = nTxtDedup.toDouble
+    results("minhash_dedup_sec") = tTxtDedup
+    results("minhash_dedup_docs_per_sec") = nDocs.toDouble / tTxtDedup
+
+    System.err.println(
+      s"[opsbench] minhashDedup done in $tTxtDedup s ($nTxtDedup dups), starting LSH")
     val (nLsh, tLsh) = Bench.time(
       graft.ops.Similarity.lshCosineDupPairs(emb, "vec_id", "embedding").count())
     results("lsh_cosine_pairs") = nLsh.toDouble

@@ -7,17 +7,18 @@
 #
 #   LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec> <memCalibSec>
 #
-# Usage: tools/scaling.sh [docs]   (default 80000)
+# Usage: tools/scaling.sh [docs] [docIdStrategy]   (default 80000 keyRange)
 set -e
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_LOCAL_DIR=${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/spark-tmp}
 mkdir -p "$SPARK_GRAFT_LOCAL_DIR"
 export SPARK_GRAFT_SCALE_DOCS=${1:-${SPARK_GRAFT_SCALE_DOCS:-80000}}
+STRATEGY=${2:-keyRange}
 for c in 4 8 16 32; do
   # sbt prefixes forked stdout with [info]; match the payload anywhere.
   # Pin SPARK_GRAFT_SCALE_PARTS so every level runs the IDENTICAL job
   # (otherwise partitions scale with cores and low levels get corpus-
   # sized partitions that blow the heap at 8M files).
   SPARK_GRAFT_SCALE_PARTS=${SPARK_GRAFT_SCALE_PARTS:-128} \
-    sbt -batch "runMain graft.ScalingBench $c" 2>/dev/null | grep -o 'LEVEL .*'
+    sbt -batch "runMain graft.ScalingBench $c $STRATEGY" 2>/dev/null | grep -o 'LEVEL .*'
 done
