@@ -122,8 +122,14 @@ object OpsBench {
     emb.count()
 
     System.err.println(s"[opsbench] inputs materialized, starting minhash over $nDocs docs")
-    val (nMinhash, tMinhash) = Bench.time(
-      graft.ops.Dedup.minhashPairs(docs, "doc_id", "text").count())
+    // the scoped dedup ops RETURN a persisted result frame; release it
+    // (blocking) before the next timed leg so no leg runs with another
+    // leg's cache residue perturbing the cross-leg-comparable numbers
+    val ((mhFrame, nMinhash), tMinhash) = Bench.time {
+      val r = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text")
+      (r, r.count())
+    }
+    mhFrame.unpersist(blocking = true)
     results("minhash_pairs") = nMinhash.toDouble
     results("minhash_sec") = tMinhash
     results("minhash_docs_per_sec") = nDocs.toDouble / tMinhash
@@ -132,9 +138,11 @@ object OpsBench {
     // instead of pair enumeration — compare against minhash_sec
     System.err.println(
       s"[opsbench] minhash done in $tMinhash s ($nMinhash pairs), starting minhashDedup")
-    val (nTxtDedup, tTxtDedup) = Bench.time(
-      graft.ops.Dedup.minhashDedup(docs, "doc_id", "text")
-        .where("rep < id").count())
+    val ((tdFrame, nTxtDedup), tTxtDedup) = Bench.time {
+      val r = graft.ops.Dedup.minhashDedup(docs, "doc_id", "text")
+      (r, r.where("rep < id").count())
+    }
+    tdFrame.unpersist(blocking = true)
     results("minhash_dedup_dups") = nTxtDedup.toDouble
     results("minhash_dedup_sec") = tTxtDedup
     results("minhash_dedup_docs_per_sec") = nDocs.toDouble / tTxtDedup

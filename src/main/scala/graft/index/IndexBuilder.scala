@@ -173,6 +173,10 @@ object IndexBuilder {
     */
   def assignDocIdsCounted(df: DataFrame, keyCols: Seq[String], parts: Int,
       base: Long = 0L, strategy: String = DocIdStrategy.KeyRange): (DataFrame, DataFrame, Long) = {
+    // fail loud on typos ("Scan", "key-range"): a silent fallback to
+    // keyRange would measure/build the wrong strategy with no error
+    require(strategy == DocIdStrategy.KeyRange || strategy == DocIdStrategy.Scan,
+      s"unknown docIdStrategy '$strategy' (expected '${DocIdStrategy.KeyRange}' or '${DocIdStrategy.Scan}')")
     val keys = keyCols.map(col)
     // Scan strategy: ids in arrival order over the input's own
     // partitioning — no shuffle, no sort (tantivy's docId semantics:

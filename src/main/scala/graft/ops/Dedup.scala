@@ -88,6 +88,27 @@ object Dedup {
     sh.join(cd, "id")
   }
 
+  /** Exact-Jaccard verification shared by every shingle dedup op: for
+    * each candidate edge (a, b), count common shingles over the
+    * candidate-restricted set `shc`, compute |A ∩ B| / |A ∪ B| and keep
+    * edges at or above `threshold`. Output (a, b, jaccard); every join
+    * is keyed on slim longs and bounded by candidate count. The three
+    * DuckDB twins (sz/cm/final-select CTEs) mirror this one block.
+    */
+  private def jaccardVerified(edges: DataFrame, shc: DataFrame,
+      threshold: Double): DataFrame = {
+    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
+    edges
+      .join(shc.select(col("id").as("a"), col("h")), "a")
+      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash + LSH near-duplicate pairs (SURVEY-adjacent scale path):
     * shingle -> 60-bit hash -> numPerm permuted mins -> band signatures
     * -> bucket self-join for candidates -> exact Jaccard verification.
@@ -135,15 +156,7 @@ object Dedup {
     // from the restricted set too (a candidate doc's shingle rows are
     // all retained, so the counts equal the full-corpus sizes).
     val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
-    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = cand.join(shc.select(col("id").as("a"), col("h")), "a")
-      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    scoped(sh, sig0, cand, shc)(common
-      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
-      .filter(col("jaccard") >= threshold)
+    scoped(sh, sig0, cand, shc)(jaccardVerified(cand, shc, threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b"))
   }
@@ -203,21 +216,16 @@ object Dedup {
       .select(col("id").as("a"), col("rep").as("b")).distinct().persist()
     val nCand = edges.count()
     val shc = candidateShingles(sh, edges, nCand, broadcastIdLimit).persist()
-    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = edges
-      .join(shc.select(col("id").as("a"), col("h")), "a")
-      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    val verified = common
-      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
-      .filter(col("cm").cast("double") / (col("na") + col("nb") - col("cm")) >= threshold)
+    val verified = jaccardVerified(edges, shc, threshold)
       .groupBy("a").agg(min(col("b")).as("rep"))
+    // output is UNORDERED (one row per input doc): a global sort here
+    // would be a wasted corpus-wide range exchange for the composing
+    // callers (resolveReps re-shuffles by rep immediately); terminal /
+    // oracle-facing consumers order explicitly.
     scoped(sh, sig0, edges, shc)(
       df.select(col(idCol).as("id"))
         .join(verified, col("id") === col("a"), "left_outer")
-        .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
-        .orderBy("id"))
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
   }
 
   /** Oracle twin of minhashDedup (same full-band perm cap as
@@ -257,12 +265,21 @@ object Dedup {
     * are shallow by construction: rep is a bucket minimum, so depth is
     * bounded by the dup-group diameter across buckets). Requires
     * rep <= id (true for min-elected reps): the pointer graph is then a
-    * forest and convergence is guaranteed. The driver-side loop is
-    * O(log D) distributed jobs, not a per-row collect; only the newest
-    * round's frame stays persisted (the previous one is released as
-    * soon as its successor materializes), so the storage residue is one
-    * slim N-row (id, rep, moved) frame backing the returned result —
-    * the same result-sized residue as the `scoped` dedup ops.
+    * forest and convergence is guaranteed. A rep value with no (id, …)
+    * row in the input (a pre-filtered assignment, e.g. a dups-only
+    * `rep < id` view) is treated as a ROOT: the pointer keeps its value
+    * instead of the row silently vanishing from the output. Throws
+    * IllegalStateException if pointers are still moving after
+    * `maxRounds` — a silently unconverged assignment would keep
+    * non-canonical reps while looking identical to a converged one.
+    * The driver-side loop is O(log D) distributed jobs, not a per-row
+    * collect; only the newest round's frame stays persisted (the
+    * previous one is released as soon as its successor materializes),
+    * so the storage residue is one slim N-row (id, rep, moved) frame
+    * backing the returned result — the same result-sized residue as the
+    * `scoped` dedup ops. Output is UNORDERED (terminal consumers order
+    * explicitly; a global sort here would be a wasted range exchange
+    * for pipeline callers).
     */
   def resolveReps(assign: DataFrame, maxRounds: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -275,11 +292,13 @@ object Dedup {
     var rounds = 0
     var moved = 1L
     while (moved > 0 && rounds < maxRounds) {
+      // left_outer: a rep with no row of its own is a root — keep the
+      // pointer as-is (inner would DROP the row from the closure)
       val jumped = cur
         .join(cur.select(col("id").as("rid"), col("rep").as("rrep")),
-          col("rep") === col("rid"))
-        .select(col("id"), col("rrep").as("rep"),
-          (col("rep") =!= col("rrep")).as("moved"))
+          col("rep") === col("rid"), "left_outer")
+        .select(col("id"), coalesce(col("rrep"), col("rep")).as("rep"),
+          (col("rrep").isNotNull && col("rep") =!= col("rrep")).as("moved"))
         .persist(lvl)
       moved = jumped.filter(col("moved")).count()
       if (moved == 0) {
@@ -291,7 +310,13 @@ object Dedup {
         rounds += 1
       }
     }
-    cur.orderBy("id")
+    if (moved > 0) {
+      curStore.unpersist(blocking = false) // don't leak the cache on the failure path
+      throw new IllegalStateException(
+        s"resolveReps: pointers still moving after $maxRounds rounds — " +
+          "the assignment violates rep <= id (cycle) or chains are deeper than 2^maxRounds")
+    }
+    cur
   }
 
   /** n-gram Jaccard with rare-shingle blocking: candidates share at
@@ -313,16 +338,7 @@ object Dedup {
     // candidate-bounded verify, same shape as minhashPairs (see
     // candidateShingles for the no-AQE-reliance rationale)
     val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
-    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(shc.select(col("id").as("a"), col("h")), "a")
-      .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    scoped(sh, cand, shc)(common
-      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jaccard", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
-      .filter(col("jaccard") >= threshold)
+    scoped(sh, cand, shc)(jaccardVerified(cand, shc, threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b"))
   }

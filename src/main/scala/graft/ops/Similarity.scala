@@ -425,9 +425,12 @@ object Similarity {
       .withColumn("c", cosine(col("va"), col("vb")))
       .filter(col("c") >= threshold)
       .groupBy("vid").agg(min(col("rep")).as("rep"))
+    // output is UNORDERED (one row per input vector): composing callers
+    // (resolveReps) re-shuffle by rep immediately, so a global sort here
+    // would be a wasted corpus-wide range exchange; terminal / oracle-
+    // facing consumers order explicitly.
     e.select("vid").join(verified, Seq("vid"), "left_outer")
       .select(col("vid").as("id"), coalesce(col("rep"), col("vid")).as("rep"))
-      .orderBy("id")
   }
 
   /** CTE chain (banded ... assign) shared by the dedup twin and its

@@ -210,6 +210,30 @@ class PlanSpec extends AnyFunSuite {
     again.foreach(r => assert(r.getLong(1) == r.getLong(0) - (r.getLong(0) % 10)))
   }
 
+  test("resolveReps keeps rows whose rep target is absent (pre-filtered dups-only view)") {
+    // chain 0 <- 1 <- 2 with the root row (0, 0) filtered out — the
+    // natural `where rep < id` view. An inner self-join would drop
+    // id 1 in round one (its rep 0 has no row); left_outer keeps it
+    // and treats the missing target as a root.
+    import spark.implicits._
+    val partial = Seq((1L, 0L), (2L, 1L)).toDF("id", "rep")
+    val out = graft.ops.Dedup.resolveReps(partial).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L), s"expected both rows closed to root 0, got $out")
+  }
+
+  test("resolveReps fails loud when maxRounds is exhausted with pointers still moving") {
+    // depth-9 chains need 4 jump rounds; maxRounds = 2 must throw, not
+    // silently return a half-closed assignment indistinguishable from
+    // a converged one
+    val assign = spark.range(0, 100).select(col("id"),
+      when(col("id") % 10 === 0, col("id")).otherwise(col("id") - 1).as("rep"))
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Dedup.resolveReps(assign, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("still moving"))
+  }
+
   test("minhashDedup assigns every planted duplicate a smaller-id rep, output O(N), equi-join only") {
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
     val dups = docs.filter(col("doc_id") < 50)

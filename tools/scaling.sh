@@ -14,6 +14,10 @@ export SPARK_GRAFT_LOCAL_DIR=${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/spark-tmp}
 mkdir -p "$SPARK_GRAFT_LOCAL_DIR"
 export SPARK_GRAFT_SCALE_DOCS=${1:-${SPARK_GRAFT_SCALE_DOCS:-80000}}
 STRATEGY=${2:-keyRange}
+# fail fast on typos ("Scan", "key-range"): ScalingBench also validates,
+# but catching it here avoids burning a 4-leg run on the wrong strategy
+case "$STRATEGY" in keyRange|scan) ;; *)
+  echo "unknown docIdStrategy '$STRATEGY' (keyRange | scan)" >&2; exit 1;; esac
 for c in 4 8 16 32; do
   # sbt prefixes forked stdout with [info]; match the payload anywhere.
   # Pin SPARK_GRAFT_SCALE_PARTS so every level runs the IDENTICAL job
