@@ -12,6 +12,11 @@ set -e
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_LOCAL_DIR=${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/spark-tmp}
 mkdir -p "$SPARK_GRAFT_LOCAL_DIR"
+# A KILLED Spark run leaks its shuffle dirs into tmpfs forever; tmpfs
+# pages count against host RAM, so leftovers silently starve every
+# later leg (measured: 106 GB of stale blockmgr dirs -> 18 GB free ->
+# OOM-killed benches). Purge anything stale before timing.
+find "$SPARK_GRAFT_LOCAL_DIR" -mindepth 1 -maxdepth 1 -mmin +60 -exec rm -rf {} + 2>/dev/null || true
 export SPARK_GRAFT_SCALE_DOCS=${1:-${SPARK_GRAFT_SCALE_DOCS:-80000}}
 STRATEGY=${2:-keyRange}
 # fail fast on typos ("Scan", "key-range"): ScalingBench also validates,
