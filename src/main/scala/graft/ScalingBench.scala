@@ -19,13 +19,17 @@ import graft.query._
 object ScalingBench {
 
   final case class LevelResult(cores: Int, buildSec: Double, filesPerSec: Double,
-      queryBatchSec: Double, calibSec: Double, memCalibSec: Double)
+      queryBatchSec: Double, calibSec: Double, memCalibSec: Double,
+      traffic: BuildTraffic.Snap)
 
   def runLevel(cores: Int, nDocs: Long,
-      docIdStrategy: String = graft.index.DocIdStrategy.KeyRange): LevelResult = {
+      docIdStrategy: String = graft.index.DocIdStrategy.KeyRange,
+      partsOverride: Option[Int] = None): LevelResult = {
     // 4 task waves per level: 2 waves (cores*2) left the build straggler-
     // bound at 32 threads — measured 56s -> 39s at 8M files with 128 parts
-    val parts = sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt).getOrElse(cores * 4)
+    val parts = partsOverride
+      .orElse(sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt))
+      .getOrElse(cores * 4)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -42,7 +46,15 @@ object ScalingBench {
       // the measurement (cold-start is a constant, not a scaling term)
       IndexBuilder.build(CodeCorpus.generate(spark, 20000, parts), config).unpersist()
       val corpus = CodeCorpus.generate(spark, nDocs, parts)
+      // task-level traffic counters for the timed build ONLY (snapshot
+      // deltas bracket it): bytes shuffled/spilled are plan properties,
+      // identical across host regimes — the wall-independent evidence
+      // that every level runs the same job (see BuildTraffic)
+      val traffic = new BuildTraffic
+      spark.sparkContext.addSparkListener(traffic)
+      val t0 = traffic.settle()
       val (idx, tBuild) = Bench.time(IndexBuilder.build(corpus, config))
+      val tTraffic = traffic.settle() - t0
       val engine = new QueryEngine(idx)
       val qs = Seq("fn return license", "binary search merge segment",
         "needle checkpoint epoch", "hash map block max", "token stream query plan")
@@ -56,7 +68,7 @@ object ScalingBench {
       // AND memory-fabric marker (Bench.calibrateMem — the xorshift loop
       // is blind to fabric degradation, which has hit 5x; BENCH.md r4)
       LevelResult(cores, tBuild, nDocs.toDouble / tBuild, tQ,
-        Bench.calibrate(), Bench.calibrateMem())
+        Bench.calibrate(), Bench.calibrateMem(), tTraffic)
     } finally spark.stop()
   }
 
@@ -72,11 +84,28 @@ object ScalingBench {
     if (args.length >= 1) {
       val strategy = if (args.length > 1) args(1) else graft.index.DocIdStrategy.KeyRange
       val r = runLevel(args(0).toInt, nDocs, strategy)
-      println(s"LEVEL ${r.cores} ${r.buildSec} ${r.filesPerSec} ${r.queryBatchSec} ${r.calibSec} ${r.memCalibSec}")
+      val t = r.traffic
+      // LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec>
+      //   <memCalibSec> <inputMB> <shufWriteMB> <shufReadMB> <spillMB>
+      // The four MB fields are the timed build's task-metric deltas —
+      // plan properties, flat across core counts and host regimes
+      // (BuildTraffic); shufWriteMB/nDocs is the bytes-per-doc exchange
+      // cost the north-rule extrapolation rests on.
+      println(f"LEVEL ${r.cores} ${r.buildSec} ${r.filesPerSec} ${r.queryBatchSec} " +
+        f"${r.calibSec} ${r.memCalibSec} ${t.inputBytes / 1e6}%.1f " +
+        f"${t.shuffleWriteBytes / 1e6}%.1f ${t.shuffleReadBytes / 1e6}%.1f " +
+        f"${t.spilledBytes / 1e6}%.1f")
       return
     }
-    val lo = runLevel(8, nDocs)
-    val hi = runLevel(32, nDocs)
+    // partitions PINNED across both levels (high level x 4 waves):
+    // letting them scale with cores makes the two levels run DIFFERENT
+    // jobs — the first traffic-instrumented drive measured 59.9 vs
+    // 70.2 shuffle-write MB for "the same" 80k build at 32 vs 128
+    // partitions, which is exactly the non-comparability the traffic
+    // columns exist to catch (tools/scaling.sh has always pinned)
+    val pinned = Some(sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt).getOrElse(128))
+    val lo = runLevel(8, nDocs, partsOverride = pinned)
+    val hi = runLevel(32, nDocs, partsOverride = pinned)
     val eff = hi.filesPerSec / (4.0 * lo.filesPerSec)
     val qSpeedup = lo.queryBatchSec / hi.queryBatchSec
     val md =
@@ -88,10 +117,15 @@ object ScalingBench {
          |on the identical deterministic ${nDocs}-file synthetic source-code
          |corpus (CodeCorpus, seeded per docId).
          |
-         || level | build sec | files/sec | 20-query batch sec | calib sec | mem calib sec |
-         ||---|---|---|---|---|---|
-         || local[8]  | ${f"${lo.buildSec}%.2f"} | ${f"${lo.filesPerSec}%.0f"} | ${f"${lo.queryBatchSec}%.2f"} | ${f"${lo.calibSec}%.2f"} | ${f"${lo.memCalibSec}%.2f"} |
-         || local[32] | ${f"${hi.buildSec}%.2f"} | ${f"${hi.filesPerSec}%.0f"} | ${f"${hi.queryBatchSec}%.2f"} | ${f"${hi.calibSec}%.2f"} | ${f"${hi.memCalibSec}%.2f"} |
+         || level | build sec | files/sec | 20-query batch sec | calib sec | mem calib sec | shuffle write MB | spill MB |
+         ||---|---|---|---|---|---|---|---|
+         || local[8]  | ${f"${lo.buildSec}%.2f"} | ${f"${lo.filesPerSec}%.0f"} | ${f"${lo.queryBatchSec}%.2f"} | ${f"${lo.calibSec}%.2f"} | ${f"${lo.memCalibSec}%.2f"} | ${f"${lo.traffic.shuffleWriteBytes / 1e6}%.1f"} | ${f"${lo.traffic.spilledBytes / 1e6}%.1f"} |
+         || local[32] | ${f"${hi.buildSec}%.2f"} | ${f"${hi.filesPerSec}%.0f"} | ${f"${hi.queryBatchSec}%.2f"} | ${f"${hi.calibSec}%.2f"} | ${f"${hi.memCalibSec}%.2f"} | ${f"${hi.traffic.shuffleWriteBytes / 1e6}%.1f"} | ${f"${hi.traffic.spilledBytes / 1e6}%.1f"} |
+
+         |Shuffle-write / spill MB are the timed build's task-metric deltas
+         |(BuildTraffic): plan properties, identical across host regimes —
+         |matching values on both rows is the proof the two levels ran the
+         |same job and only the wall differed.
          |
          |Per-level regime markers (CPU steal + memory fabric): the two
          |levels run minutes apart in one process, so a marker drift between

@@ -5,7 +5,19 @@
 # each LEVEL line carries its own regime markers: CPU steal
 # (Bench.calibrate) and memory fabric (Bench.calibrateMem).
 #
-#   LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec> <memCalibSec>
+#   LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec>
+#         <memCalibSec> <inputMB> <shufWriteMB> <shufReadMB> <spillMB>
+#
+# The four MB fields are the timed build's task-metric deltas
+# (BuildTraffic): plan properties, flat across regimes — the wall-
+# independent check that every level ran the identical job.
+#
+# After the four levels, the FIRST level runs again as a CONTROL leg:
+# matched calibration markers are necessary but NOT sufficient for
+# cross-leg comparability on this host (measured: 211 s vs 337 s on
+# identical 4-core legs an hour apart, markers flat — BENCH.md r4).
+# If CONTROL diverges >20% from its LEVEL twin, the curve's shape is
+# host drift, not engine scaling — discard it.
 #
 # Usage: tools/scaling.sh [docs] [docIdStrategy]   (default 80000 keyRange)
 set -e
@@ -23,11 +35,17 @@ STRATEGY=${2:-keyRange}
 # but catching it here avoids burning a 4-leg run on the wrong strategy
 case "$STRATEGY" in keyRange|scan) ;; *)
   echo "unknown docIdStrategy '$STRATEGY' (keyRange | scan)" >&2; exit 1;; esac
-for c in 4 8 16 32; do
+n=0
+for c in 4 8 16 32 4; do
   # sbt prefixes forked stdout with [info]; match the payload anywhere.
   # Pin SPARK_GRAFT_SCALE_PARTS so every level runs the IDENTICAL job
   # (otherwise partitions scale with cores and low levels get corpus-
   # sized partitions that blow the heap at 8M files).
-  SPARK_GRAFT_SCALE_PARTS=${SPARK_GRAFT_SCALE_PARTS:-128} \
-    sbt -batch "runMain graft.ScalingBench $c $STRATEGY" 2>/dev/null | grep -o 'LEVEL .*'
+  # The trailing repeat of the first level is the CONTROL leg (see
+  # header); its line is renamed so parsers don't mistake it for a
+  # fifth curve point.
+  n=$((n + 1))
+  line=$(SPARK_GRAFT_SCALE_PARTS=${SPARK_GRAFT_SCALE_PARTS:-128} \
+    sbt -batch "runMain graft.ScalingBench $c $STRATEGY" 2>/dev/null | grep -o 'LEVEL .*')
+  if [ "$n" -eq 5 ]; then echo "${line/LEVEL/CONTROL}"; else echo "$line"; fi
 done
