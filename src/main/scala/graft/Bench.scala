@@ -111,12 +111,23 @@ object Bench {
     // that would leave ~400 docs/task and per-task overhead dominates
     // (measured 9-11s vs 7-9s) — 2 waves is right here.
     val corpus = CodeCorpus.generate(spark, nCorpus, cpus * 2)
+    // traffic counters bracket the build: bytes shuffled/spilled are
+    // plan properties, identical across host regimes — the third
+    // regime marker, and unlike calib/memCalib one that the PLAN, not
+    // the host, determines (BuildTraffic)
+    val traffic = new BuildTraffic
+    spark.sparkContext.addSparkListener(traffic)
+    val traffic0 = traffic.settle()
     val (idx, tBuild) = time {
       IndexBuilder.build(corpus,
         IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
           shardDocs = 8192, buildPartitions = cpus * 2))
     }
+    val trafficD = traffic.settle() - traffic0
     results(s"build_index_${nCorpus}_files") = tBuild
+    results("build_shuffle_write_mb") = trafficD.shuffleWriteBytes / 1e6
+    results("build_shuffle_read_mb") = trafficD.shuffleReadBytes / 1e6
+    results("build_spill_mb") = trafficD.spilledBytes / 1e6
     val engine = new QueryEngine(idx)
 
     // 2. top-k BM25 latency: hot/mixed/rare terms, WAND vs exhaustive
@@ -199,7 +210,8 @@ object Bench {
     val total = results // only latencies sum into the headline (not rates/counters/calibration)
       .filterNot { case (k, _) =>
         k == "build_files_per_sec" || k.startsWith("wand_blocks") ||
-          k.startsWith("calib") || k.startsWith("mem_calib") }
+          k.startsWith("calib") || k.startsWith("mem_calib") ||
+          k.startsWith("build_shuffle") || k == "build_spill_mb" }
       .values.sum
     // total_norm = total in units of the calibration loop: regime-free
     // cross-round comparisons compare THIS, not raw wall seconds — and
