@@ -121,6 +121,19 @@ object OpsBench {
     val emb = genEmbeddings(spark, nDocs, parts).persist()
     emb.count()
 
+    // per-leg traffic deltas (BuildTraffic): shuffle bytes are plan
+    // properties — the regime-independent record of what each op
+    // exchanges, and the byte-level form of the pairs-vs-dedup claim
+    val traffic = new BuildTraffic
+    spark.sparkContext.addSparkListener(traffic)
+    var trafficMark = traffic.settle()
+    def legTraffic(leg: String): Unit = {
+      val cur = traffic.settle()
+      results(s"${leg}_shuffle_write_mb") = (cur - trafficMark).shuffleWriteBytes / 1e6
+      results(s"${leg}_spill_mb") = (cur - trafficMark).spilledBytes / 1e6
+      trafficMark = cur
+    }
+
     System.err.println(s"[opsbench] inputs materialized, starting minhash over $nDocs docs")
     // the scoped dedup ops RETURN a persisted result frame; release it
     // (blocking) before the next timed leg so no leg runs with another
@@ -133,6 +146,7 @@ object OpsBench {
     results("minhash_pairs") = nMinhash.toDouble
     results("minhash_sec") = tMinhash
     results("minhash_docs_per_sec") = nDocs.toDouble / tMinhash
+    legTraffic("minhash")
 
     // text twin of the lsh_dedup leg below: O(N) rep assignments
     // instead of pair enumeration — compare against minhash_sec
@@ -146,6 +160,7 @@ object OpsBench {
     results("minhash_dedup_dups") = nTxtDedup.toDouble
     results("minhash_dedup_sec") = tTxtDedup
     results("minhash_dedup_docs_per_sec") = nDocs.toDouble / tTxtDedup
+    legTraffic("minhash_dedup")
 
     System.err.println(
       s"[opsbench] minhashDedup done in $tTxtDedup s ($nTxtDedup dups), starting LSH")
@@ -154,6 +169,7 @@ object OpsBench {
     results("lsh_cosine_pairs") = nLsh.toDouble
     results("lsh_cosine_sec") = tLsh
     results("lsh_docs_per_sec") = nDocs.toDouble / tLsh
+    legTraffic("lsh")
 
     // the output-bounded dedup path: O(N) assignments instead of the
     // (quadratic-in-group-size) pair enumeration above — the number to
@@ -166,6 +182,7 @@ object OpsBench {
     results("lsh_dedup_dups") = nDedup.toDouble
     results("lsh_dedup_sec") = tDedup
     results("lsh_dedup_docs_per_sec") = nDocs.toDouble / tDedup
+    legTraffic("lsh_dedup")
 
     // IVF observability: with auto-K (= sqrt(N)) the per-query candidate
     // set must grow ~sqrt(N) across size legs, not linearly (r03 weak #1)
@@ -180,6 +197,7 @@ object OpsBench {
       results("ivf_max_candidates") = ivfRows.map(_.getLong(1)).max.toDouble
     }
     results("ivf_probe_sec") = tIvf
+    legTraffic("ivf")
 
     // closing markers (cross-leg comparisons need BOTH matched at BOTH
     // ends — CLAUDE.md: cpu steal AND memory-fabric state)
