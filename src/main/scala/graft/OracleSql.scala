@@ -242,6 +242,18 @@ object OracleSql {
        |$scorer
        |${topK(k, 1)}""".stripMargin
 
+  /** Batched multi-query search: the per-query oracles stacked with a
+    * qid tag — the batched engine path (QueryEngine.searchManyF64, one
+    * scoring pass for the whole batch) must return exactly what running
+    * each query alone returns, so its oracle IS the individual oracles
+    * UNION ALL'd. qid order first, then each query's own presentation
+    * order (round(score,4) desc, doc_id asc).
+    */
+  def searchBatch(perQuery: Seq[String]): String =
+    perQuery.zipWithIndex.map { case (sql, qid) =>
+      s"SELECT $qid::INT AS qid, doc_id, score FROM ($sql)"
+    }.mkString("\nUNION ALL\n") + "\nORDER BY qid ASC, score DESC, doc_id ASC"
+
   /** Facet counting over a match set: hierarchical prefixes of
     * /source/lang for docs matching an fts disjunction (apis/mod.rs:177).
     */

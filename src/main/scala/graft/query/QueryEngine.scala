@@ -323,18 +323,106 @@ final class QueryEngine(val index: BuiltIndex) {
   /** Observability: compile calls served from the LRU. */
   @volatile var compileCacheHits: Long = 0L
 
-  def compile(clauses: Seq[SearchClause]): CompiledQuery = compileCache.synchronized {
-    val hit = compileCache.get(clauses)
-    if (hit != null) { compileCacheHits += 1; hit }
-    else {
-      val cq = compileUncached(clauses)
-      compileCache.put(clauses, cq)
-      cq
+  def compile(clauses: Seq[SearchClause]): CompiledQuery = {
+    compileCache.synchronized {
+      val hit = compileCache.get(clauses)
+      if (hit != null) { compileCacheHits += 1; return hit }
     }
+    // compile OUTSIDE the lock: dictionary expansion runs Spark jobs,
+    // and holding the LRU lock across them would serialize concurrent
+    // callers behind cluster work
+    val cq = compileUncached(clauses, LookupCtx.empty)
+    compileCache.synchronized { compileCache.put(clauses, cq) }
+    cq
+  }
+
+  /** Pre-fetched dictionary lookups shared by a compile BATCH. `None`
+    * per kind = fall back to the per-query lookup job (the single-query
+    * compile path passes all-None). Keys: dfs (field, term) -> df;
+    * prefix (field, prefix-sans-*) -> capped expansion; fuzzy
+    * (field, maxDist, token) -> capped expansion; corrections
+    * (field, token) -> fast-fuzzy corrected term.
+    */
+  private final case class LookupCtx(
+      dfs: Option[Map[(String, String), Long]],
+      prefix: Option[Map[(String, String), Seq[(String, Long)]]],
+      fuzzy: Option[Map[(String, Int, String), Seq[(String, Long, Int)]]],
+      corrections: Option[Map[(String, String), String]])
+  private object LookupCtx { val empty = LookupCtx(None, None, None, None) }
+
+  /** Compile a BATCH of queries with the dictionary jobs coalesced: one
+    * df-lookup job, one prefix-expansion job per field, one fuzzy
+    * expansion per (field, maxDist), one SymSpell correction batch per
+    * field — independent of batch width. Per-query, a batch compile
+    * produces the identical CompiledQuery as compile() (same helpers,
+    * same caps, same order; BatchSearchSpec gates it), and results land
+    * in the same LRU. Regex / more-like-this clauses keep their
+    * per-query jobs — they are not the high-QPS shape.
+    */
+  def compileMany(batch: Seq[Seq[SearchClause]]): Seq[CompiledQuery] = {
+    import scala.collection.mutable
+    val misses = compileCache.synchronized {
+      batch.distinct.filter(q => compileCache.get(q) == null)
+    }
+    if (misses.nonEmpty) {
+      val exactNeeds = mutable.LinkedHashSet.empty[(String, String)]
+      val prefixNeeds = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+      val fuzzyNeeds = mutable.LinkedHashMap.empty[(String, Int), mutable.LinkedHashSet[String]]
+      val ffNeeds = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+      misses.flatten.foreach {
+        case Fts(field, query, _) =>
+          val (prefixToks, exactToks) = ftsTokenParts(field, query)
+          exactToks.foreach(t => exactNeeds += ((field, t)))
+          prefixToks.foreach(p =>
+            prefixNeeds.getOrElseUpdate(field, mutable.LinkedHashSet.empty) += p.dropRight(1))
+        case FuzzyC(field, query, maxDist, _, _) =>
+          tokenizeQuery(field, query).foreach(t =>
+            fuzzyNeeds.getOrElseUpdate((field, maxDist), mutable.LinkedHashSet.empty) += t)
+        case LevC(field, query, maxDist, _) =>
+          tokenizeQuery(field, query).foreach(t =>
+            fuzzyNeeds.getOrElseUpdate((field, maxDist), mutable.LinkedHashSet.empty) += t)
+        case FastFuzzy(field, query, _) =>
+          tokenizeQuery(field, query).foreach(t =>
+            ffNeeds.getOrElseUpdate(field, mutable.LinkedHashSet.empty) += t)
+        case _ => // RegexC / MoreLikeThis: per-query fallback inside compileUncached
+      }
+      val corrections: Map[(String, String), String] =
+        ffNeeds.iterator.flatMap { case (f, toks) =>
+          correctAll(f, toks.toSeq).iterator.map { case (t, c) => (f, t) -> c }
+        }.toMap
+      // corrected terms need df entries too (FastFuzzy scores them as exact terms)
+      corrections.foreach { case ((f, _), c) => exactNeeds += ((f, c)) }
+      val dfs = dfLookup(exactNeeds.toSeq)
+      val prefix: Map[(String, String), Seq[(String, Long)]] =
+        prefixNeeds.iterator.flatMap { case (f, ps) =>
+          prefixExpandAll(f, ps.toSeq).iterator.map { case (p, ex) => (f, p) -> ex }
+        }.toMap
+      val fuzzy: Map[(String, Int, String), Seq[(String, Long, Int)]] =
+        fuzzyNeeds.iterator.flatMap { case ((f, d), toks) =>
+          fuzzyExpandAll(f, toks.toSeq, d).iterator.map { case (tok, ex) => (f, d, tok) -> ex }
+        }.toMap
+      val ctx = LookupCtx(Some(dfs), Some(prefix), Some(fuzzy), Some(corrections))
+      misses.foreach { q =>
+        val cq = compileUncached(q, ctx)
+        compileCache.synchronized { compileCache.put(q, cq) }
+      }
+    }
+    batch.map(compile)
+  }
+
+  /** Fts token split shared by compile and the batch gatherer: raw
+    * fields have no prefix-marker semantics (a trailing '*' stays part
+    * of the exact value); otherwise tokens ending in '*' are prefix
+    * expansion requests.
+    */
+  private def ftsTokenParts(field: String, query: String): (Seq[String], Seq[String]) = {
+    val toks = tokenizeQuery(field, query)
+    if (index.config.tokenizerOf(field) == "raw") (Nil, toks)
+    else toks.partition(_.endsWith("*"))
   }
 
   /** Compile clauses to weighted terms. Group ids = clause positions. */
-  private def compileUncached(clauses: Seq[SearchClause]): CompiledQuery = {
+  private def compileUncached(clauses: Seq[SearchClause], ctx: LookupCtx): CompiledQuery = {
     require(clauses.size <= 32, "at most 32 clause groups")
     val n = index.numDocs
     val groups = clauses.zipWithIndex.map { case (c, i) =>
@@ -346,21 +434,25 @@ final class QueryEngine(val index: BuiltIndex) {
     val terms = clauses.zipWithIndex.flatMap { case (c, g) =>
       c match {
         case Fts(field, query, _) =>
-          val toks = tokenizeQuery(field, query)
-          // raw fields have no prefix-marker semantics: a trailing '*'
-          // is part of the exact value, never an expansion request
-          val (prefixToks, exactToks) =
-            if (index.config.tokenizerOf(field) == "raw") (Nil, toks)
-            else toks.partition(_.endsWith("*"))
-          val exact = dfLookup(exactToks.map(t => (field, t)).distinct)
-            .map { case ((f, t), df) => (f, t, df, 1.0) }
-          val expanded = prefixExpandAll(field, prefixToks.map(_.dropRight(1)))
+          val (prefixToks, exactToks) = ftsTokenParts(field, query)
+          val exact = ctx.dfs match {
+            case Some(m) =>
+              exactToks.distinct.flatMap(t => m.get((field, t)).map(df => (field, t, df, 1.0)))
+            case None =>
+              dfLookup(exactToks.map(t => (field, t)).distinct)
+                .map { case ((f, t), df) => (f, t, df, 1.0) }.toSeq
+          }
+          val expanded = ctx.prefix match {
+            case Some(m) =>
+              prefixToks.map(p => p.dropRight(1) -> m.getOrElse((field, p.dropRight(1)), Nil)).toMap
+            case None => prefixExpandAll(field, prefixToks.map(_.dropRight(1)))
+          }
           val pre = prefixToks.flatMap(p => expanded.getOrElse(p.dropRight(1), Nil))
             .map { case (t, df) => (field, t, df, 1.0) }
           (exact ++ pre).map { case (f, t, df, m) => mkTerm(f, t, df, m, g, n) }
         case FuzzyC(field, query, maxDist, mult, _) =>
           val toks = tokenizeQuery(field, query)
-          val exp = fuzzyExpandAll(field, toks, maxDist)
+          val exp = fuzzyLookups(field, toks, maxDist, ctx)
           toks.flatMap { tok =>
             exp.getOrElse(tok, Nil).map { case (t, df, d) =>
               mkTerm(field, t, df, mult(math.min(d, mult.size - 1)), g, n)
@@ -368,7 +460,7 @@ final class QueryEngine(val index: BuiltIndex) {
           }
         case LevC(field, query, maxDist, _) =>
           val toks = tokenizeQuery(field, query)
-          val exp = fuzzyExpandAll(field, toks, maxDist)
+          val exp = fuzzyLookups(field, toks, maxDist, ctx)
           toks.flatMap { tok =>
             exp.getOrElse(tok, Nil).map { case (t, df, _) => mkTerm(field, t, df, 1.0, g, n) }
           }
@@ -376,9 +468,18 @@ final class QueryEngine(val index: BuiltIndex) {
           regexExpand(field, pattern).map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
         case FastFuzzy(field, query, _) =>
           val raw = tokenizeQuery(field, query)
-          val corrected = correctAll(field, raw)
+          val corrected = ctx.corrections match {
+            case Some(m) => raw.map(t => t -> m.getOrElse((field, t), t)).toMap
+            case None => correctAll(field, raw)
+          }
           val toks = raw.map(t => corrected.getOrElse(t, t)).distinct
-          dfLookup(toks.map(t => (field, t))).map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }
+          ctx.dfs match {
+            case Some(m) =>
+              toks.flatMap(t => m.get((field, t)).map(df => mkTerm(field, t, df, 1.0, g, n)))
+            case None =>
+              dfLookup(toks.map(t => (field, t)))
+                .map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }.toSeq
+          }
         case MoreLikeThis(field, docId, topTerms, _) =>
           val toks = seedTerms(field, docId, topTerms)
           dfLookup(toks.map(t => (field, t))).map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }
@@ -392,6 +493,16 @@ final class QueryEngine(val index: BuiltIndex) {
 
   private def mkTerm(f: String, t: String, df: Long, mult: Double, g: Int, n: Long): CompiledTerm =
     CompiledTerm(f, t, g, Bm25.weightF32(df, n) * mult.toFloat, Bm25.weightF64(df, n) * mult, df)
+
+  /** Fuzzy expansions for a clause's tokens: from the batch ctx when
+    * present, else the per-clause batched job.
+    */
+  private def fuzzyLookups(field: String, toks: Seq[String], maxDist: Int,
+      ctx: LookupCtx): Map[String, Seq[(String, Long, Int)]] =
+    ctx.fuzzy match {
+      case Some(m) => toks.map(t => t -> m.getOrElse((field, maxDist, t), Nil)).toMap
+      case None => fuzzyExpandAll(field, toks, maxDist)
+    }
 
   /** Query tokenization: same tokenizer as the indexed column
     * (apis/mod.rs:211-213), except a trailing `*` survives as a prefix
@@ -461,6 +572,45 @@ final class QueryEngine(val index: BuiltIndex) {
       threshold: Option[Double] = None): DataFrame =
     Scorer.topK(matchF64(clauses, threshold), k)
 
+  /** Batched multi-query top-k — the cluster THROUGHPUT path
+    * (qid, docId, score float). The reference's envelope is many small
+    * queries per second ("process searches like ... another lookup",
+    * README.md); per-query Spark jobs pay a scheduler round-trip each,
+    * so a serving layer batches: ALL queries of the batch score in ONE
+    * pass over the union of their matched postings — each posting block
+    * decodes once per shard and replays per query in the exact
+    * single-query accumulation order, making per-query results
+    * bit-identical to searchF32 (BatchSearchSpec). Shard-local
+    * per-query heaps bound the exchange at (#shards x #queries x k)
+    * rows, and compileMany coalesces the dictionary jobs, so total job
+    * count is O(1) in batch width. WAND remains the single-query
+    * LATENCY path — at batch widths, decode-once amortization dominates
+    * block skipping (the union of many queries' terms leaves few blocks
+    * skippable anyway).
+    */
+  def searchManyF32(queries: Seq[(Int, Seq[SearchClause])], k: Int = DefaultLimit): DataFrame = {
+    require(queries.map(_._1).distinct.size == queries.size, "qids must be unique")
+    val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
+    val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
+    if (nonEmpty.isEmpty) return emptyResultQF32
+    val scored = Scorer.scoreManyF32(index, nonEmpty, k, deletesDs).toDF("qid", "docId", "score")
+    Scorer.topKPerQuery(scored, k, col("score"))
+  }
+
+  /** f64 batched path (oracle parity): (qid, docId, score double),
+    * per-query order (round(score,4) desc, docId asc) — the oracle's
+    * presentation order, applied consistently in the shard-local heaps
+    * and the global per-qid selection.
+    */
+  def searchManyF64(queries: Seq[(Int, Seq[SearchClause])], k: Int = DefaultLimit): DataFrame = {
+    require(queries.map(_._1).distinct.size == queries.size, "qids must be unique")
+    val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
+    val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
+    if (nonEmpty.isEmpty) return emptyResultQF64
+    val scored = Scorer.scoreManyF64(index, nonEmpty, k, deletesDs).toDF("qid", "docId", "score")
+    Scorer.topKPerQuery(scored, k, round(col("score"), 4))
+  }
+
   /** Unlimited (docId, score float) match set on the rank-identity path. */
   def matchF32(clauses: Seq[SearchClause]): DataFrame = {
     val cq = compile(clauses)
@@ -527,6 +677,18 @@ final class QueryEngine(val index: BuiltIndex) {
     val spark = index.spark
     import spark.implicits._
     spark.emptyDataset[ScoredDocF64].toDF("docId", "score")
+  }
+
+  private def emptyResultQF32: DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    spark.emptyDataset[ScoredQDocF32].toDF("qid", "docId", "score")
+  }
+
+  private def emptyResultQF64: DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    spark.emptyDataset[ScoredQDocF64].toDF("qid", "docId", "score")
   }
 }
 

@@ -34,6 +34,8 @@ final case class CompiledQuery(terms: Seq[CompiledTerm], groups: Seq[CompiledGro
 
 final case class ScoredDocF32(docId: Long, score: Float)
 final case class ScoredDocF64(docId: Long, score: Double)
+final case class ScoredQDocF32(qid: Int, docId: Long, score: Float)
+final case class ScoredQDocF64(qid: Int, docId: Long, score: Double)
 
 /** Distributed scoring over the sharded posting lists.
   *
@@ -223,4 +225,271 @@ object Scorer {
     */
   def topK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy(col("score").desc, col("docId").asc).limit(k)
+
+  // ------------------------------------------------------- batched path
+
+  /** Driver-side replay plan for ONE query of a batch: its distinct
+    * (field, term) pairs in the exact order the single-query merge
+    * accumulates them — (min group, field, term) — so per-query f32
+    * sums are bit-identical to scoreF32 (accumulation order is an
+    * engine invariant; see mergeShardF32).
+    */
+  private final case class QueryPlan[@specialized(Float, Double) W](
+      qid: Int,
+      order: Array[(String, String)],
+      groupsOf: Map[(String, String), Array[Int]],
+      weights: Map[(String, String, Int), W],
+      constMask: Int,
+      reqMask: Int)
+
+  private def mkPlan[W](qid: Int, cq: CompiledQuery,
+      weightOf: CompiledTerm => W): QueryPlan[W] = {
+    val groupsOf = cq.terms.groupBy(t => (t.field, t.term))
+      .map { case (key, ts) => key -> ts.map(_.group).distinct.sorted.toArray }
+    val order = groupsOf.keys.toArray.sortBy(key => (groupsOf(key)(0), key._1, key._2))
+    QueryPlan(qid, order, groupsOf,
+      cq.terms.map(t => (t.field, t.term, t.group) -> weightOf(t)).toMap,
+      cq.groups.filter(_.constScore).map(g => 1 << g.id).sum,
+      cq.requiredMask)
+  }
+
+  /** Bounded per-(query, shard) top-k selection under the engine total
+    * order (sort key desc, docId asc): a min-heap rooted at the worst
+    * kept candidate. `raw` carries the unrounded score when the sort
+    * key is a rounded form of it (f64 oracle order).
+    */
+  private final class TopKHeap(k: Int) {
+    private val ks = new Array[Double](k)
+    private val ds = new Array[Long](k)
+    private val raw = new Array[Double](k)
+    private var n = 0
+    @inline private def worse(k1: Double, d1: Long, k2: Double, d2: Long): Boolean =
+      k1 < k2 || (k1 == k2 && d1 > d2)
+    def offer(key: Double, docId: Long, r: Double): Unit = {
+      if (n < k) {
+        var i = n; ks(i) = key; ds(i) = docId; raw(i) = r; n += 1
+        while (i > 0) {
+          val p = (i - 1) >> 1
+          if (worse(ks(i), ds(i), ks(p), ds(p))) { swap(i, p); i = p } else i = 0
+        }
+      } else if (worse(ks(0), ds(0), key, docId)) {
+        ks(0) = key; ds(0) = docId; raw(0) = r
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val rr = l + 1; var m = i
+          if (l < n && worse(ks(l), ds(l), ks(m), ds(m))) m = l
+          if (rr < n && worse(ks(rr), ds(rr), ks(m), ds(m))) m = rr
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+    }
+    private def swap(i: Int, j: Int): Unit = {
+      val tk = ks(i); ks(i) = ks(j); ks(j) = tk
+      val td = ds(i); ds(i) = ds(j); ds(j) = td
+      val tr = raw(i); raw(i) = raw(j); raw(j) = tr
+    }
+    def foreachKept(f: (Long, Double) => Unit): Unit = {
+      var i = 0; while (i < n) { f(ds(i), raw(i)); i += 1 }
+    }
+  }
+
+  /** Mirrors Spark's `round(col, 4)` on DoubleType (BigDecimal.valueOf
+    * + HALF_UP) — the f64 batch path selects shard candidates under the
+    * SAME rounded total order the oracle presentation uses, so
+    * shard-local then global selection compose exactly.
+    */
+  @inline private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Batched multi-query scoring — the cluster THROUGHPUT path: ONE
+    * pass over the union of all queries' matched postings, each posting
+    * block decoded once per shard and replayed per query; shard-local
+    * per-query heaps bound the output at (#shards x #queries x k) rows,
+    * so no stage ever carries a corpus-sized per-query match set.
+    */
+  def scoreManyF32(index: BuiltIndex, queries: Seq[(Int, CompiledQuery)], k: Int,
+      deletes: Option[Dataset[Long]] = None): Dataset[ScoredQDocF32] = {
+    val spark = index.spark
+    import spark.implicits._
+    val plans = queries.map { case (qid, cq) => mkPlan(qid, cq, (t: CompiledTerm) => t.weightF32) }.toArray
+    val allTerms = queries.flatMap(_._2.terms)
+    val caches: Map[String, Array[Float]] =
+      allTerms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
+    val shardDocs = index.config.shardDocs
+    val grouped = matchedPostings(index, allTerms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
+          mergeShardManyF32(rows, plans, caches, dels.toSet, shardDocs, k)
+        }
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          mergeShardManyF32(rows, plans, caches, Set.empty, shardDocs, k)
+        }
+    }
+  }
+
+  private def mergeShardManyF32(
+      rows: Iterator[PostingRow],
+      plans: Array[QueryPlan[Float]],
+      caches: Map[String, Array[Float]],
+      deleted: Set[Long],
+      shardDocs: Int,
+      k: Int): Iterator[ScoredQDocF32] = {
+    // decode each matched posting ONCE; every subscribing query replays
+    // from this map. A (field, term) key can hold several rows (one per
+    // epoch segment) — kept in arrival order, matching the stable sort
+    // of the single-query merge.
+    val decoded = new scala.collection.mutable.LinkedHashMap[
+      (String, String), scala.collection.mutable.ArrayBuffer[graft.index.DecodedBlock]]
+    var base = -1L
+    rows.foreach { p =>
+      if (base < 0) base = p.shard.toLong * shardDocs
+      decoded.getOrElseUpdate((p.field, p.term), scala.collection.mutable.ArrayBuffer.empty) +=
+        PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+    }
+    if (decoded.isEmpty) return Iterator.empty
+    val score = new Array[Float](shardDocs)
+    val mask = new Array[Int](shardDocs)
+    val out = Seq.newBuilder[ScoredQDocF32]
+    plans.foreach { q =>
+      if (q.order.exists(decoded.contains)) {
+        java.util.Arrays.fill(score, 0.0f)
+        java.util.Arrays.fill(mask, 0)
+        q.order.foreach { key =>
+          decoded.get(key).foreach { blocks =>
+            val cache = caches(key._1)
+            blocks.foreach { dec =>
+              q.groupsOf(key).foreach { g =>
+                val gBit = 1 << g
+                val isConst = (q.constMask & gBit) != 0
+                val w = q.weights((key._1, key._2, g))
+                var i = 0
+                while (i < dec.docIds.length) {
+                  val o = (dec.docIds(i) - base).toInt
+                  if (isConst) {
+                    if ((mask(o) & gBit) == 0) score(o) += 1.0f
+                  } else {
+                    score(o) += Bm25.tfScoreF32(w, dec.tfs(i), cache(dec.norms(i)))
+                  }
+                  mask(o) |= gBit
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+        val heap = new TopKHeap(math.max(1, math.min(k, shardDocs)))
+        var o = 0
+        while (o < shardDocs) {
+          if ((mask(o) & q.reqMask) == q.reqMask && mask(o) != 0 && !deleted.contains(base + o))
+            heap.offer(score(o).toDouble, base + o, score(o).toDouble)
+          o += 1
+        }
+        heap.foreachKept((d, s) => out += ScoredQDocF32(q.qid, d, s.toFloat))
+      }
+    }
+    out.result().iterator
+  }
+
+  /** f64 batched path (oracle parity): identical replay structure, pure
+    * double math, shard candidates selected under the ROUNDED total
+    * order (round(score,4) desc, docId asc) the oracle presentation
+    * uses.
+    */
+  def scoreManyF64(index: BuiltIndex, queries: Seq[(Int, CompiledQuery)], k: Int,
+      deletes: Option[Dataset[Long]] = None): Dataset[ScoredQDocF64] = {
+    val spark = index.spark
+    import spark.implicits._
+    val plans = queries.map { case (qid, cq) => mkPlan(qid, cq, (t: CompiledTerm) => t.weightF64) }.toArray
+    val allTerms = queries.flatMap(_._2.terms)
+    val caches: Map[String, Array[Double]] =
+      allTerms.map(_.field).distinct.map(f => f -> Bm25.normCacheF64(index.avgFieldnormF64(f))).toMap
+    val shardDocs = index.config.shardDocs
+    val grouped = matchedPostings(index, allTerms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
+          mergeShardManyF64(rows, plans, caches, dels.toSet, shardDocs, k)
+        }
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          mergeShardManyF64(rows, plans, caches, Set.empty, shardDocs, k)
+        }
+    }
+  }
+
+  private def mergeShardManyF64(
+      rows: Iterator[PostingRow],
+      plans: Array[QueryPlan[Double]],
+      caches: Map[String, Array[Double]],
+      deleted: Set[Long],
+      shardDocs: Int,
+      k: Int): Iterator[ScoredQDocF64] = {
+    val decoded = new scala.collection.mutable.LinkedHashMap[
+      (String, String), scala.collection.mutable.ArrayBuffer[graft.index.DecodedBlock]]
+    var base = -1L
+    rows.foreach { p =>
+      if (base < 0) base = p.shard.toLong * shardDocs
+      decoded.getOrElseUpdate((p.field, p.term), scala.collection.mutable.ArrayBuffer.empty) +=
+        PostingCodec.decodeAll(p.bytes, p.blockOffset, p.blockLast)
+    }
+    if (decoded.isEmpty) return Iterator.empty
+    val score = new Array[Double](shardDocs)
+    val mask = new Array[Int](shardDocs)
+    val out = Seq.newBuilder[ScoredQDocF64]
+    plans.foreach { q =>
+      if (q.order.exists(decoded.contains)) {
+        java.util.Arrays.fill(score, 0.0d)
+        java.util.Arrays.fill(mask, 0)
+        q.order.foreach { key =>
+          decoded.get(key).foreach { blocks =>
+            val cache = caches(key._1)
+            blocks.foreach { dec =>
+              q.groupsOf(key).foreach { g =>
+                val gBit = 1 << g
+                val isConst = (q.constMask & gBit) != 0
+                val w = q.weights((key._1, key._2, g))
+                var i = 0
+                while (i < dec.docIds.length) {
+                  val o = (dec.docIds(i) - base).toInt
+                  if (isConst) {
+                    if ((mask(o) & gBit) == 0) score(o) += 1.0d
+                  } else {
+                    score(o) += Bm25.tfScoreF64(w, dec.tfs(i), cache(dec.norms(i)))
+                  }
+                  mask(o) |= gBit
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+        val heap = new TopKHeap(math.max(1, math.min(k, shardDocs)))
+        var o = 0
+        while (o < shardDocs) {
+          if ((mask(o) & q.reqMask) == q.reqMask && mask(o) != 0 && !deleted.contains(base + o))
+            heap.offer(round4(score(o)), base + o, score(o))
+          o += 1
+        }
+        heap.foreachKept((d, s) => out += ScoredQDocF64(q.qid, d, s))
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Per-query global top-k over the batched shard candidates: the same
+    * total order as topK, partitioned by qid. The window input is
+    * bounded by (#shards x #queries x k) thanks to the shard-local
+    * heaps, and each qid partition holds at most (#shards x k) rows —
+    * no reducer ever sees a corpus-sized set.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int,
+      orderKey: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(orderKey.desc, col("docId").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.corpus.CodeCorpus
+import graft.index.{BuiltIndex, IndexBuilder, IndexConfig}
+import graft.query._
+
+/** Batched multi-query search (QueryEngine.searchManyF32/F64): scoring
+  * a batch in ONE pass must return, per query, EXACTLY what running the
+  * query alone returns — bit-identical f32 scores (the batched merge
+  * replays each query in the single-query accumulation order) and the
+  * identical top-k rows under both total orders. Also gates compileMany:
+  * the coalesced dictionary lookups must produce the same CompiledQuery
+  * (terms, order, weights) as per-query compile().
+  */
+class BatchSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val corpus: DataFrame = CodeCorpus.generate(spark, 1500, 8).cache()
+  lazy val index = IndexBuilder.build(
+    corpus, IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
+      shardDocs = 256, buildPartitions = 8))
+  lazy val engine = new QueryEngine(index)
+
+  // the full clause-shape mix: exact fts, conjunction, prefix, fuzzy,
+  // fast-fuzzy, levenshtein, regex (regex exercises the per-query
+  // fallback inside a batch compile)
+  def batch: Seq[(Int, Seq[SearchClause])] = Seq(
+    0 -> Seq(Fts("content", "fn return")),
+    1 -> Seq(Fts("content", "binary"), Fts("content", "search")),
+    2 -> Seq(Fts("content", "sor*")),
+    3 -> Seq(FuzzyC("content", "retrun")),
+    4 -> Seq(FastFuzzy("content", "serach")),
+    5 -> Seq(LevC("content", "licens")),
+    6 -> Seq(RegexC("content", "ret.+")))
+
+  private def rowsF32(df: DataFrame): Seq[(Long, Float)] =
+    df.collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      .sortBy { case (d, s) => (-s, d) }
+
+  test("batched f32 results are bit-identical to per-query searchF32") {
+    val k = 10
+    val got = engine.searchManyF32(batch, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
+        .sortBy { case (d, s) => (-s, d) }).toMap
+    batch.foreach { case (qid, clauses) =>
+      val solo = rowsF32(engine.searchF32(clauses, k, useWand = false))
+      assert(got.getOrElse(qid, Nil) === solo, s"qid=$qid diverged from single-query path")
+      // and exact equality with the WAND-gated default path too
+      val wand = rowsF32(engine.searchF32(clauses, k))
+      assert(got.getOrElse(qid, Nil) === wand, s"qid=$qid diverged from WAND path")
+    }
+  }
+
+  test("batched f64 results match per-query presentation order exactly") {
+    val k = 10
+    val got = engine.searchManyF64(batch, k)
+      .select(col("qid"), col("docId"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    batch.foreach { case (qid, clauses) =>
+      val solo = engine.matchF64(clauses)
+        .select(col("docId"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("docId").asc).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got.getOrElse(qid, Set.empty) === solo, s"qid=$qid f64 diverged")
+    }
+  }
+
+  test("compileMany produces the same CompiledQuery as compile()") {
+    // fresh engines over the same index so neither path hits a warm LRU
+    val eBatch = new QueryEngine(index)
+    val eSolo = new QueryEngine(index)
+    val shapes = batch.map(_._2)
+    val batched = eBatch.compileMany(shapes)
+    shapes.zip(batched).foreach { case (clauses, viaBatch) =>
+      val viaSolo = eSolo.compile(clauses)
+      assert(viaBatch.groups === viaSolo.groups)
+      // same term SET with identical weights/groups; order may differ
+      // only between the ctx and non-ctx exact-term paths (Map vs Seq
+      // iteration), which the scorer's deterministic re-sort absorbs —
+      // but weights must agree term-for-term
+      assert(viaBatch.terms.toSet === viaSolo.terms.toSet, s"$clauses compiled differently")
+    }
+  }
+
+  test("a no-match query yields no rows for its qid and leaves the rest intact") {
+    val withEmpty = batch :+ (99 -> Seq(Fts("content", "zzqqxxnomatchtoken")))
+    val got = engine.searchManyF32(withEmpty, 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+    assert(!got.exists(_._1 == 99))
+    val q0 = got.filter(_._1 == 0).map(t => (t._2, t._3)).toSeq.sortBy { case (d, s) => (-s, d) }
+    assert(q0 === rowsF32(engine.searchF32(Seq(Fts("content", "fn return")), 5)))
+  }
+
+  test("an all-empty batch returns an empty (qid, docId, score) frame") {
+    val got = engine.searchManyF32(Seq(7 -> Seq(Fts("content", "zzqqxxnomatchtoken"))), 5)
+    assert(got.columns.toSeq === Seq("qid", "docId", "score"))
+    assert(got.count() === 0)
+  }
+
+  test("batched scoring honors delete tombstones (cogroup path)") {
+    import spark.implicits._
+    // tombstone the top result of query 0, then re-run both paths
+    val solo = engine.searchF32(Seq(Fts("content", "fn return")), 3).collect()
+    assert(solo.nonEmpty)
+    val deadId = solo(0).getLong(0)
+    val withDeletes = new BuiltIndex(
+      index.docs, index.postings, index.termStats, index.numDocs,
+      index.fieldTokens, index.config,
+      deletes = Some(Seq(deadId).toDF("docId")))
+    val e = new QueryEngine(withDeletes)
+    val got = e.searchManyF32(Seq(0 -> Seq(Fts("content", "fn return"))), 3)
+      .collect().map(r => (r.getLong(1), r.getFloat(2))).toSeq
+      .sortBy { case (d, s) => (-s, d) }
+    assert(!got.exists(_._1 == deadId))
+    assert(got === rowsF32(e.searchF32(Seq(Fts("content", "fn return")), 3, useWand = false)))
+  }
+
+  test("shard-local heaps bound the exchanged candidates at k per (query, shard)") {
+    // a hot single-term query matches far more docs than k; the
+    // pre-window candidate set must stay <= shards x k, never the
+    // match-set size
+    val k = 5
+    val cq = engine.compile(Seq(Fts("content", "fn")))
+    val cand = Scorer.scoreManyF32(index, Seq(0 -> cq), k, None)
+    val nShards = math.ceil(index.numDocs.toDouble / index.config.shardDocs).toInt
+    val n = cand.count()
+    val full = engine.matchF32(Seq(Fts("content", "fn"))).count()
+    assert(n <= nShards.toLong * k, s"candidates $n exceed shards($nShards) x k($k)")
+    assert(full > n, "test premise: the match set must exceed the candidate bound")
+  }
+}
