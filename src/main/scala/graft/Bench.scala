@@ -183,6 +183,16 @@ object Bench {
     results("q_fuzzy") = tFuzzy
     val (_, tFast) = time(engine.searchF32(Seq(FastFuzzy("content", "serach mrege")), 10).collect())
     results("q_fastfuzzy") = tFast
+    // batched serving throughput: 32 mixed queries in ONE scoring pass
+    // (searchManyF32 — decode-once per shard + per-query top-k heaps).
+    // The sequential-vs-batched A/B and its two-core-level scaling
+    // evidence live in QpsBench (BENCH.md); this leg tracks the batched
+    // path per round.
+    val batch32 = QpsBench.queryPool(32).zipWithIndex.map { case (q, i) => i -> q }
+    engine.searchManyF32(batch32, 10).collect() // warm-up: compileMany + codegen
+    val (_, tBatch32) = time(engine.searchManyF32(batch32, 10).collect())
+    results("q_batch32") = tBatch32
+    results("batch_qps") = 32.0 / tBatch32
 
     // 3. training-data ops on the driver tables
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -209,7 +219,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results // only latencies sum into the headline (not rates/counters/calibration)
       .filterNot { case (k, _) =>
-        k == "build_files_per_sec" || k.startsWith("wand_blocks") ||
+        k == "build_files_per_sec" || k == "batch_qps" || k.startsWith("wand_blocks") ||
           k.startsWith("calib") || k.startsWith("mem_calib") ||
           k.startsWith("build_shuffle") || k == "build_spill_mb" }
       .values.sum
