@@ -120,6 +120,41 @@ class BatchSearchSpec extends AnyFunSuite {
     assert(got === rowsF32(e.searchF32(Seq(Fts("content", "fn return")), 3, useWand = false)))
   }
 
+  test("batched == single-query on a MULTI-EPOCH store (several posting rows per term + tombstones)") {
+    // an upserted store carries one PostingRow per (field, term, shard)
+    // PER EPOCH plus delete tombstones — the batched merge must replay
+    // every epoch's rows in the same (stable-sort) arrival order the
+    // single-query merge uses, or f32 sums diverge
+    import graft.index.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graftbatch").toString
+    val base = CodeCorpus.generate(spark, 600, 4).cache()
+    val cfg = graft.index.IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
+      shardDocs = 256, buildPartitions = 4)
+    IndexStore.create(base, cfg, dir, "snap-0")
+    val modified = base.filter(col("path").contains("file_1"))
+      .withColumn("content", concat(col("content"), lit(" upserted freshterm")))
+    assert(IndexStore.appendEpoch(modified, dir, "snap-1"))
+    val e = new QueryEngine(IndexStore.load(spark, dir))
+    // multi-epoch premise: at least one queried term has several
+    // posting rows for one (field, term, shard)
+    val multi = e.index.postings.filter(col("term") === "fn")
+      .groupBy(col("shard")).count().filter(col("count") > 1).count()
+    assert(multi > 0, "test premise: 'fn' must span several epochs in some shard")
+    val b = Seq(
+      0 -> Seq(Fts("content", "fn return")),
+      1 -> Seq(Fts("content", "freshterm")),
+      2 -> Seq(Fts("content", "binary"), Fts("content", "search")))
+    val got = e.searchManyF32(b, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
+        .sortBy { case (d, s) => (-s, d) }).toMap
+    b.foreach { case (qid, clauses) =>
+      val solo = rowsF32(e.searchF32(clauses, 10, useWand = false))
+      assert(got.getOrElse(qid, Nil) === solo, s"qid=$qid diverged on the multi-epoch store")
+    }
+    e.release()
+  }
+
   test("shard-local heaps bound the exchanged candidates at k per (query, shard)") {
     // a hot single-term query matches far more docs than k; the
     // pre-window candidate set must stay <= shards x k, never the
