@@ -590,6 +590,10 @@ final class QueryEngine(val index: BuiltIndex) {
     */
   def searchManyF32(queries: Seq[(Int, Seq[SearchClause])], k: Int = DefaultLimit): DataFrame = {
     require(queries.map(_._1).distinct.size == queries.size, "qids must be unique")
+    // every scoring task carries every query's compiled plan in its
+    // closure — bounded here so a runaway batch degrades loudly into
+    // "chunk your batch", not into silent multi-MB task binaries
+    require(queries.size <= MaxBatchWidth, s"batch wider than $MaxBatchWidth: chunk it")
     val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
     val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
     if (nonEmpty.isEmpty) return emptyResultQF32
@@ -604,6 +608,7 @@ final class QueryEngine(val index: BuiltIndex) {
     */
   def searchManyF64(queries: Seq[(Int, Seq[SearchClause])], k: Int = DefaultLimit): DataFrame = {
     require(queries.map(_._1).distinct.size == queries.size, "qids must be unique")
+    require(queries.size <= MaxBatchWidth, s"batch wider than $MaxBatchWidth: chunk it")
     val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
     val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
     if (nonEmpty.isEmpty) return emptyResultQF64
@@ -774,4 +779,7 @@ object SearchDefaults {
   final val DefaultLimit = 1000
   /** cap on dictionary expansions per prefix/fuzzy/regex token (deterministic order). */
   final val MaxExpansions = 1024
+  /** cap on searchMany batch width (every task closure carries every
+    * query's compiled plan; wider workloads chunk into several passes). */
+  final val MaxBatchWidth = 4096
 }
