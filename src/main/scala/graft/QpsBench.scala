@@ -76,14 +76,15 @@ object QpsBench {
 
     val pool = queryPool(nQueries)
     val batch = pool.zipWithIndex.map { case (q, i) => i -> q }
-    // warm-up BOTH paths fully: compileMany fills the same LRU the
-    // sequential path reads, so neither timed leg pays dictionary jobs —
-    // the legs compare execution shape (one job vs nQueries jobs), not
-    // cache luck
-    engine.searchManyF32(batch, 10).collect()
-    pool.distinct.take(8).foreach(q => engine.searchF32(q, 10).collect())
-
     val seqN = math.min(nQueries, 32)
+    // warm-up BOTH paths fully. Order matters: a batch wider than the
+    // compiled-query LRU capacity evicts its own oldest entries, so the
+    // sequential warm-up runs AFTER the batch warm-up and covers exactly
+    // the timed sequential queries — both timed legs then compare
+    // execution shape (one job vs seqN jobs), never compile luck
+    engine.searchManyF32(batch, 10).collect()
+    pool.take(seqN).foreach(q => engine.searchF32(q, 10).collect())
+
     val (_, tSeq) = Bench.time(
       pool.take(seqN).foreach(q => engine.searchF32(q, 10).collect()))
     val (_, tBatch) = Bench.time(engine.searchManyF32(batch, 10).collect())

@@ -316,8 +316,12 @@ final class QueryEngine(val index: BuiltIndex) {
     */
   private val compileCache =
     new java.util.LinkedHashMap[Seq[SearchClause], CompiledQuery](16, 0.75f, true) {
+      // capacity >= MaxBatchWidth so one batch can never evict itself
+      // between compile and execution; entries are driver-side term
+      // lists (a few KB), so even full this is megabytes, not memory
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Seq[SearchClause], CompiledQuery]): Boolean = size() > 128
+          e: java.util.Map.Entry[Seq[SearchClause], CompiledQuery]): Boolean =
+        size() > SearchDefaults.MaxBatchWidth
     }
 
   /** Observability: compile calls served from the LRU. */
@@ -361,9 +365,19 @@ final class QueryEngine(val index: BuiltIndex) {
     */
   def compileMany(batch: Seq[Seq[SearchClause]]): Seq[CompiledQuery] = {
     import scala.collection.mutable
-    val misses = compileCache.synchronized {
-      batch.distinct.filter(q => compileCache.get(q) == null)
+    // assemble results OUT OF BAND of the LRU: a batch wider than the
+    // cache capacity evicts its own fresh entries, and a final
+    // lookup-through-compile() would silently RE-compile the evicted
+    // majority via per-query dictionary jobs (measured: ~384 stray
+    // compile jobs inside one 512-wide timed batch)
+    val compiled = mutable.HashMap.empty[Seq[SearchClause], CompiledQuery]
+    compileCache.synchronized {
+      batch.distinct.foreach { q =>
+        val hit = compileCache.get(q)
+        if (hit != null) { compileCacheHits += 1; compiled(q) = hit }
+      }
     }
+    val misses = batch.distinct.filterNot(compiled.contains)
     if (misses.nonEmpty) {
       val exactNeeds = mutable.LinkedHashSet.empty[(String, String)]
       val prefixNeeds = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
@@ -404,10 +418,11 @@ final class QueryEngine(val index: BuiltIndex) {
       val ctx = LookupCtx(Some(dfs), Some(prefix), Some(fuzzy), Some(corrections))
       misses.foreach { q =>
         val cq = compileUncached(q, ctx)
+        compiled(q) = cq
         compileCache.synchronized { compileCache.put(q, cq) }
       }
     }
-    batch.map(compile)
+    batch.map(compiled)
   }
 
   /** Fts token split shared by compile and the batch gatherer: raw

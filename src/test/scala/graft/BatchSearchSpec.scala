@@ -87,6 +87,30 @@ class BatchSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("a wide compileMany batch is fully LRU-served on repeat (no self-eviction)") {
+    // regression: the compiled-query LRU once held 128 entries, so a
+    // wider batch evicted its own fresh entries and the final lookup
+    // silently RE-compiled the evicted majority via per-query
+    // dictionary Spark jobs. The invariant now: cache capacity >=
+    // MaxBatchWidth and compileMany assembles results out of band, so
+    // one batch compiles each distinct query exactly once and a repeat
+    // of the same batch is 100% cache hits.
+    val e = new QueryEngine(index)
+    val words = Seq("fn", "return", "binary", "search", "merge", "license",
+      "filter", "reduce", "collect", "token", "stream", "query", "plan", "score")
+    val wide: Seq[Seq[SearchClause]] = (0 until 200).map { i =>
+      Seq(Fts("content", s"${words(i % words.size)} ${words((i / words.size) % words.size)}_$i"))
+    }
+    assert(wide.distinct.size === wide.size, "test premise: all queries distinct")
+    val first = e.compileMany(wide)
+    assert(first.size === wide.size)
+    val hits0 = e.compileCacheHits
+    val second = e.compileMany(wide)
+    assert(e.compileCacheHits - hits0 === wide.size.toLong,
+      "repeat batch must be served entirely from the compile LRU")
+    first.zip(second).foreach { case (a, b) => assert(a eq b, "repeat must return the cached object") }
+  }
+
   test("a no-match query yields no rows for its qid and leaves the rest intact") {
     val withEmpty = batch :+ (99 -> Seq(Fts("content", "zzqqxxnomatchtoken")))
     val got = engine.searchManyF32(withEmpty, 5).collect()
