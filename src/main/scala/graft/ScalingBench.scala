@@ -77,7 +77,9 @@ object ScalingBench {
     * scan — see IndexConfig); with no args, runs both levels in-process
     * (subject to same-JVM GC interference — prefer one JVM per level,
     * see tools/scaling.sh). The no-arg path writes its summary to
-    * SCALING.md — NOT BENCH.md, which is hand-curated across rounds.
+    * SCALING_AUTO.md — NOT SCALING.md/BENCH.md, which are hand-curated
+    * across rounds (SCALING.md is the north-rule evidence document and
+    * must never be clobbered by a quick in-process run).
     */
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "80000").toLong
@@ -109,7 +111,7 @@ object ScalingBench {
     val eff = hi.filesPerSec / (4.0 * lo.filesPerSec)
     val qSpeedup = lo.queryBatchSec / hi.queryBatchSec
     val md =
-      s"""# SCALING — scaling evidence (local[8] vs local[32], same input)
+      s"""# SCALING_AUTO — quick in-process 2-level run (NOT the north-rule evidence; see SCALING.md)
          |
          |North rule: throughput scaling efficiency >= 0.8 between N and 4N
          |parallelism. No real cluster in this sandbox (BASELINE.md), so the
@@ -140,7 +142,7 @@ object ScalingBench {
          |
          |Generated by `sbt "runMain graft.ScalingBench"` (SPARK_GRAFT_SCALE_DOCS=$nDocs).
          |""".stripMargin
-    Files.write(Paths.get("SCALING.md"), md.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get("SCALING_AUTO.md"), md.getBytes(StandardCharsets.UTF_8))
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
       s""""build8":${lo.buildSec},"build32":${hi.buildSec},""" +
       s""""files_per_sec8":${lo.filesPerSec},"files_per_sec32":${hi.filesPerSec},""" +
