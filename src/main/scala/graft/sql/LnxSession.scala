@@ -347,6 +347,23 @@ final class LnxSession(val spark: SparkSession) {
     case p: Param => throw ParseException("unbound parameter", -1)
   }
 
+  /** Columns that must never hold null: declared NOT NULL, plus primary
+    * keys (implicitly NOT NULL "to be consistent with the SQL syntax",
+    * apis/mod.rs:110-112). Beyond reference fidelity, a null PK would
+    * silently break UPSERT itself — null join keys never match the
+    * anti-join, so repeated null-PK inserts would ACCUMULATE rows — and
+    * with it the unique-key docId-determinism invariant.
+    */
+  private def requiredCols(t: TableState): Set[String] =
+    t.columns.filter(c => c.primaryKey || c.notNull).map(_.name).toSet
+
+  private def checkNotNull(required: Set[String], name: String, v: Any): Any = {
+    if (v == null && required(name))
+      throw ParseException(s"column $name is NOT NULL ('strictly forbid a field value " +
+        s"being null', apis/mod.rs:112) and has no default", -1)
+    v
+  }
+
   private def runInsert(in: Insert, params: Seq[Lit]): DataFrame = {
     val t = table(in.table)
     val schema = t.rows.schema
@@ -354,6 +371,7 @@ final class LnxSession(val spark: SparkSession) {
     val defaults: Map[String, Any] = t.columns.flatMap(c =>
       c.default.map(d => c.name -> litValue(d, byName(c.name).dataType))).toMap
     val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
+    val required = requiredCols(t)
     val newRows = in.rows.map { vals =>
       require(vals.length == in.cols.length, "column/value arity mismatch")
       val m = in.cols.zip(vals.map(v => LnxSql.bind(v, params))).toMap
@@ -361,7 +379,7 @@ final class LnxSession(val spark: SparkSession) {
         val raw = m.get(f.name).map(l => litValue(l, f.dataType))
           .orElse(defaults.get(f.name))
           .getOrElse(null) // missing nullable columns default to null (apis/mod.rs:124-127)
-        normalize(tpeByName.getOrElse(f.name, ""), raw)
+        checkNotNull(required, f.name, normalize(tpeByName.getOrElse(f.name, ""), raw))
       })
     }
     val pk = t.config.keyCols
@@ -445,9 +463,11 @@ final class LnxSession(val spark: SparkSession) {
     val schema = t.rows.schema
     val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
     val decoded = graft.sources.DocDecode.decode(spark, format, payload, schema)
+    val required = requiredCols(t)
     val newRows = decoded.collect().toSeq.map { r =>
       Row.fromSeq(schema.fields.toSeq.map(f =>
-        normalize(tpeByName.getOrElse(f.name, ""), r.getAs[Any](f.name))))
+        checkNotNull(required, f.name,
+          normalize(tpeByName.getOrElse(f.name, ""), r.getAs[Any](f.name)))))
     }
     val pk = t.config.keyCols
     val deduped = dedupeByPk(newRows, schema, pk) // last write wins within a payload

@@ -112,6 +112,34 @@ class LnxSqlSpec extends AnyFunSuite {
       === Set(2L, 3L))
   }
 
+  test("NOT NULL / PK columns reject null values on INSERT and ingest") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE nn (id bigint PRIMARY KEY, t text NOT NULL, rating float)")
+    // explicit NULL into a NOT NULL column ('strictly forbid a field
+    // value being null', apis/mod.rs:112)
+    val e1 = intercept[LnxSql.ParseException] {
+      sess.execute("INSERT INTO nn (id, t) VALUES (1, NULL)")
+    }
+    assert(e1.getMessage.contains("NOT NULL"))
+    // omitted NOT NULL column with no DEFAULT is the same violation
+    val e2 = intercept[LnxSql.ParseException] {
+      sess.execute("INSERT INTO nn (id, rating) VALUES (2, 1.5)")
+    }
+    assert(e2.getMessage.contains("NOT NULL"))
+    // a null PK would break upsert itself (null keys never anti-join)
+    intercept[LnxSql.ParseException] {
+      sess.execute("INSERT INTO nn (id, t) VALUES (NULL, 'x')")
+    }
+    // the distributed ingest path enforces the same contract
+    intercept[LnxSql.ParseException] {
+      sess.ingest("nn", "json", """[{"id": 3}]""".getBytes("UTF-8"))
+    }
+    // nullable columns still default to null (apis/mod.rs:124-127)
+    sess.execute("INSERT INTO nn (id, t) VALUES (4, 'ok')")
+    val r = sess.execute("SELECT id, rating FROM nn").collect()
+    assert(r.length === 1 && r(0).getLong(0) === 4L && r(0).isNullAt(1))
+  }
+
   test("duplicate PKs within one INSERT batch: last write wins (upsert semantics)") {
     val sess = new LnxSession(spark)
     sess.execute("CREATE TABLE dupb (id bigint PRIMARY KEY, t text NOT NULL)")
