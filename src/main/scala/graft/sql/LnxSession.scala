@@ -501,6 +501,19 @@ final class LnxSession(val spark: SparkSession) {
     // predicate reads, so evaluating `cond` per-SET would re-test it
     // against post-update values (e.g. SET a = 5, b = 1 WHERE a < 2)
     var updated = t.rows.withColumn("__cond", cond)
+    val required = requiredCols(t)
+    u.sets.foreach { case (c, l) =>
+      // PK columns identify the document (INSERT = UPSERT by PK,
+      // index.rs:61-64): rewriting one in place would silently fork a
+      // row away from its identity, so reject it like Cassandra does
+      // for its analogous PK-upsert model. NOT NULL stays enforced on
+      // the UPDATE path too — SET c = NULL must not bypass INSERT's
+      // 'strictly forbid a field value being null' (apis/mod.rs:112).
+      if (t.config.keyCols.contains(c))
+        throw ParseException(s"cannot UPDATE primary-key column $c (PK is the upsert identity)", -1)
+      if (LnxSql.bind(l, params) == NullLit && required(c))
+        throw ParseException(s"column $c is NOT NULL; UPDATE may not set it to null", -1)
+    }
     u.sets.foreach { case (c, l) =>
       val dt = schema.fields.find(_.name == c)
         .getOrElse(throw ParseException(s"unknown column $c", -1)).dataType

@@ -140,6 +140,28 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(r.length === 1 && r(0).getLong(0) === 4L && r(0).isNullAt(1))
   }
 
+  test("UPDATE rejects PK rewrites and NULL into NOT NULL columns") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE upd (id bigint PRIMARY KEY, t text NOT NULL, rating float)")
+    sess.execute("INSERT INTO upd (id, t, rating) VALUES (1, 'a', 2.0)")
+    // PK is the upsert identity (INSERT = UPSERT by PK): rewriting it
+    // in place would fork the row away from its identity
+    val e1 = intercept[LnxSql.ParseException] {
+      sess.execute("UPDATE upd SET id = 9 WHERE t = 'a'")
+    }
+    assert(e1.getMessage.contains("primary-key"))
+    // SET c = NULL must not bypass INSERT's NOT NULL enforcement
+    val e2 = intercept[LnxSql.ParseException] {
+      sess.execute("UPDATE upd SET t = NULL WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("NOT NULL"))
+    // nullable columns may be nulled; nothing was mutated by the rejects
+    sess.execute("UPDATE upd SET rating = NULL WHERE id = 1")
+    val r = sess.execute("SELECT id, t, rating FROM upd").collect()
+    assert(r.length === 1 && r(0).getLong(0) === 1L
+      && r(0).getString(1) === "a" && r(0).isNullAt(2))
+  }
+
   test("duplicate PKs within one INSERT batch: last write wins (upsert semantics)") {
     val sess = new LnxSession(spark)
     sess.execute("CREATE TABLE dupb (id bigint PRIMARY KEY, t text NOT NULL)")
