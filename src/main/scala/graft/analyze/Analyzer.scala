@@ -122,6 +122,22 @@ object Tokenizers {
   final val Default = "default"
   final val MaxRawLen = 255
 
+  /** Version of the analysis semantics, persisted in every IndexStore
+    * manifest. Query-time tokenization must match what was indexed
+    * TERM-FOR-TERM, so any change to a tokenizer's output is a new
+    * version, and loading a store whose affected tokenizers predate
+    * the change fails loudly instead of silently missing the persisted
+    * dictionary (e.g. querying 'quickly' against terms stemmed to
+    * 'quickli'). v1 = Porter 1980 `en_stem` (manifests without the
+    * column); v2 = Snowball English ("Porter2") `en_stem`, matching
+    * tantivy's rust-stemmers. */
+  final val AnalyzerVersion = 2
+
+  /** Tokenizers whose output changed since stored version `v` — a
+    * store using any of these must be rebuilt, not re-interpreted. */
+  def changedSince(v: Int): Set[String] =
+    if (v < 2) Set("en_stem") else Set.empty
+
   val known: Set[String] = Set("default", "simple", "raw", "whitespace", "en_stem")
   def isKnown(name: String): Boolean = known.contains(name)
 

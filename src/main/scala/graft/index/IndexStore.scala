@@ -36,7 +36,8 @@ object IndexStore {
       postingDocs: Long, tokens: Long)
   final case class ConfigRow(keyCols: Seq[String], fields: Seq[String], shardDocs: Int,
       buildPartitions: Int, fastFuzzy: Boolean = false,
-      tokenizers: Map[String, String] = Map.empty)
+      tokenizers: Map[String, String] = Map.empty,
+      analyzerVersion: Int = graft.analyze.Tokenizers.AnalyzerVersion)
 
   private def latestPath(dir: String) = Paths.get(dir, "_manifest", "LATEST")
 
@@ -117,12 +118,28 @@ object IndexStore {
     val epochs = spark.read.parquet(s"$md/epochs.parquet")
       .as(Encoders.product[EpochMeta]).collect().toSeq.sortBy(e => (e.epoch, e.field))
     // manifests written before the tokenizers column existed read as
-    // default-analyzer-everywhere (the old behavior)
+    // default-analyzer-everywhere (the old behavior); manifests written
+    // before analysis semantics were versioned read as analyzer v1
     val rawConf = spark.read.parquet(s"$md/config.parquet")
-    val confDf =
+    val withToks =
       if (rawConf.columns.contains("tokenizers")) rawConf
       else rawConf.withColumn("tokenizers", typedLit(Map.empty[String, String]))
+    val confDf =
+      if (withToks.columns.contains("analyzerVersion")) withToks
+      else withToks.withColumn("analyzerVersion", lit(1))
     val c = confDf.as(Encoders.product[ConfigRow]).collect().head
+    // Query-time tokenization must match the persisted terms exactly:
+    // if any of this store's tokenizers changed semantics since the
+    // store was written (e.g. en_stem's Porter1980 -> Snowball switch),
+    // queries would silently miss the dictionary — fail loudly instead.
+    val changed = graft.analyze.Tokenizers.changedSince(c.analyzerVersion)
+    val affected = c.tokenizers.valuesIterator.filter(changed).toSeq.distinct
+    if (affected.nonEmpty)
+      throw new IllegalStateException(
+        s"store at $dir was built with analyzer v${c.analyzerVersion} and uses " +
+        s"tokenizer(s) ${affected.mkString(", ")} whose output changed in " +
+        s"v${graft.analyze.Tokenizers.AnalyzerVersion}; rebuild the index " +
+        "(query-time terms would no longer match the persisted dictionary)")
     val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions, c.fastFuzzy,
       c.tokenizers)
     val cps = spark.read.parquet(s"$md/checkpoints.parquet")

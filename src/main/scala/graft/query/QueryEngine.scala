@@ -797,4 +797,12 @@ object SearchDefaults {
   /** cap on searchMany batch width (every task closure carries every
     * query's compiled plan; wider workloads chunk into several passes). */
   final val MaxBatchWidth = 4096
+  /** Largest scored-side cap the engine FORCE-broadcasts in the
+    * docId->stored-fields join. A capped scored side is slim
+    * (docId, score) rows (~12 B each), so 1M rows ~ 12 MB — around
+    * Spark's default auto-broadcast threshold. LIMIT is user input
+    * (`LIMIT 50000000` is legal SQL): above this bound the join runs
+    * un-hinted and AQE sizes the strategy at runtime instead of being
+    * forced into a driver-sized hash-table build. */
+  final val MaxBroadcastK = 1000000
 }

@@ -640,8 +640,13 @@ final class LnxSession(val spark: SparkSession) {
           }
         // a capped scored side is <= limit rows: hint the broadcast
         // explicitly (AQE may not see the cap through the shuffle, and
-        // anything later persisted would freeze a sort-merge plan)
-        if (capped) e.index.docs.join(broadcast(scored), "docId")
+        // anything later persisted would freeze a sort-merge plan) —
+        // but only while the cap is provably broadcast-sized: `limit`
+        // is unbounded user input, and a forced broadcast the planner
+        // cannot refuse would OOM under a huge LIMIT. Above the bound
+        // the join runs un-hinted and AQE decides from runtime sizes.
+        if (capped && limit <= SearchDefaults.MaxBroadcastK)
+          e.index.docs.join(broadcast(scored), "docId")
         else e.index.docs.join(scored, "docId")
       } else {
         t.rows.withColumn("score", lit(0.0f))

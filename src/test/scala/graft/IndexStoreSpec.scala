@@ -275,4 +275,34 @@ class IndexStoreSpec extends AnyFunSuite {
     val (epochs, _, _) = IndexStore.readManifest(spark, dir)
     assert(epochs.map(_.path).distinct.size === 1)
   }
+
+  /** Rewrite the committed config.parquet WITHOUT the analyzerVersion
+    * column, simulating a store persisted before analysis semantics
+    * were versioned (reads back as analyzer v1).
+    */
+  private def stripAnalyzerVersion(dir: String): Unit = {
+    val v = IndexStore.currentVersion(dir)
+    val p = f"$dir/_manifest/v$v%05d/config.parquet"
+    val old = spark.read.parquet(p).drop("analyzerVersion")
+    val rows = old.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), old.schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+  }
+
+  test("a store whose en_stem predates the analyzer version fails loudly at load") {
+    val corpus = CodeCorpus.generate(spark, 100, 2)
+    // en_stem's output changed in analyzer v2 (Porter1980 -> Snowball):
+    // a v1 store's persisted stems no longer match query-time tokens,
+    // so load must throw instead of silently returning empty matches
+    val dir = tmpDir()
+    IndexStore.create(corpus, config.copy(tokenizers = Map("content" -> "en_stem")), dir)
+    stripAnalyzerVersion(dir)
+    val ex = intercept[IllegalStateException](IndexStore.load(spark, dir))
+    assert(ex.getMessage.contains("en_stem") && ex.getMessage.contains("rebuild"))
+    // unaffected tokenizers (default analyzer) load fine from a v1 store
+    val dir2 = tmpDir()
+    IndexStore.create(corpus, config, dir2)
+    stripAnalyzerVersion(dir2)
+    assert(IndexStore.load(spark, dir2).numDocs === 100)
+  }
 }

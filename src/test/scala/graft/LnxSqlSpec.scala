@@ -68,6 +68,20 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(stmts.size === 3)
   }
 
+  test("LIMIT above MaxBroadcastK joins un-hinted; a small LIMIT keeps the broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE blim (id bigint PRIMARY KEY, body text)")
+    sess.execute("INSERT INTO blim (id, body) VALUES (1, 'alpha beta'), (2, 'alpha gamma')")
+    def hints(sql: String) =
+      sess.execute(sql).queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // capped + broadcast-sized limit: the slim (docId, score) side is hinted
+    assert(hints("SELECT id FROM blim WHERE fts(body, 'alpha') ORDER BY score() DESC LIMIT 10").nonEmpty)
+    // LIMIT is unbounded user input: above the bound nothing may FORCE a
+    // broadcast the planner can't refuse — AQE sizes the join at runtime
+    assert(hints("SELECT id FROM blim WHERE fts(body, 'alpha') ORDER BY score() DESC LIMIT 50000000").isEmpty)
+  }
+
   test("end-to-end: DDL, upsert, search with score(), params, default limit") {
     val sess = new LnxSession(spark)
     sess.execute(
