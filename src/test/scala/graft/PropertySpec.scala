@@ -99,6 +99,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // random clause shapes for the batched-scoring property: exact fts,
+  // prefix, fuzzy, levenshtein, and an fts with a DUPLICATED token —
+  // with a conjunction that shares tokens across clause groups this is
+  // the hardest replay case (same (field, term) subscribed by several
+  // groups; f32 bit-identity needs the exact single-query accumulation
+  // order)
+  private val clauseGen: Gen[SearchClause] = for {
+    toks <- queryGen
+    kind <- Gen.choose(0, 4)
+  } yield kind match {
+    case 0 => Fts("text", toks.mkString(" "))
+    case 1 => Fts("text", toks.head.take(3) + "*")
+    case 2 => FuzzyC("text", toks.head)
+    case 3 => LevC("text", toks.head)
+    case _ => Fts("text", (toks ++ toks.headOption).mkString(" "))
+  }
+
+  test("property: batched scoring == per-query search on random clause mixes") {
+    val idx = IndexBuilder.build(corpus,
+      IndexConfig(Seq("doc_id"), Seq("text"), shardDocs = 256, buildPartitions = 5))
+    val e = new QueryEngine(idx)
+    val batchGen = for {
+      n <- Gen.choose(1, 3)
+      qs <- Gen.listOfN(4, Gen.listOfN(n, clauseGen).map(_.toSeq))
+    } yield qs
+    for ((qs, bi) <- samples(batchGen, 5).zipWithIndex) {
+      val batch = qs.zipWithIndex.map { case (cs, i) => i -> cs }
+      val k = 5 + bi * 7
+      val got = e.searchManyF32(batch, k).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
+          .sortBy { case (d, s) => (-s, d) }).toMap
+      batch.foreach { case (qid, clauses) =>
+        val solo = e.searchF32(clauses, k).collect()
+          .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+        assert(got.getOrElse(qid, Nil) === solo,
+          s"batch $bi qid=$qid diverged: $clauses")
+      }
+    }
+  }
+
   test("property: analyzer scanner == regex pipeline on random ASCII") {
     val strGen = Gen.listOfN(40, Gen.frequency(
       (6, Gen.alphaNumChar), (2, Gen.const(' ')), (1, Gen.oneOf('_', '.', '(', ')', '-', '/')),
