@@ -61,9 +61,17 @@ object Dedup {
     */
   private def scoped(intermediates: DataFrame*)(out: DataFrame): DataFrame = {
     val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    res
+    try {
+      res.count()
+      res
+    } catch {
+      // the materializing count failed (lost executor, corrupt input):
+      // without this the result persist AND every corpus-sized
+      // intermediate would stay pinned for the life of the session
+      case t: Throwable => res.unpersist(blocking = false); throw t
+    } finally {
+      intermediates.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Restrict the corpus-sized shingle set to candidate documents before
@@ -128,7 +136,14 @@ object Dedup {
     */
   private def minhashBands(sh: DataFrame, numPerm: Int,
       rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val minCols = (0 until numPerm).map(i => min(minhashPerm(col("h"), lit(i))).as(s"m$i"))
+    require(rowsPerBand >= 1 && numPerm >= rowsPerBand,
+      s"need at least one full band: numPerm=$numPerm rowsPerBand=$rowsPerBand")
+    // only full bands are ever read (bandStrings below, and the oracle
+    // twin caps the same way): remainder perms beyond the last full
+    // band would burn a codegen'd min aggregate per shingle row for
+    // values nothing consumes
+    val usedPerms = (numPerm / rowsPerBand) * rowsPerBand
+    val minCols = (0 until usedPerms).map(i => min(minhashPerm(col("h"), lit(i))).as(s"m$i"))
     val sig0 = sh.groupBy("id").agg(minCols.head, minCols.tail: _*).persist()
     val bandStrings = (0 until numPerm / rowsPerBand).map { band =>
       concat_ws("-",
@@ -275,9 +290,10 @@ object Dedup {
     * The driver-side loop is O(log D) distributed jobs, not a per-row
     * collect; only the newest round's frame stays persisted (the
     * previous one is released as soon as its successor materializes),
-    * so the storage residue is one slim N-row (id, rep, moved) frame
-    * backing the returned result — the same result-sized residue as the
-    * `scoped` dedup ops. Output is UNORDERED (terminal consumers order
+    * and the returned frame IS the one persisted (id, rep) result —
+    * the caller releases the whole residue with `unpersist()`, the
+    * same contract as the `scoped` dedup ops. Output is UNORDERED
+    * (terminal consumers order
     * explicitly; a global sort here would be a wasted range exchange
     * for pipeline callers).
     */
@@ -316,7 +332,18 @@ object Dedup {
         s"resolveReps: pointers still moving after $maxRounds rounds — " +
           "the assignment violates rep <= id (cycle) or chains are deeper than 2^maxRounds")
     }
-    cur
+    if (cur eq curStore) cur
+    else {
+      // after >=1 round `cur` is a projection over the persisted 3-col
+      // (id, rep, moved) frame: returning it would make the caller's
+      // unpersist() a silent no-op (different plan) and leak the N-row
+      // cache per call. Re-persist the slim 2-col result (one cache-read
+      // pass), release the wide frame, and hand back a releasable handle.
+      val out = cur.persist(lvl)
+      out.count()
+      curStore.unpersist(blocking = false)
+      out
+    }
   }
 
   /** n-gram Jaccard with rare-shingle blocking: candidates share at
@@ -429,8 +456,12 @@ object Dedup {
       col("band"), col("key"), col("sub"))
     a.join(b, Seq("band", "key", "sub")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
-      .distinct()
+      // hamming is functionally determined by (a, b), so filtering
+      // BEFORE the dedup is equivalent — and the dominant case (band
+      // agreement admits pairs up to hamming 45) is discarded map-side
+      // instead of riding the distinct's exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a", "b")
   }
 

@@ -208,7 +208,11 @@ object Multimodal {
     * from doc_id arithmetic alone.
     */
   def sampleValue(id: Long, i: Long): Long =
-    ((id * 2654435761L + i * 40503L) % 65536L) - 32768L
+    // reduce id mod 65536 BEFORE the multiply: (id * c) mod 65536 ==
+    // ((id mod 65536) * c) mod 65536, so values are identical — but the
+    // unreduced product wraps silently in the JVM above id ~3.47e9
+    // while DuckDB BIGINT raises Out of Range, splitting the oracle
+    ((id % 65536L) * 2654435761L + i * 40503L) % 65536L - 32768L
 
   def wavBytesWithSamples(id: Long): Array[Byte] = {
     val n = (64 + id % 64).toInt
@@ -305,7 +309,7 @@ object Multimodal {
        |d AS (SELECT $idCol AS doc_id, 64 + $idCol % 64 AS n FROM documents),
        |p AS (SELECT doc_id, frame_no, (frame_no * n) // $nFrames AS pos FROM d CROSS JOIN f)
        |SELECT doc_id, frame_no::BIGINT AS frame_no, pos::BIGINT AS pos,
-       |  ((doc_id * 2654435761 + pos * 40503) % 65536 - 32768)::BIGINT AS sample
+       |  (((doc_id % 65536) * 2654435761 + pos * 40503) % 65536 - 32768)::BIGINT AS sample
        |FROM p ORDER BY doc_id, frame_no""".stripMargin
 
   /** Resize planning over real decoded PNG headers: aspect-fit into a

@@ -75,8 +75,10 @@ object Similarity {
   private def centroidHash(vid: Column): Column =
     pmod(vid * lit(48271L), lit(2147483647L))
 
+  // mirror Spark's pmod, not plain %: they agree only for non-negative
+  // ids (DuckDB % keeps the dividend's sign), and vid is caller data
   private def centroidHashDuck(vid: String): String =
-    s"(($vid * 48271) % 2147483647)"
+    s"((($vid * 48271) % 2147483647 + 2147483647) % 2147483647)"
 
   /** Auto centroid count K = max(8, ceil(sqrt(N))): the r03-flagged
     * fixed K=8 made per-query candidate sets O(N/8) — linear in the
@@ -346,6 +348,12 @@ object Similarity {
     */
   private def lshBanded(e: DataFrame, nBits: Int, bandBits: Int, maxBucket: Int): DataFrame = {
     val nBands = nBits / bandBits
+    // fail loud on nBands = 0: sequence(0, -1) is DESCENDING in Spark
+    // (CLAUDE.md trap), so band -1 would shiftright by a negative
+    // amount (Java masks it to shift-by-48) and emit garbage keys,
+    // while the DuckDB twin's range(0, 0) is empty — silent divergence
+    require(bandBits >= 1 && bandBits <= nBits,
+      s"bandBits must be in [1, nBits=$nBits], got $bandBits (nBands would be $nBands)")
     val sigs = e.withColumn("sig", lshSignature(col("v"), nBits))
       .select("vid", "sig")
     val mask = (1L << bandBits) - 1

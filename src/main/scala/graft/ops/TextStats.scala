@@ -30,6 +30,26 @@ object TextStats {
       s"len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks) END)"
   }
 
+  /** Engine-agnostic SQL fragments for the argmax-by-profile-score
+    * decision, shared by BOTH langId variants and BOTH DuckDB twins
+    * (the Spark side consumes them via expr(), so the text is common):
+    * tournament CASE with fixed precedence at ties (profile order),
+    * 'und' when every score is zero, rounded-max confidence. ONE
+    * builder for all four call sites — a future edit cannot
+    * desynchronize an op from its oracle twin.
+    */
+  private def argmaxLangSql(langs: Seq[String]): String = {
+    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END"
+  }
+
+  private def confLangSql(langs: Seq[String]): String =
+    s"round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4)"
+
   /** Language ID: argmax stopword ratio with fixed precedence order at
     * ties (profile order), 'und' when no profile matches.
     */
@@ -39,15 +59,9 @@ object TextStats {
       case (d, (lang, words)) => d.withColumn(s"s_$lang", ratio(col("toks"), words))
     }
     val langs = profiles.map(_._1)
-    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
-    val cases = langs.zipWithIndex.map { case (l, i) =>
-      val geqRest = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
-      val cond = (geqRest :+ "true").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString(" ")
     withScores
-      .withColumn("lang_pred", expr(s"CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END"))
-      .withColumn("conf", expr(s"round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4)"))
+      .withColumn("lang_pred", expr(argmaxLangSql(langs)))
+      .withColumn("conf", expr(confLangSql(langs)))
       .select(col("id").as("doc_id"), col("lang_pred"), col("conf"))
       .orderBy("doc_id")
   }
@@ -55,16 +69,11 @@ object TextStats {
   def langIdSqlDuck(idCol: String, textCol: String): String = {
     val langs = profiles.map(_._1)
     val scoreCols = profiles.map { case (l, ws) => s"${ratioDuck("toks", ws)} AS s_$l" }.mkString(", ")
-    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
-    val cases = langs.zipWithIndex.map { case (l, i) =>
-      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString(" ")
     s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
        |s AS (SELECT id, $scoreCols FROM t)
        |SELECT id AS doc_id,
-       |       (CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END) AS lang_pred,
-       |       round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4) AS conf
+       |       (${argmaxLangSql(langs)}) AS lang_pred,
+       |       ${confLangSql(langs)} AS conf
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
@@ -105,14 +114,9 @@ object TextStats {
       case (d, (lang, grams)) => d.withColumn(s"s_$lang", ratio(col("toks"), grams))
     }
     val langs = triProfiles.map(_._1)
-    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
-    val cases = langs.zipWithIndex.map { case (l, i) =>
-      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString(" ")
     withScores
-      .withColumn("lang_pred", expr(s"CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END"))
-      .withColumn("conf", expr(s"round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4)"))
+      .withColumn("lang_pred", expr(argmaxLangSql(langs)))
+      .withColumn("conf", expr(confLangSql(langs)))
       .select(col("id").as("doc_id"), col("lang_pred"), col("conf"))
       .orderBy("doc_id")
   }
@@ -121,17 +125,12 @@ object TextStats {
     val langs = triProfiles.map(_._1)
     val scoreCols = triProfiles
       .map { case (l, ws) => s"${ratioDuck("toks", ws)} AS s_$l" }.mkString(", ")
-    val allZero = langs.map(l => s"s_$l = 0.0").mkString(" AND ")
-    val cases = langs.zipWithIndex.map { case (l, i) =>
-      val cond = (langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ "true").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString(" ")
     s"""WITH lt AS (SELECT $idCol AS id, lower($textCol) AS lt FROM documents),
        |t AS (SELECT id, ${charTrigramsDuck("lt")} AS toks FROM lt),
        |s AS (SELECT id, $scoreCols FROM t)
        |SELECT id AS doc_id,
-       |       (CASE WHEN $allZero THEN 'und' $cases ELSE 'und' END) AS lang_pred,
-       |       round(greatest(${langs.map(l => s"s_$l").mkString(", ")}), 4) AS conf
+       |       (${argmaxLangSql(langs)}) AS lang_pred,
+       |       ${confLangSql(langs)} AS conf
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
