@@ -132,7 +132,7 @@ object OracleSql {
     * Mirrors the engine's FuzzyC semantics exactly: ONE fuzzy(col, q)
     * clause = one disjunction group over ALL tokens' expansions (not a
     * conjunction of per-token groups), each token's expansion capped at
-    * 1024 ordered by (distance, term) like QueryEngine.fuzzyExpand, and
+    * 1024 ordered by (distance, term) like QueryEngine.fuzzyExpandAll, and
     * a term reached by several tokens keeps the FIRST token's
     * multiplier (the engine's dedupe keeps the first occurrence).
     */

@@ -50,7 +50,12 @@ object SymSpell {
     var i = 0
     while (i < d) {
       cur = cur.flatMap { t =>
-        if (t.length <= 1) Set.empty[String]
+        // a length-1 string DOES have a delete — the empty string.
+        // Without it, 2-char tokens at distance 2 share no variant
+        // (deletes2("ab")={ab,a,b} vs deletes2("cd")={cd,c,d}) and the
+        // prefilter silently drops legitimate short-term fuzzy matches
+        // that the length-banded fallback path finds.
+        if (t.isEmpty) Set.empty[String]
         else (0 until t.length).map(j => t.substring(0, j) + t.substring(j + 1)).toSet
       }
       all ++= cur

@@ -21,7 +21,11 @@ final case class Fts(field: String, query: String, required: Boolean = true) ext
 /** `fuzzy(col, query)`: BM25 x edit-distance multiplier
   * (apis/mod.rs:225-246; worked example pins distance 2 -> 0.6). */
 final case class FuzzyC(field: String, query: String, maxDist: Int = 2,
-    multipliers: Seq[Double] = Seq(1.0, 0.8, 0.6), required: Boolean = true) extends SearchClause
+    multipliers: Seq[Double] = Seq(1.0, 0.8, 0.6), required: Boolean = true) extends SearchClause {
+  // compile indexes multipliers(min(d, size - 1)): an empty list would
+  // surface as a bare IndexOutOfBounds(-1) deep in query compilation
+  require(multipliers.nonEmpty, "fuzzy needs at least one distance multiplier")
+}
 
 /** `levenshtein(col, query)`: pure fuzzy match, 1.0/0.0, no BM25
   * (apis/mod.rs:249-266). */
@@ -69,12 +73,16 @@ final class QueryEngine(val index: BuiltIndex) {
     if (keys.isEmpty) return Map.empty
     val fields = keys.map(_._1).distinct
     val terms = keys.map(_._2).distinct
+    // Set membership, not Seq.contains: compileMany feeds this the
+    // union of a whole batch's terms, and O(|rows| x |keys|) pair
+    // comparisons on the driver would sit on the throughput path
+    val keySet = keys.toSet
     index.termStats
       .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-      .filter { case (k, _) => keys.contains(k) }
+      .filter { case (k, _) => keySet(k) }
   }
 
   /** Batched prefix expansion: ONE job for all prefix tokens of a
@@ -143,11 +151,8 @@ final class QueryEngine(val index: BuiltIndex) {
     * happen INSIDE the plan (TakeOrdered), so the driver collects at
     * most MaxExpansions rows; the banded DP re-verifies driver-side
     * (built-in and DP must agree).
-    */
-  private def fuzzyExpand(field: String, tok: String, maxDist: Int): Seq[(String, Long, Int)] =
-    fuzzyExpandAll(field, Seq(tok), maxDist).getOrElse(tok, Nil)
-
-  /** Batched fuzzy expansion for ALL tokens of a clause in ONE job.
+    *
+    * Batched fuzzy expansion for ALL tokens of a clause in ONE job.
     * Candidates are tagged with their query token in-plan (a broadcast
     * join against the tiny (tok, variant) frame), the levenshtein
     * verify + per-token (distance, term) cap run in-plan via a window,
@@ -546,6 +551,9 @@ final class QueryEngine(val index: BuiltIndex) {
     */
   def searchF32(clauses: Seq[SearchClause], k: Int = DefaultLimit, useWand: Boolean = true,
       wandStats: Option[Wand.Stats] = None): DataFrame = {
+    // LIMIT 0 is legal SQL and must return zero rows, not crash the
+    // WAND tasks (PriorityQueue rejects initialCapacity < 1)
+    if (k <= 0) return emptyResultF32
     val cq = compile(clauses)
     if (cq.terms.isEmpty) return emptyResultF32
     val scored =
@@ -650,13 +658,17 @@ final class QueryEngine(val index: BuiltIndex) {
 
   /** Join scored docIds back to stored fields (the only docId join the
     * engine needs, SURVEY.md section 2.3). Callers MUST pass a limited
-    * scored side (apply Scorer.topK / a threshold + limit first): the
-    * broadcast hint is only sound because the scored side is <= k rows.
-    * Unlimited match sets must join un-hinted (see facetCounts).
+    * scored side (apply Scorer.topK / a threshold + limit first) and
+    * its cap: the broadcast hint is only sound while the cap is
+    * broadcast-sized (`MaxBroadcastK`) — above it, or for unlimited
+    * match sets (see facetCounts), the join runs un-hinted and AQE
+    * picks the strategy from runtime sizes.
     */
-  def withDocs(scored: DataFrame, docCols: Seq[String]): DataFrame = {
+  def withDocs(scored: DataFrame, docCols: Seq[String],
+      cap: Long = SearchDefaults.DefaultLimit): DataFrame = {
     val cols = docCols.map(col) :+ col("score")
-    index.docs.join(broadcast(scored), "docId").select(cols: _*)
+    val side = if (cap <= SearchDefaults.MaxBroadcastK) broadcast(scored) else scored
+    index.docs.join(side, "docId").select(cols: _*)
   }
 
   /** Stored-field lookup for an already-collected top-k docId set via a
@@ -681,6 +693,12 @@ final class QueryEngine(val index: BuiltIndex) {
   def facetCounts(matchedDocIds: DataFrame, facetCol: Column): DataFrame = {
     val matched = index.docs.join(matchedDocIds.select("docId"), "docId")
     matched
+      // documents are sparse — a missing facet contributes NOTHING.
+      // Without this filter the behavior is ANSI-config-dependent:
+      // non-ANSI size(NULL) = -1 makes sequence(1, -1) DESCENDING
+      // (the CLAUDE.md trap), exploding each null-facet doc into 3
+      // spurious "/" root rows; ANSI mode happens to drop them.
+      .filter(facetCol.isNotNull)
       .withColumn("__parts", split(regexp_replace(facetCol, "^/", ""), "/"))
       .withColumn("__lvl", explode(sequence(lit(1), size(col("__parts")))))
       .withColumn("facet", concat(lit("/"), concat_ws("/", slice(col("__parts"), lit(1), col("__lvl")))))
@@ -742,6 +760,12 @@ private[graft] object RegexPrefix {
     *    occurrences), so it is dropped; `+` requires >= 1, so it stays
     */
   def literalPrefix(pattern: String): String = {
+    // \Q...\E quoting turns metacharacters into literals, which the
+    // scans below would misread ('(' inside \Q...\E is NOT a group
+    // opener, so a later top-level '|' would go undetected and the
+    // returned prefix would exclude the other branch's matches). Rare
+    // construct — bail conservatively instead of modeling quote state.
+    if (pattern.contains("\\Q")) return ""
     // top-level alternation scan (chars inside (...) or [...] don't
     // count). Character classes need their own state, not a depth
     // counter: '(' inside a class is a LITERAL, so counting it as a

@@ -123,6 +123,23 @@ class SearchSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1.0f))
   }
 
+  test("fuzzy reaches 2-char terms at distance 2 (empty-variant completeness); k=0 returns empty") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab corpus text"), (2L, "cd corpus text")).toDF("doc_id", "content")
+    val idx = IndexBuilder.build(tiny,
+      IndexConfig(Seq("doc_id"), Seq("content"), shardDocs = 64, buildPartitions = 2))
+    val e = new QueryEngine(idx)
+    // d("ab","cd") = 2: the SymSpell prefilter must surface BOTH docs —
+    // the only shared delete variant of two 2-char tokens is the empty
+    // string, which a length-1 string must emit
+    val got = e.searchF32(Seq(FuzzyC("content", "ab")), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === 2, s"fuzzy('ab') must match both 'ab' and 'cd' docs, got $got")
+    // LIMIT 0 is legal SQL: zero rows, not a WAND task crash
+    assert(e.searchF32(Seq(Fts("content", "corpus")), 0).count() === 0)
+    assert(e.searchF32(Seq(Fts("content", "corpus")), 0, useWand = false).count() === 0)
+  }
+
   test("fuzzy clause weights BM25 by edit distance") {
     // 'serach' -> distance 0 to planted typo, 1..2 to 'search'
     val got = engine.searchF64(Seq(FuzzyC("content", "serach")), 10)

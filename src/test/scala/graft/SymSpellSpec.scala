@@ -28,8 +28,14 @@ class SymSpellSpec extends AnyFunSuite {
         s.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) + s.substring(i + 1)
       case _ => s
     }
+    // explicit short-token cases: 2-char tokens at distance 2 share
+    // only the EMPTY variant, which a length-1 string must emit
+    assert(SymSpell.deletes("ab").intersect(SymSpell.deletes("cd")).nonEmpty,
+      "d(ab,cd)=2 needs the empty-string variant")
+    assert(SymSpell.deletes("a").intersect(SymSpell.deletes("b")).nonEmpty,
+      "d(a,b)=1 needs the empty-string variant")
     for (_ <- 0 until 300) {
-      val base = (0 until (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val base = (0 until (1 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       var other = base
       val edits = rnd.nextInt(3)
       for (_ <- 0 until edits) other = mutate(other)
