@@ -37,7 +37,8 @@ object IndexStore {
   final case class ConfigRow(keyCols: Seq[String], fields: Seq[String], shardDocs: Int,
       buildPartitions: Int, fastFuzzy: Boolean = false,
       tokenizers: Map[String, String] = Map.empty,
-      analyzerVersion: Int = graft.analyze.Tokenizers.AnalyzerVersion)
+      analyzerVersion: Int = graft.analyze.Tokenizers.AnalyzerVersion,
+      docIdStrategy: String = DocIdStrategy.KeyRange)
 
   private def latestPath(dir: String) = Paths.get(dir, "_manifest", "LATEST")
 
@@ -65,7 +66,8 @@ object IndexStore {
     spark.createDataset(epochs)(Encoders.product[EpochMeta])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/epochs.parquet")
     spark.createDataset(Seq(ConfigRow(config.keyCols, config.fields, config.shardDocs,
-      config.buildPartitions, config.fastFuzzy, config.tokenizers)))(Encoders.product[ConfigRow])
+      config.buildPartitions, config.fastFuzzy, config.tokenizers,
+      docIdStrategy = config.docIdStrategy)))(Encoders.product[ConfigRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
     spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
@@ -119,21 +121,32 @@ object IndexStore {
       .as(Encoders.product[EpochMeta]).collect().toSeq.sortBy(e => (e.epoch, e.field))
     // manifests written before the tokenizers column existed read as
     // default-analyzer-everywhere (the old behavior); manifests written
-    // before analysis semantics were versioned read as analyzer v1
+    // before analysis semantics were versioned read as analyzer v1;
+    // manifests written before the strategy was persisted read keyRange
+    // (the only strategy that existed then)
     val rawConf = spark.read.parquet(s"$md/config.parquet")
     val withToks =
       if (rawConf.columns.contains("tokenizers")) rawConf
       else rawConf.withColumn("tokenizers", typedLit(Map.empty[String, String]))
-    val confDf =
+    val withVer =
       if (withToks.columns.contains("analyzerVersion")) withToks
       else withToks.withColumn("analyzerVersion", lit(1))
+    val confDf =
+      if (withVer.columns.contains("docIdStrategy")) withVer
+      else withVer.withColumn("docIdStrategy", lit(DocIdStrategy.KeyRange))
     val c = confDf.as(Encoders.product[ConfigRow]).collect().head
     // Query-time tokenization must match the persisted terms exactly:
     // if any of this store's tokenizers changed semantics since the
     // store was written (e.g. en_stem's Porter1980 -> Snowball switch),
     // queries would silently miss the dictionary — fail loudly instead.
+    // Indexed fields ABSENT from the map use the default analyzer, so
+    // the default participates in the check too (a future default-
+    // analyzer change must not slip past a store with an empty map).
     val changed = graft.analyze.Tokenizers.changedSince(c.analyzerVersion)
-    val affected = c.tokenizers.valuesIterator.filter(changed).toSeq.distinct
+    val usedTokenizers = (c.fields.map(f =>
+      c.tokenizers.getOrElse(f, graft.analyze.Tokenizers.Default)) ++
+      c.tokenizers.values).distinct
+    val affected = usedTokenizers.filter(changed)
     if (affected.nonEmpty)
       throw new IllegalStateException(
         s"store at $dir was built with analyzer v${c.analyzerVersion} and uses " +
@@ -141,7 +154,7 @@ object IndexStore {
         s"v${graft.analyze.Tokenizers.AnalyzerVersion}; rebuild the index " +
         "(query-time terms would no longer match the persisted dictionary)")
     val config = IndexConfig(c.keyCols, c.fields, c.shardDocs, c.buildPartitions, c.fastFuzzy,
-      c.tokenizers)
+      c.tokenizers, c.docIdStrategy)
     val cps = spark.read.parquet(s"$md/checkpoints.parquet")
       .as(Encoders.product[CheckpointRow]).collect().toSeq.sortBy(_.epoch)
     (epochs, config, cps)
@@ -152,38 +165,60 @@ object IndexStore {
     * lookups prune parquet row groups (the FST/sstable term-dictionary
     * analogue, SURVEY.md section 4 O3); docs sorted by docId.
     */
-  private def writeSegment(idx: BuiltIndex, segDir: String): Unit = {
-    val parts = math.max(1, idx.config.buildPartitions / 4)
-    idx.postings
+  // ---- segment-layout writers, shared by writeSegment AND compact:
+  // the layout IS the read-path contract (8 MB doc-store row groups for
+  // top-k point lookups, range-partitioned dictionary), so exactly one
+  // implementation exists — a second copy in compact drifted in r4
+  // (default 128 MB doc groups + a coalesce(1) dictionary), silently
+  // degrading every post-compaction store.
+
+  private def writePostingsParquet(postings: DataFrame, parts: Int, path: String): Unit =
+    postings
       .repartitionByRange(parts, col("field"), col("term"))
       .sortWithinPartitions("field", "term", "shard")
-      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/postings.parquet")
-    // doc store: small row groups (8 MB vs the 128 MB default) — the
-    // access pattern is top-k point lookups by docId (lookupDocs), and
-    // row-group stats are the pruning unit, so a k-id fetch reads ~k
-    // small groups instead of k 128 MB ones. Scan-heavy consumers read
-    // postings, not docs, so the small-group overhead lands nowhere hot.
-    idx.docs
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Doc store: small row groups (8 MB vs the 128 MB default) — the
+    * access pattern is top-k point lookups by docId (lookupDocs), and
+    * row-group stats are the pruning unit, so a k-id fetch reads ~k
+    * small groups instead of k 128 MB ones. Scan-heavy consumers read
+    * postings, not docs, so the small-group overhead lands nowhere hot.
+    */
+  private def writeDocsParquet(docs: DataFrame, parts: Int, path: String): Unit =
+    docs
       .repartitionByRange(parts, col("docId"))
       .sortWithinPartitions("docId")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (8 * 1024 * 1024).toString)
-      .parquet(s"$segDir/docs.parquet")
-    // term dictionary: range-partitioned like the postings so prefix /
-    // exact lookups prune row groups (tiny at test scale, but a single
-    // file would bottleneck a 10^12-doc dictionary)
-    idx.termStats
+      .parquet(path)
+
+  /** Term dictionary: range-partitioned like the postings so prefix /
+    * exact lookups prune row groups (tiny at test scale, but a single
+    * file would bottleneck a 10^12-doc dictionary).
+    */
+  private def writeTermstatsParquet(termStats: DataFrame, parts: Int, path: String): Unit =
+    termStats
       .repartitionByRange(math.max(1, parts / 4), col("field"), col("term"))
       .sortWithinPartitions("field", "term")
-      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/termstats.parquet")
-    // fast-fuzzy mode: the SymSpell delete-variant dictionary is an
-    // INDEX-time artifact (README.md:28), variant-range-partitioned so
-    // query-time correction lookups prune row groups
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Fast-fuzzy mode: the SymSpell delete-variant dictionary is an
+    * INDEX-time artifact (README.md:28), variant-range-partitioned so
+    * query-time correction lookups prune row groups.
+    */
+  private def writeSymspellParquet(termStats: DataFrame, parts: Int, path: String): Unit =
+    graft.query.SymSpellDict.build(termStats)
+      .repartitionByRange(math.max(1, parts / 4), col("field"), col("variant"))
+      .sortWithinPartitions("field", "variant")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  private def writeSegment(idx: BuiltIndex, segDir: String): Unit = {
+    val parts = math.max(1, idx.config.buildPartitions / 4)
+    writePostingsParquet(idx.postings.toDF(), parts, s"$segDir/postings.parquet")
+    writeDocsParquet(idx.docs, parts, s"$segDir/docs.parquet")
+    writeTermstatsParquet(idx.termStats, parts, s"$segDir/termstats.parquet")
     if (idx.config.fastFuzzy)
-      graft.query.SymSpellDict.build(idx.termStats)
-        .repartitionByRange(math.max(1, parts / 4), col("field"), col("variant"))
-        .sortWithinPartitions("field", "variant")
-        .write.mode(SaveMode.Overwrite).parquet(s"$segDir/symspell.parquet")
+      writeSymspellParquet(idx.termStats, parts, s"$segDir/symspell.parquet")
   }
 
   private def writeLineage(idx: BuiltIndex, dir: String, epoch: Int): Unit = {
@@ -454,24 +489,17 @@ object IndexStore {
     val mergedEpoch = epochs.map(_.epoch).max + 1
     val segName = f"seg-$mergedEpoch%05d"
     val parts = math.max(1, config.buildPartitions / 4)
-    merged
-      .repartitionByRange(parts, col("field"), col("term"))
-      .sortWithinPartitions("field", "term", "shard")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/postings.parquet")
-    docsSel
-      .repartitionByRange(parts, col("docId"))
-      .sortWithinPartitions("docId")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/docs.parquet")
+    writePostingsParquet(merged.toDF(), parts, s"$dir/$segName/postings.parquet")
+    writeDocsParquet(docsSel, parts, s"$dir/$segName/docs.parquet")
     // dictionary + stats derive from the WRITTEN postings: one merge
     // computation total instead of re-merging per aggregate
     val mergedOnDisk = spark.read.parquet(s"$dir/$segName/postings.parquet")
-    mergedOnDisk.groupBy("field", "term").agg(sum("numDocs").as("df"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/termstats.parquet")
+    writeTermstatsParquet(
+      mergedOnDisk.groupBy("field", "term").agg(sum("numDocs").as("df")),
+      parts, s"$dir/$segName/termstats.parquet")
     if (config.fastFuzzy)
-      graft.query.SymSpellDict.build(spark.read.parquet(s"$dir/$segName/termstats.parquet"))
-        .repartitionByRange(math.max(1, parts / 4), col("field"), col("variant"))
-        .sortWithinPartitions("field", "variant")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segName/symspell.parquet")
+      writeSymspellParquet(spark.read.parquet(s"$dir/$segName/termstats.parquet"),
+        parts, s"$dir/$segName/symspell.parquet")
     val newFieldTokens = mergedOnDisk.groupBy("field").agg(sum("sumTf").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val liveDocs = spark.read.parquet(s"$dir/$segName/docs.parquet").count()

@@ -47,6 +47,16 @@ final class LnxSession(val spark: SparkSession) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, TableState]
 
+  /** Bind `name` -> `ts`, releasing any replaced table's engine first:
+    * the CacheManager pins persisted index frames strongly (see
+    * noteMutation), so re-attach/re-register over an existing name
+    * would otherwise permanently leak one full cached index per call.
+    */
+  private def putTable(name: String, ts: TableState): Unit = {
+    tables.remove(name).foreach(_.engine.foreach(_.release()))
+    tables.put(name, ts)
+  }
+
   /** lnx type -> Spark type (SURVEY.md section 1.2 table). Unsigned
     * types narrow to LongType: uint32 fits losslessly; uint64 values
     * above Long.MaxValue are REJECTED at insert (checkRange) rather
@@ -183,7 +193,7 @@ final class LnxSession(val spark: SparkSession) {
         ColumnDef(f.name, f.dataType.simpleString, idx.config.keyCols.contains(f.name),
           notNull = false, default = None, isArray = false))
     }
-    tables.put(name,
+    putTable(name,
       TableState(idx.docs.drop("docId"), idx.config, defs, Some(new QueryEngine(idx))))
   }
 
@@ -222,9 +232,14 @@ final class LnxSession(val spark: SparkSession) {
   /** Register an existing DataFrame as an lnx table. */
   def register(name: String, df: DataFrame, keyCols: Seq[String], fields: Seq[String],
       shardDocs: Int = 4096): Unit = {
+    // same reservation CREATE TABLE enforces: non-search SELECTs inject
+    // a synthetic score column, which would silently clobber a stored
+    // one, and search SELECTs' docs-join would produce a duplicate
+    if (df.columns.exists(_.equalsIgnoreCase("score")))
+      throw ParseException("column name 'score' is reserved for score()", -1)
     val defs = df.schema.fields.map(f =>
       ColumnDef(f.name, f.dataType.simpleString, keyCols.contains(f.name), false, None, false))
-    tables.put(name, TableState(df,
+    putTable(name, TableState(df,
       IndexConfig(keyCols, fields, shardDocs,
         spark.conf.get("spark.sql.shuffle.partitions", "8").toInt), defs.toSeq, None))
   }
@@ -276,7 +291,9 @@ final class LnxSession(val spark: SparkSession) {
     // `score` is the score() projection's result column; a stored column
     // of that name would be silently clobbered by the synthetic score of
     // non-search SELECTs — reserve it at CREATE rather than corrupt later
-    if (ct.columns.exists(_.name == "score"))
+    // case-insensitive: Spark's default resolution is case-insensitive,
+    // so a column named SCORE collides with the projection all the same
+    if (ct.columns.exists(_.name.equalsIgnoreCase("score")))
       throw ParseException("column name 'score' is reserved for score()", -1)
     // every scalar text column is indexed — including `raw`-tokenized
     // ones, which index the value as a single un-analyzed token so
@@ -294,7 +311,7 @@ final class LnxSession(val spark: SparkSession) {
         throw ParseException(s"unknown tokenizer '$tokName' for column $colName", -1)
     }
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    tables.put(ct.table, TableState(empty,
+    putTable(ct.table, TableState(empty,
       IndexConfig(pk, fields, 4096,
         spark.conf.get("spark.sql.shuffle.partitions", "8").toInt,
         tokenizers = ct.tokenizers),
@@ -318,7 +335,12 @@ final class LnxSession(val spark: SparkSession) {
           case _: java.time.format.DateTimeParseException =>
             throw ParseException(s"not a timestamp literal: $s", -1)
         }
-      case DateType => java.sql.Date.valueOf(s)
+      case DateType =>
+        try java.sql.Date.valueOf(s)
+        catch {
+          case _: IllegalArgumentException =>
+            throw ParseException(s"malformed date literal '$s' (expected yyyy-mm-dd)", -1)
+        }
       case _ => s
     }
     case ILit(v) => dt match {
@@ -372,6 +394,10 @@ final class LnxSession(val spark: SparkSession) {
       c.default.map(d => c.name -> litValue(d, byName(c.name).dataType))).toMap
     val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
     val required = requiredCols(t)
+    // a misspelled column name must be an error, not silent data loss
+    // (the row would store with the real column null and the value gone)
+    in.cols.find(c => !byName.contains(c)).foreach(c =>
+      throw ParseException(s"unknown column $c in INSERT into ${in.table}", -1))
     val newRows = in.rows.map { vals =>
       require(vals.length == in.cols.length, "column/value arity mismatch")
       val m = in.cols.zip(vals.map(v => LnxSql.bind(v, params))).toMap
@@ -520,9 +546,17 @@ final class LnxSession(val spark: SparkSession) {
       // same normalization as INSERT/WHERE: ip canonicalization +
       // unsigned range checks must not be bypassable via UPDATE
       val tpe = t.columns.find(_.name == c).map(_.tpe).getOrElse("")
+      // array columns need array(lit(el)...) like colFilter builds —
+      // lit(Seq(...)) is rejected by Spark (UNSUPPORTED_FEATURE.LITERAL_TYPE),
+      // so UPDATE t SET tags = ARRAY[...] would crash
+      val valueCol = (dt, litValue(LnxSql.bind(l, params), dt)) match {
+        case (at: ArrayType, s: Seq[_]) =>
+          val items = s.map(v => lit(normalize(tpe, v)))
+          if (items.isEmpty) array().cast(at) else array(items: _*)
+        case (_, v) => lit(normalize(tpe, v))
+      }
       updated = updated.withColumn(c,
-        when(col("__cond"), lit(normalize(tpe, litValue(LnxSql.bind(l, params), dt))))
-          .otherwise(col(c)))
+        when(col("__cond"), valueCol).otherwise(col(c)))
     }
     t.rows = updated.drop("__cond")
     noteMutation(t)
@@ -594,6 +628,13 @@ final class LnxSession(val spark: SparkSession) {
       case Some(f) => return runFacetSelect(s, f, searches, colPreds, scorePreds, params, t)
       case None =>
     }
+    // score() is defined by the WHERE's search predicates; without one
+    // there is no score to threshold — fail loudly (the facet path
+    // already does) instead of silently dropping the predicate and
+    // returning every row
+    if (searches.isEmpty && scorePreds.nonEmpty)
+      throw ParseException(
+        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
     val limit = s.limit.getOrElse(SearchDefaults.DefaultLimit) // default 1000 (query.rs:15-17)
 
     // ONE alias-resolution map (SELECT alias -> underlying column)

@@ -157,7 +157,15 @@ object LnxSql {
     def literal(): Lit = next() match {
       case Str(s) => SLit(s)
       case Num(s) =>
-        if (s.contains('.')) NLit(s.toDouble)
+        // both branches keep the parser's error contract: malformed
+        // numbers ("1.2.3") surface as ParseException with a position,
+        // never a raw NumberFormatException
+        if (s.contains('.'))
+          try NLit(s.toDouble)
+          catch {
+            case _: NumberFormatException =>
+              throw ParseException(s"malformed number: $s", pos)
+          }
         else try ILit(s.toLong)
         catch {
           case _: NumberFormatException =>
@@ -250,9 +258,15 @@ object LnxSql {
       Some((nm, asc))
     } else None
     val limit = if (p.tryKw("limit")) Some(p.literal() match {
-      case ILit(v) => v.toInt
-      case NLit(v) => v.toInt
-      case _ => throw ParseException("LIMIT expects a number", p.pos)
+      // validate at parse: Long.toInt silently WRAPS (LIMIT 2^32 would
+      // return zero rows; LIMIT 2^31 would crash Spark with a negative
+      // limit), and a negative literal must be a ParseException with a
+      // position, not a deep AnalysisException
+      case ILit(v) =>
+        if (v < 0 || v > Int.MaxValue)
+          throw ParseException(s"LIMIT out of range [0, ${Int.MaxValue}]: $v", p.pos)
+        v.toInt
+      case _ => throw ParseException("LIMIT expects an integer", p.pos)
     }) else None
     Select(cols.result(), table, where, orderBy, limit)
   }

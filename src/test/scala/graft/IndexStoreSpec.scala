@@ -289,6 +289,18 @@ class IndexStoreSpec extends AnyFunSuite {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
   }
 
+  test("docIdStrategy round-trips through the manifest (scan store stays scan)") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 200, 2)
+    IndexStore.create(corpus, config.copy(docIdStrategy = graft.index.DocIdStrategy.Scan), dir)
+    // appendEpoch rebuilds from readManifest's config: losing the
+    // strategy here would silently re-introduce the corpus-wide range
+    // shuffle the creator opted out of AND change docId semantics
+    // between epoch 0 and later epochs
+    val (_, cfg, _) = IndexStore.readManifest(spark, dir)
+    assert(cfg.docIdStrategy === graft.index.DocIdStrategy.Scan)
+  }
+
   test("a store whose en_stem predates the analyzer version fails loudly at load") {
     val corpus = CodeCorpus.generate(spark, 100, 2)
     // en_stem's output changed in analyzer v2 (Porter1980 -> Snowball):

@@ -68,6 +68,40 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(stmts.size === 3)
   }
 
+  test("dialect edge cases fail loudly: bad LIMIT, unknown INSERT column, score() without search, malformed number") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE edge (id bigint PRIMARY KEY, body text, tags text[])")
+    sess.execute("INSERT INTO edge (id, body) VALUES (1, 'alpha beta')")
+    // LIMIT wrap: 2^32.toInt == 0 would silently return zero rows;
+    // 2^31 would crash Spark with a negative limit
+    intercept[ParseException](LnxSql.parse("SELECT id FROM edge LIMIT 4294967296"))
+    intercept[ParseException](LnxSql.parse("SELECT id FROM edge LIMIT 2147483648"))
+    // a misspelled INSERT column must be an error, not silent data loss
+    intercept[ParseException](
+      sess.execute("INSERT INTO edge (id, bdoy) VALUES (2, 'oops')"))
+    // score() is undefined without a search clause — reject, don't
+    // silently drop the predicate and return every row
+    intercept[ParseException](
+      sess.execute("SELECT id FROM edge WHERE score() > 0.5"))
+    // malformed numbers keep the parser's error contract
+    intercept[ParseException](LnxSql.parse("SELECT id FROM edge WHERE id = 1.2.3"))
+    // reserved column name is case-insensitive (Spark resolution is)
+    intercept[ParseException](
+      sess.execute("CREATE TABLE bad (id bigint PRIMARY KEY, SCORE text)"))
+  }
+
+  test("UPDATE of an array column builds a proper array literal") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE arrup (id bigint PRIMARY KEY, tags text[])")
+    sess.execute("INSERT INTO arrup (id, tags) VALUES (1, ARRAY['a']), (2, ARRAY['b'])")
+    // lit(Seq(...)) is rejected by Spark (UNSUPPORTED_FEATURE.LITERAL_TYPE):
+    // the SET value must build as array(lit(el)...) like colFilter does
+    sess.execute("UPDATE arrup SET tags = ARRAY['x', 'y'] WHERE id = 1")
+    val got = sess.execute("SELECT id, tags FROM arrup").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got === Map(1L -> List("x", "y"), 2L -> List("b")))
+  }
+
   test("LIMIT above MaxBroadcastK joins un-hinted; a small LIMIT keeps the broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val sess = new LnxSession(spark)
