@@ -503,30 +503,93 @@ final class LnxSession(val spark: SparkSession) {
     status(s"ingested ${deduped.size} documents into $tableName")
   }
 
+  /** PK rows of the FULL match set of `searches` (AND of clauses, same
+    * semantics as SELECT's un-capped path: per-clause thresholds, then
+    * score() predicates, then stored-column predicates), for the
+    * search-predicate DELETE/UPDATE paths. Top-k is never applied —
+    * mutations see every match; the default LIMIT (query.rs:15-17) is
+    * a SELECT pagination device. The result stays the slim key set, so
+    * at scale the anti-/semi-join shuffles keys, not documents.
+    */
+  private def searchMatchedKeys(t: TableState, searches: Seq[SearchPred],
+      scorePreds: Seq[ScorePred], colPreds: Seq[ColPred], params: Seq[Lit]): DataFrame = {
+    val e = engineFor(t)
+    var m = e.matchF32(searches.map(toClause(_, params)))
+    searches.flatMap(_.cmp).foreach { case (op, v) =>
+      require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
+      m = applyCmp(m, op, v)
+    }
+    scorePreds.foreach(sp => m = applyCmp(m, sp.op, sp.value))
+    val joined = e.index.docs.join(m.select("docId"), "docId")
+    val restricted =
+      if (colPreds.isEmpty) joined
+      else joined.filter(colPreds.map(colFilter(_, params, t)).reduce(_ && _))
+    restricted.select(t.config.keyCols.map(col): _*)
+  }
+
   private def runDelete(d: Delete, params: Seq[Lit]): DataFrame = {
     val t = table(d.table)
-    require(d.where.forall(_.isInstanceOf[ColPred]), "DELETE supports column predicates")
-    val cond = d.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    // three-valued logic: a NULL predicate must KEEP the row (standard
-    // SQL DELETE removes only rows where the predicate is TRUE), but
-    // filter(!cond) drops NULL rows too — !NULL is NULL, and filter
-    // keeps only TRUE. Coalesce pins NULL to "not matched".
-    t.rows = t.rows.filter(!coalesce(cond, lit(false)))
+    val searches = d.where.collect { case sp: SearchPred => sp }
+    val colPreds = d.where.collect { case cp: ColPred => cp }
+    val scorePreds = d.where.collect { case sp: ScorePred => sp }
+    if (searches.isEmpty && scorePreds.nonEmpty)
+      throw ParseException(
+        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
+    if (searches.isEmpty) {
+      val cond = colPreds.map(colFilter(_, params, t))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      // three-valued logic: a NULL predicate must KEEP the row (standard
+      // SQL DELETE removes only rows where the predicate is TRUE), but
+      // filter(!cond) drops NULL rows too — !NULL is NULL, and filter
+      // keeps only TRUE. Coalesce pins NULL to "not matched".
+      t.rows = t.rows.filter(!coalesce(cond, lit(false)))
+    } else {
+      // delete-by-query: the reference documents ONE WHERE grammar for
+      // SELECT/UPDATE/DELETE ("WHERE conditions", apis/mod.rs:141-152)
+      // and defines the search functions as WHERE-clause functions
+      // (apis/mod.rs:208-281), so fts/fuzzy predicates are in-surface
+      // here too — and delete-everything-matching-this-query is the
+      // curation op a training-data pipeline runs at scale.
+      // localCheckpoint BEFORE noteMutation: the new rows' lineage runs
+      // through the current engine's cached index, which noteMutation
+      // releases — materializing first keeps the delete a one-pass job
+      // instead of a lazy index rebuild on every later read.
+      t.rows = t.rows.join(searchMatchedKeys(t, searches, scorePreds, colPreds, params),
+        t.config.keyCols, "left_anti").localCheckpoint()
+    }
     noteMutation(t)
     status(s"deleted from ${d.table}")
   }
 
   private def runUpdate(u: Update, params: Seq[Lit]): DataFrame = {
     val t = table(u.table)
-    require(u.where.forall(_.isInstanceOf[ColPred]), "UPDATE supports column predicates")
-    val cond = u.where.map(p => colFilter(p.asInstanceOf[ColPred], params, t))
+    val searches = u.where.collect { case sp: SearchPred => sp }
+    val colPreds = u.where.collect { case cp: ColPred => cp }
+    val scorePreds = u.where.collect { case sp: ScorePred => sp }
+    if (searches.isEmpty && scorePreds.nonEmpty)
+      throw ParseException(
+        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
+    val colCond = colPreds.map(colFilter(_, params, t))
       .reduceOption(_ && _).getOrElse(lit(true))
     val schema = t.rows.schema
     // materialize WHERE once: SET columns may rewrite columns the
     // predicate reads, so evaluating `cond` per-SET would re-test it
     // against post-update values (e.g. SET a = 5, b = 1 WHERE a < 2)
-    var updated = t.rows.withColumn("__cond", cond)
+    var updated =
+      if (searches.isEmpty) t.rows.withColumn("__cond", colCond)
+      else {
+        // update-by-query (same surface argument as runDelete): rows
+        // whose PK is in the match set AND pass the column predicates.
+        // Search matching runs against the PRE-update table state — a
+        // SET rewriting the searched column must not re-tokenize
+        // mid-statement (the materialize-WHERE-once rule, lifted to
+        // the index).
+        val keys = searchMatchedKeys(t, searches, scorePreds, Nil, params)
+          .withColumn("__smatch", lit(true))
+        t.rows.join(keys, t.config.keyCols, "left_outer")
+          .withColumn("__cond", coalesce(col("__smatch"), lit(false)) && colCond)
+          .drop("__smatch")
+      }
     val required = requiredCols(t)
     u.sets.foreach { case (c, l) =>
       // PK columns identify the document (INSERT = UPSERT by PK,
@@ -558,7 +621,14 @@ final class LnxSession(val spark: SparkSession) {
       updated = updated.withColumn(c,
         when(col("__cond"), valueCol).otherwise(col(c)))
     }
-    t.rows = updated.drop("__cond")
+    // search path: the using-columns join moved the PK columns to the
+    // front — restore the declared layout (schema order is part of the
+    // table's contract; see the r4 layout-drift finding) — and
+    // materialize before noteMutation releases the engine caches the
+    // lineage runs through (see runDelete)
+    t.rows =
+      if (searches.isEmpty) updated.drop("__cond")
+      else updated.select(schema.fieldNames.map(col).toIndexedSeq: _*).localCheckpoint()
     noteMutation(t)
     status(s"updated ${u.table}")
   }

@@ -599,4 +599,32 @@ class LnxSqlSpec extends AnyFunSuite {
       sess.execute("SELECT doc_id FROM documents WHERE fts(text, 'the') LIMIT 100000").count())
     assert(n === expected)
   }
+
+  test("DELETE/UPDATE accept search predicates in WHERE (one grammar, apis/mod.rs:141-152)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE dq (id bigint PRIMARY KEY, title text, rating float)")
+    sess.execute("INSERT INTO dq (id, title, rating) VALUES " +
+      "(1, 'alpha binary search', 1.0), (2, 'beta cooking pasta', 2.0), " +
+      "(3, 'gamma search engine', 5.0), (4, 'delta sorting lists', 3.0)")
+    // update-by-query: only fts matches that ALSO pass the column
+    // predicate change; non-matches keep their values
+    sess.execute("UPDATE dq SET rating = 9.0 WHERE fts(title, 'search') AND rating < 2.0")
+    val after = sess.execute("SELECT id, rating FROM dq ORDER BY id LIMIT 10").collect()
+    assert(after.map(r => r.getLong(0) -> r.getFloat(1)).toMap ===
+      Map(1L -> 9.0f, 2L -> 2.0f, 3L -> 5.0f, 4L -> 3.0f))
+    // schema layout survives the search-path join (declared order)
+    assert(sess.execute("SELECT id FROM dq LIMIT 1").columns === Seq("id"))
+    // delete-by-query removes the full match set (no LIMIT cap)
+    sess.execute("DELETE FROM dq WHERE fts(title, 'search')")
+    assert(sess.execute("SELECT id FROM dq").collect().map(_.getLong(0)).toSet === Set(2L, 4L))
+    // threshold form: fuzzy score below the bar deletes nothing
+    sess.execute("DELETE FROM dq WHERE fuzzy(title, 'cookin') > 99.0")
+    assert(sess.execute("SELECT id FROM dq").count() === 2)
+    // score() without a search clause fails loudly (mirrors SELECT)
+    intercept[ParseException](sess.execute("DELETE FROM dq WHERE score() > 0.5"))
+    intercept[ParseException](sess.execute("UPDATE dq SET rating = 0.0 WHERE score() > 0.5"))
+    // the mutated table still serves search (engine rebuilt post-mutation)
+    assert(sess.execute("SELECT id FROM dq WHERE fts(title, 'cooking')")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
 }
