@@ -11,21 +11,26 @@ import graft.index.Fieldnorm
   */
 object OracleSql {
 
-  /** Shared CTE scaffold over the `documents` table: tokens, tf, doc
-    * lengths, decoded quantized norms, corpus stats, term dictionary.
+  /** Shared CTE scaffold: tokens, tf, doc lengths, decoded quantized
+    * norms, corpus stats, term dictionary — over `docs`, a table name
+    * or prior CTE (the delete-by-query oracle scores over the LIVE
+    * subset, so corpus stats must come from the filtered view, exactly
+    * as a compacted store recomputes them from live postings).
     */
-  val scaffold: String = {
+  def scaffoldOver(docs: String): String = {
     val toks = Analyzer.tokensSqlDuck("text")
     val nid = Fieldnorm.encodeSql("len", duck = true)
     val dnorm = Fieldnorm.decodeSql("nid", duck = true)
-    s"""tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+    s"""tok AS (SELECT doc_id, unnest($toks) AS term FROM $docs),
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1),
        |nrm AS (SELECT doc_id, $dnorm AS dnorm FROM (SELECT doc_id, $nid AS nid FROM dl)),
-       |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |st AS (SELECT (SELECT count(*) FROM $docs)::DOUBLE AS n,
        |              (SELECT sum(len) FROM dl)::DOUBLE AS tot),
        |dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)""".stripMargin
   }
+
+  val scaffold: String = scaffoldOver("documents")
 
   /** BM25 score sum + matched-group count over a weighted term set CTE
     * `qt(term, w, grp)`.

@@ -403,6 +403,48 @@ object IndexStore {
     true
   }
 
+  /** Durable delete-by-query: tombstone the FULL match set of `clauses`
+    * against the live store view (prior tombstones already applied by
+    * load) — the session dialect's `DELETE ... WHERE fts(...)` made
+    * persistent. Committed as a delete-only epoch: the tombstone file
+    * plus an EMPTY segment, because loadDeletes applies only tombstones
+    * of committed (manifest) epochs — same data-then-manifest crash
+    * ordering as appendEpoch, idempotent per deleteId (re-running a
+    * committed delete is a no-op, returning -1). Matched postings are
+    * physically dropped at the next compact(); until then the scorer
+    * skips tombstoned docIds (P7 tombstones-until-merge). The match is
+    * computed distributed and only slim docId longs are written —
+    * documents never cross the shuffle.
+    *
+    * @return number of docs tombstoned, or -1 if deleteId was already
+    *         committed
+    */
+  def deleteByQuery(spark: SparkSession, dir: String,
+      clauses: Seq[graft.query.SearchClause], deleteId: String): Long = {
+    val (epochs, config, cps) = readManifest(spark, dir)
+    if (cps.exists(_.snapshotId == deleteId)) return -1L
+    val epoch = epochs.map(_.epoch).max + 1
+    val base = epochs.map(_.docIdEnd).max
+    val old = load(spark, dir, cacheDocs = false)
+    val engine = new graft.query.QueryEngine(old)
+    try
+      engine.matchF32(clauses).select("docId")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$epoch")
+    finally engine.release()
+    val removed = spark.read.parquet(s"$dir/_deletes/epoch=$epoch").count()
+    val emptyIdx = IndexBuilder.build(old.docs.drop("docId").limit(0), config, base)
+    val segName = f"seg-$epoch%05d"
+    writeSegment(emptyIdx, s"$dir/$segName")
+    writeLineage(emptyIdx, dir, epoch)
+    val newEpochs = epochs ++ config.fields.map(f =>
+      EpochMeta(epoch, segName, 0L, base, base, f, 0L))
+    val newCps = cps :+ CheckpointRow(epoch, deleteId, 0L)
+    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, newCps,
+      configKv(spark, dir))
+    emptyIdx.unpersist()
+    removed
+  }
+
   /** Segment merge / compaction (the reference's tablet compaction+GC,
     * bucket.rs:72-74): merge all segments' posting rows per
     * (field, term, shard), drop tombstoned docIds, rewrite as one

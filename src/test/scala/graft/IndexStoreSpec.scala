@@ -317,4 +317,36 @@ class IndexStoreSpec extends AnyFunSuite {
     stripAnalyzerVersion(dir2)
     assert(IndexStore.load(spark, dir2).numDocs === 100)
   }
+
+  test("deleteByQuery tombstones the full match set durably and is idempotent") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 300, 4).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    val before = {
+      val e = new QueryEngine(IndexStore.load(spark, dir))
+      val n = e.matchF32(Seq(Fts("content", "license"))).count()
+      e.release(); n
+    }
+    assert(before > 0)
+    val removed = IndexStore.deleteByQuery(spark, dir, Seq(Fts("content", "license")), "del-1")
+    assert(removed === before)
+    // re-running the committed delete is a resume no-op
+    assert(IndexStore.deleteByQuery(spark, dir, Seq(Fts("content", "license")), "del-1") === -1L)
+    // the loaded view excludes the tombstoned docs from search AND the
+    // doc store, until-merge semantics (P7)
+    val idx = IndexStore.load(spark, dir)
+    val e = new QueryEngine(idx)
+    assert(e.matchF32(Seq(Fts("content", "license"))).count() === 0L)
+    assert(idx.docs.count() === 300L - removed)
+    val info = IndexStore.info(spark, dir).collect()(0)
+    assert(info.getAs[Long]("pendingDeletes") === removed)
+    e.release()
+    // compaction physically absorbs the tombstones; results unchanged
+    IndexStore.compact(spark, dir)
+    val e2 = new QueryEngine(IndexStore.load(spark, dir))
+    assert(e2.matchF32(Seq(Fts("content", "license"))).count() === 0L)
+    val info2 = IndexStore.info(spark, dir).collect()(0)
+    assert(info2.getAs[Long]("pendingDeletes") === 0L)
+    e2.release()
+  }
 }
