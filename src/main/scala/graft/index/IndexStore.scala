@@ -260,13 +260,13 @@ object IndexStore {
     *   corpus fits executor memory (interactive small-table sessions).
     */
   def load(spark: SparkSession, dir: String, cacheDocs: Boolean = true): BuiltIndex = {
-    val (epochs, config, _) = readManifest(spark, dir)
+    val (epochs, config, cps) = readManifest(spark, dir)
     val segPaths = epochs.map(_.path).distinct
     val postings = segPaths.map(p => spark.read.parquet(s"$dir/$p/postings.parquet"))
       .reduce(_ unionByName _).as(Encoders.product[PostingRow])
     val docsAll = segPaths.map(p => spark.read.parquet(s"$dir/$p/docs.parquet"))
       .reduce(_ unionByName _)
-    val deletes = loadDeletes(spark, dir, epochs.map(_.epoch).toSet)
+    val deletes = loadDeletes(spark, dir, committedEpochs(epochs, cps))
     val docs = deletes match {
       case Some(d) =>
         // the anti-join sits INSIDE the frame persist() may freeze, and
@@ -296,6 +296,22 @@ object IndexStore {
     new BuiltIndex(docs, postings, termStats, numDocs, fieldTokens, config,
       deletes, symspell).persist(cacheDocs)
   }
+
+  /** Epochs whose tombstones are committed: manifest segment epochs
+    * PLUS checkpoint-row epochs — a delete-only epoch
+    * (deleteByQuery) commits a tombstone dir and a checkpoint row
+    * with no segment at all.
+    */
+  private def committedEpochs(epochs: Seq[EpochMeta], cps: Seq[CheckpointRow]): Set[Int] =
+    epochs.map(_.epoch).toSet ++ cps.map(_.epoch)
+
+  /** Next epoch number, clearing BOTH sets: delete-only epochs exist
+    * only as checkpoint rows, so numbering off EpochMeta alone would
+    * collide a later append/compact with a pending delete epoch's
+    * tombstone dir.
+    */
+  private def nextEpoch(epochs: Seq[EpochMeta], cps: Seq[CheckpointRow]): Int =
+    (epochs.map(_.epoch) ++ cps.map(_.epoch)).max + 1
 
   /** Tombstones of committed epochs only: appendEpoch writes
     * _deletes/epoch=N before the manifest commit, so a crash in between
@@ -357,7 +373,7 @@ object IndexStore {
     import spark.implicits._
     val (epochs, _, cps) = readManifest(spark, dir)
     val pendingDeletes =
-      loadDeletes(spark, dir, epochs.map(_.epoch).toSet).map(_.count()).getOrElse(0L)
+      loadDeletes(spark, dir, committedEpochs(epochs, cps)).map(_.count()).getOrElse(0L)
     val liveDocs = epochs.groupBy(_.epoch).map(_._2.head.numDocs).sum - pendingDeletes
     Seq((currentVersion(dir), epochs.map(_.epoch).distinct.size,
       epochs.map(_.path).distinct.size, liveDocs, pendingDeletes, cps.size))
@@ -375,7 +391,7 @@ object IndexStore {
     val spark = newDocs.sparkSession
     val (epochs, config, cps) = readManifest(spark, dir)
     if (cps.exists(_.snapshotId == snapshotId)) return false // already committed: resume no-op
-    val epoch = epochs.map(_.epoch).max + 1
+    val epoch = nextEpoch(epochs, cps)
     val base = epochs.map(_.docIdEnd).max
     val idx = IndexBuilder.build(newDocs, config, base)
     val segName = f"seg-$epoch%05d"
@@ -406,15 +422,18 @@ object IndexStore {
   /** Durable delete-by-query: tombstone the FULL match set of `clauses`
     * against the live store view (prior tombstones already applied by
     * load) — the session dialect's `DELETE ... WHERE fts(...)` made
-    * persistent. Committed as a delete-only epoch: the tombstone file
-    * plus an EMPTY segment, because loadDeletes applies only tombstones
-    * of committed (manifest) epochs — same data-then-manifest crash
-    * ordering as appendEpoch, idempotent per deleteId (re-running a
-    * committed delete is a no-op, returning -1). Matched postings are
-    * physically dropped at the next compact(); until then the scorer
-    * skips tombstoned docIds (P7 tombstones-until-merge). The match is
-    * computed distributed and only slim docId longs are written —
-    * documents never cross the shuffle.
+    * persistent. Committed as a TOMBSTONE-ONLY epoch: the tombstone
+    * file plus a checkpoint row, no segment (committedEpochs counts
+    * checkpoint epochs, so loadDeletes applies it) — same
+    * data-then-manifest crash ordering as appendEpoch, idempotent per
+    * deleteId (re-running a committed delete is a no-op, returning -1).
+    * A zero-match query commits NOTHING and does not consume the
+    * deleteId, so a corrected retry under the same id still runs.
+    * Matched postings are physically dropped at the next compact();
+    * until then the scorer skips tombstoned docIds (P7
+    * tombstones-until-merge). The match is computed distributed and
+    * only slim docId longs are written — documents never cross the
+    * shuffle.
     *
     * @return number of docs tombstoned, or -1 if deleteId was already
     *         committed
@@ -423,25 +442,17 @@ object IndexStore {
       clauses: Seq[graft.query.SearchClause], deleteId: String): Long = {
     val (epochs, config, cps) = readManifest(spark, dir)
     if (cps.exists(_.snapshotId == deleteId)) return -1L
-    val epoch = epochs.map(_.epoch).max + 1
-    val base = epochs.map(_.docIdEnd).max
-    val old = load(spark, dir, cacheDocs = false)
-    val engine = new graft.query.QueryEngine(old)
+    val epoch = nextEpoch(epochs, cps)
+    val delDir = s"$dir/_deletes/epoch=$epoch"
+    val engine = new graft.query.QueryEngine(load(spark, dir, cacheDocs = false))
     try
       engine.matchF32(clauses).select("docId")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$epoch")
+        .write.mode(SaveMode.Overwrite).parquet(delDir)
     finally engine.release()
-    val removed = spark.read.parquet(s"$dir/_deletes/epoch=$epoch").count()
-    val emptyIdx = IndexBuilder.build(old.docs.drop("docId").limit(0), config, base)
-    val segName = f"seg-$epoch%05d"
-    writeSegment(emptyIdx, s"$dir/$segName")
-    writeLineage(emptyIdx, dir, epoch)
-    val newEpochs = epochs ++ config.fields.map(f =>
-      EpochMeta(epoch, segName, 0L, base, base, f, 0L))
-    val newCps = cps :+ CheckpointRow(epoch, deleteId, 0L)
-    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, newCps,
-      configKv(spark, dir))
-    emptyIdx.unpersist()
+    val removed = spark.read.parquet(delDir).count()
+    if (removed == 0L) { deleteTree(Paths.get(delDir)); return 0L }
+    writeManifest(spark, dir, currentVersion(dir) + 1, epochs, config,
+      cps :+ CheckpointRow(epoch, deleteId, 0L), configKv(spark, dir))
     removed
   }
 
@@ -479,7 +490,7 @@ object IndexStore {
     val selectedEpochs = selected.map(_._1).toSet
     val unselected = segs.filterNot(s => selectedEpochs(s._1))
 
-    val deletes = loadDeletes(spark, dir, epochs.map(_.epoch).toSet)
+    val deletes = loadDeletes(spark, dir, committedEpochs(epochs, cps))
     val postingsSel = selected.map(s => spark.read.parquet(s"$dir/${s._2}/postings.parquet"))
       .reduce(_ unionByName _)
     val docsSelAll = selected.map(s => spark.read.parquet(s"$dir/${s._2}/docs.parquet"))
@@ -528,7 +539,7 @@ object IndexStore {
             enc.bytes, enc.blockOffset, enc.blockLast, enc.blockMaxTf, enc.blockMinNorm))
         }
       }(Encoders.product[PostingRow])
-    val mergedEpoch = epochs.map(_.epoch).max + 1
+    val mergedEpoch = nextEpoch(epochs, cps)
     val segName = f"seg-$mergedEpoch%05d"
     val parts = math.max(1, config.buildPartitions / 4)
     writePostingsParquet(merged.toDF(), parts, s"$dir/$segName/postings.parquet")

@@ -23,7 +23,11 @@ final class LnxSession(val spark: SparkSession) {
       config: IndexConfig,
       columns: Seq[ColumnDef],
       var engine: Option[QueryEngine],
-      var mutations: Int = 0)
+      var mutations: Int = 0,
+      /** bound via attach(): rows stream from a persisted store in
+        * scale mode (docs NOT cached) — search-predicate mutations,
+        * which materialize the table, are fenced for these. */
+      attached: Boolean = false)
 
   /** Every mutation wraps `rows` in more plan (anti-join + union /
     * conditional projections); a long-lived session would grow an
@@ -194,7 +198,8 @@ final class LnxSession(val spark: SparkSession) {
           notNull = false, default = None, isArray = false))
     }
     putTable(name,
-      TableState(idx.docs.drop("docId"), idx.config, defs, Some(new QueryEngine(idx))))
+      TableState(idx.docs.drop("docId"), idx.config, defs, Some(new QueryEngine(idx)),
+        attached = true))
   }
 
   /** Persist a session table as an IndexStore segment dir, carrying the
@@ -503,6 +508,25 @@ final class LnxSession(val spark: SparkSession) {
     status(s"ingested ${deduped.size} documents into $tableName")
   }
 
+  /** Match set of `searches` (AND of clauses) with per-clause
+    * thresholds and score() predicates applied — ONE implementation
+    * shared by SELECT's un-capped path and the search-predicate
+    * mutation paths, so a SELECT preview of "what will this DELETE
+    * remove" can never diverge from the DELETE itself.
+    */
+  private def thresholdedMatches(e: QueryEngine, searches: Seq[SearchPred],
+      scorePreds: Seq[ScorePred], params: Seq[Lit]): DataFrame = {
+    var m = e.matchF32(searches.map(toClause(_, params)))
+    // per-clause thresholds: supported when there is a single
+    // search clause (clause score == total score, apis/mod.rs:221)
+    searches.flatMap(_.cmp).foreach { case (op, v) =>
+      require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
+      m = applyCmp(m, op, v)
+    }
+    scorePreds.foreach(sp => m = applyCmp(m, sp.op, sp.value))
+    m
+  }
+
   /** PK rows of the FULL match set of `searches` (AND of clauses, same
     * semantics as SELECT's un-capped path: per-clause thresholds, then
     * score() predicates, then stored-column predicates), for the
@@ -513,13 +537,16 @@ final class LnxSession(val spark: SparkSession) {
     */
   private def searchMatchedKeys(t: TableState, searches: Seq[SearchPred],
       scorePreds: Seq[ScorePred], colPreds: Seq[ColPred], params: Seq[Lit]): DataFrame = {
+    // attached tables stream a persisted store's doc parquet in scale
+    // mode: a search mutation would localCheckpoint (materialize) the
+    // whole corpus in-session — exactly what cacheDocs = false exists
+    // to avoid. The durable tool for that job is the store-level op.
+    if (t.attached)
+      throw ParseException("search-predicate DELETE/UPDATE on an attached store would " +
+        "materialize the full doc store in-session; use IndexStore.deleteByQuery " +
+        "(durable delete-by-query) and re-attach", -1)
     val e = engineFor(t)
-    var m = e.matchF32(searches.map(toClause(_, params)))
-    searches.flatMap(_.cmp).foreach { case (op, v) =>
-      require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
-      m = applyCmp(m, op, v)
-    }
-    scorePreds.foreach(sp => m = applyCmp(m, sp.op, sp.value))
+    val m = thresholdedMatches(e, searches, scorePreds, params)
     val joined = e.index.docs.join(m.select("docId"), "docId")
     val restricted =
       if (colPreds.isEmpty) joined
@@ -739,14 +766,7 @@ final class LnxSession(val spark: SparkSession) {
             // to the full match set before any k-cap.
             e.searchF32(clauses, limit)
           } else {
-            var m = e.matchF32(clauses)
-            // per-clause thresholds: supported when there is a single
-            // search clause (clause score == total score, apis/mod.rs:221)
-            searches.flatMap(_.cmp).foreach { case (op, v) =>
-              require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
-              m = applyCmp(m, op, v)
-            }
-            scorePreds.foreach(sp => m = applyCmp(m, sp.op, sp.value))
+            val m = thresholdedMatches(e, searches, scorePreds, params)
             if (capped) Scorer.topK(m, limit) else m
           }
         // a capped scored side is <= limit rows: hint the broadcast

@@ -328,6 +328,12 @@ class IndexStoreSpec extends AnyFunSuite {
       e.release(); n
     }
     assert(before > 0)
+    // a zero-match delete commits nothing: no manifest version bump,
+    // and the deleteId is NOT consumed (a corrected retry still runs)
+    val v0 = IndexStore.currentVersion(dir)
+    assert(IndexStore.deleteByQuery(spark, dir,
+      Seq(Fts("content", "zzzNoSuchTermzzz")), "del-1") === 0L)
+    assert(IndexStore.currentVersion(dir) === v0)
     val removed = IndexStore.deleteByQuery(spark, dir, Seq(Fts("content", "license")), "del-1")
     assert(removed === before)
     // re-running the committed delete is a resume no-op
@@ -348,5 +354,13 @@ class IndexStoreSpec extends AnyFunSuite {
     val info2 = IndexStore.info(spark, dir).collect()(0)
     assert(info2.getAs[Long]("pendingDeletes") === 0L)
     e2.release()
+    // a delete-only epoch holds no segment; later epoch allocation
+    // (append) must clear its checkpoint number, never collide with it
+    assert(IndexStore.appendEpoch(
+      CodeCorpus.generate(spark, 310, 4).filter(col("path").contains("file_309")),
+      dir, "snap-append-after-delete"))
+    val e3 = new QueryEngine(IndexStore.load(spark, dir))
+    assert(e3.index.docs.count() === 300L - removed + 1L)
+    e3.release()
   }
 }

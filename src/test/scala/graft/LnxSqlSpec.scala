@@ -627,4 +627,40 @@ class LnxSqlSpec extends AnyFunSuite {
     assert(sess.execute("SELECT id FROM dq WHERE fts(title, 'cooking')")
       .collect().map(_.getLong(0)).toSet === Set(2L))
   }
+
+  test("update-by-query matches against the PRE-update state when SET rewrites the searched column") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE dq2 (id bigint PRIMARY KEY, title text)")
+    sess.execute("INSERT INTO dq2 (id, title) VALUES " +
+      "(1, 'alpha search'), (2, 'beta cooking'), (3, 'gamma search'), (4, 'delta lists')")
+    // SET rewrites the very column the WHERE searches: matching must
+    // run once against the pre-update index, never re-tokenize
+    // mid-statement (the materialize-WHERE-once rule lifted to search)
+    sess.execute("UPDATE dq2 SET title = 'redacted' WHERE fts(title, 'search')")
+    val rows = sess.execute("SELECT id, title FROM dq2 ORDER BY id LIMIT 10").collect()
+    assert(rows.map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "redacted", 2L -> "beta cooking", 3L -> "redacted", 4L -> "delta lists"))
+    // post-update index reflects the rewrite
+    assert(sess.execute("SELECT id FROM dq2 WHERE fts(title, 'search')").count() === 0L)
+    assert(sess.execute("SELECT id FROM dq2 WHERE fts(title, 'redacted')")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("search-predicate mutations on an ATTACHED store are fenced (scale mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftattach").toString
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE src (id bigint PRIMARY KEY, t text)")
+    sess.execute("INSERT INTO src (id, t) VALUES (1, 'alpha data'), (2, 'beta data')")
+    sess.persist("src", dir)
+    sess.attach("srcAtt", dir)
+    // a search mutation would localCheckpoint (materialize) the whole
+    // doc store the attach contract keeps on parquet — fail loudly and
+    // point at the durable store-level op
+    val ex = intercept[ParseException](
+      sess.execute("DELETE FROM srcAtt WHERE fts(t, 'alpha')"))
+    assert(ex.getMessage.contains("deleteByQuery"))
+    // column-predicate mutations keep their existing in-session behavior
+    sess.execute("DELETE FROM srcAtt WHERE id = 2")
+    assert(sess.execute("SELECT id FROM srcAtt").count() === 1L)
+  }
 }
