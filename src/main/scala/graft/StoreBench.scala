@@ -79,6 +79,38 @@ object StoreBench {
     }
     results("uncached_over_cached_max_ratio") = ratios.max
 
+    // durable delete-by-query at scale (AFTER the A/B, so the mutation
+    // can't disturb the cached/uncached comparison): the tombstone job
+    // must exchange slim docId longs only, never documents — the
+    // traffic columns are the proof (plan properties, regime-free).
+    // Two shapes: a rare term (tiny tombstone set) and a hot-ish term
+    // (corpus-fraction tombstone set); both run over the live view, so
+    // the hot leg also exercises matching through prior tombstones.
+    val traffic = new BuildTraffic
+    spark.sparkContext.addSparkListener(traffic)
+    val t0 = traffic.settle()
+    val (removedRare, tDelRare) = Bench.time(
+      IndexStore.deleteByQuery(spark, dir, Seq(Fts("content", "rareAuditBeacon")), "bench-del-rare"))
+    val t1 = traffic.settle()
+    val (removedHot, tDelHot) = Bench.time(
+      IndexStore.deleteByQuery(spark, dir, Seq(Fts("content", "merge")), "bench-del-hot"))
+    val t2 = traffic.settle()
+    results("delete_rare_sec") = tDelRare
+    results("delete_rare_docs") = removedRare.toDouble
+    results("delete_rare_shuffle_write_mb") = (t1 - t0).shuffleWriteBytes / 1e6
+    results("delete_hot_sec") = tDelHot
+    results("delete_hot_docs") = removedHot.toDouble
+    results("delete_hot_shuffle_write_mb") = (t2 - t1).shuffleWriteBytes / 1e6
+    // post-delete serving through the scale-mode load: deleted terms
+    // match nothing; an untouched term still serves
+    val idxAfter = IndexStore.load(spark, dir, cacheDocs = false)
+    val eAfter = new QueryEngine(idxAfter)
+    val (nAfter, tQAfter) = Bench.time(
+      eAfter.searchF32(Seq(Fts("content", "rareAuditBeacon")), 10).collect().length)
+    results("post_delete_query_sec") = tQAfter
+    results("post_delete_hits") = nAfter.toDouble
+    idxAfter.unpersist()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"store_bench","nDocs":$nDocs,"cpus":$cpus,"queries":$qs}""")
     IndexStore.drop(dir)
