@@ -438,10 +438,16 @@ object IndexStore {
     * @return number of docs tombstoned, or -1 if deleteId was already
     *         committed
     */
+  /** deleteByQuery checkpoint ids live in their own namespace: a bare
+    * deleteId equal to an ingest snapshotId (or vice versa) must never
+    * make the OTHER operation a silent resume no-op.
+    */
+  private def deleteCheckpointId(deleteId: String) = s"delete:$deleteId"
+
   def deleteByQuery(spark: SparkSession, dir: String,
       clauses: Seq[graft.query.SearchClause], deleteId: String): Long = {
     val (epochs, config, cps) = readManifest(spark, dir)
-    if (cps.exists(_.snapshotId == deleteId)) return -1L
+    if (cps.exists(_.snapshotId == deleteCheckpointId(deleteId))) return -1L
     val epoch = nextEpoch(epochs, cps)
     val delDir = s"$dir/_deletes/epoch=$epoch"
     val engine = new graft.query.QueryEngine(load(spark, dir, cacheDocs = false))
@@ -452,7 +458,7 @@ object IndexStore {
     val removed = spark.read.parquet(delDir).count()
     if (removed == 0L) { deleteTree(Paths.get(delDir)); return 0L }
     writeManifest(spark, dir, currentVersion(dir) + 1, epochs, config,
-      cps :+ CheckpointRow(epoch, deleteId, 0L), configKv(spark, dir))
+      cps :+ CheckpointRow(epoch, deleteCheckpointId(deleteId), 0L), configKv(spark, dir))
     removed
   }
 

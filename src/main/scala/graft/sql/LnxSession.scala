@@ -45,7 +45,12 @@ final class LnxSession(val spark: SparkSession) {
     t.engine.foreach(_.release())
     t.engine = None
     t.mutations += 1
-    if (t.mutations % LineageTruncateEvery == 0)
+    // attached tables stream a persisted store's doc parquet in scale
+    // mode: an eager checkpoint here would materialize the whole corpus
+    // in-session — the same failure the search-mutation fence guards.
+    // Their lineage grows instead (col-pred mutations add one filter/
+    // projection each); heavy-churn workflows belong on the store ops.
+    if (t.mutations % LineageTruncateEvery == 0 && !t.attached)
       t.rows = t.rows.localCheckpoint()
   }
 
@@ -508,6 +513,24 @@ final class LnxSession(val spark: SparkSession) {
     status(s"ingested ${deduped.size} documents into $tableName")
   }
 
+  /** Partition a WHERE into (searches, colPreds, scorePreds) and apply
+    * the one shared validity rule — score() needs a search clause to
+    * define a score — in ONE place for SELECT/UPDATE/DELETE (the
+    * reference documents a single WHERE grammar for all three,
+    * apis/mod.rs:141-152; statement-specific drift here would be a
+    * silent semantics fork).
+    */
+  private def partitionPreds(
+      where: Seq[Pred]): (Seq[SearchPred], Seq[ColPred], Seq[ScorePred]) = {
+    val searches = where.collect { case sp: SearchPred => sp }
+    val colPreds = where.collect { case cp: ColPred => cp }
+    val scorePreds = where.collect { case sp: ScorePred => sp }
+    if (searches.isEmpty && scorePreds.nonEmpty)
+      throw ParseException(
+        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
+    (searches, colPreds, scorePreds)
+  }
+
   /** Match set of `searches` (AND of clauses) with per-clause
     * thresholds and score() predicates applied — ONE implementation
     * shared by SELECT's un-capped path and the search-predicate
@@ -556,12 +579,7 @@ final class LnxSession(val spark: SparkSession) {
 
   private def runDelete(d: Delete, params: Seq[Lit]): DataFrame = {
     val t = table(d.table)
-    val searches = d.where.collect { case sp: SearchPred => sp }
-    val colPreds = d.where.collect { case cp: ColPred => cp }
-    val scorePreds = d.where.collect { case sp: ScorePred => sp }
-    if (searches.isEmpty && scorePreds.nonEmpty)
-      throw ParseException(
-        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
+    val (searches, colPreds, scorePreds) = partitionPreds(d.where)
     if (searches.isEmpty) {
       val cond = colPreds.map(colFilter(_, params, t))
         .reduceOption(_ && _).getOrElse(lit(true))
@@ -590,12 +608,7 @@ final class LnxSession(val spark: SparkSession) {
 
   private def runUpdate(u: Update, params: Seq[Lit]): DataFrame = {
     val t = table(u.table)
-    val searches = u.where.collect { case sp: SearchPred => sp }
-    val colPreds = u.where.collect { case cp: ColPred => cp }
-    val scorePreds = u.where.collect { case sp: ScorePred => sp }
-    if (searches.isEmpty && scorePreds.nonEmpty)
-      throw ParseException(
-        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
+    val (searches, colPreds, scorePreds) = partitionPreds(u.where)
     val colCond = colPreds.map(colFilter(_, params, t))
       .reduceOption(_ && _).getOrElse(lit(true))
     val schema = t.rows.schema
@@ -718,20 +731,13 @@ final class LnxSession(val spark: SparkSession) {
 
   private def runSelect(s: Select, params: Seq[Lit]): DataFrame = {
     val t = table(s.table)
-    val searches = s.where.collect { case sp: SearchPred => sp }
-    val colPreds = s.where.collect { case cp: ColPred => cp }
-    val scorePreds = s.where.collect { case sp: ScorePred => sp }
+    // score() without a search clause has no score to threshold —
+    // partitionPreds fails loudly for SELECT and mutations alike
+    val (searches, colPreds, scorePreds) = partitionPreds(s.where)
     s.cols.collectFirst { case f: FacetCol => f } match {
       case Some(f) => return runFacetSelect(s, f, searches, colPreds, scorePreds, params, t)
       case None =>
     }
-    // score() is defined by the WHERE's search predicates; without one
-    // there is no score to threshold — fail loudly (the facet path
-    // already does) instead of silently dropping the predicate and
-    // returning every row
-    if (searches.isEmpty && scorePreds.nonEmpty)
-      throw ParseException(
-        "score() predicates require a search clause (fts/fuzzy/levenshtein/regex) in WHERE", -1)
     val limit = s.limit.getOrElse(SearchDefaults.DefaultLimit) // default 1000 (query.rs:15-17)
 
     // ONE alias-resolution map (SELECT alias -> underlying column)

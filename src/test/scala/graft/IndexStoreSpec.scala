@@ -355,10 +355,13 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(info2.getAs[Long]("pendingDeletes") === 0L)
     e2.release()
     // a delete-only epoch holds no segment; later epoch allocation
-    // (append) must clear its checkpoint number, never collide with it
+    // (append) must clear its checkpoint number, never collide with it.
+    // The snapshotId deliberately REUSES the deleteId string: ingest and
+    // delete checkpoints live in separate namespaces, so this must run,
+    // not silently no-op as an "already committed" resume
     assert(IndexStore.appendEpoch(
       CodeCorpus.generate(spark, 310, 4).filter(col("path").contains("file_309")),
-      dir, "snap-append-after-delete"))
+      dir, "del-1"))
     val e3 = new QueryEngine(IndexStore.load(spark, dir))
     assert(e3.index.docs.count() === 300L - removed + 1L)
     e3.release()
