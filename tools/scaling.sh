@@ -20,6 +20,11 @@
 # host drift, not engine scaling — discard it.
 #
 # Usage: tools/scaling.sh [docs] [docIdStrategy]   (default 80000 keyRange)
+# SPARK_GRAFT_SCALE_LEVELS overrides the core levels (space-separated,
+# default "4 8 16 32"); the control leg is always a repeat of the FIRST
+# level. A shorter list (e.g. "8 16 32") halves the drift window — both
+# discarded scan curves lost their 4-core anchor to drift while the
+# 8/16/32 triplet stayed consistent.
 set -e
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_LOCAL_DIR=${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/spark-tmp}
@@ -35,8 +40,11 @@ STRATEGY=${2:-keyRange}
 # but catching it here avoids burning a 4-leg run on the wrong strategy
 case "$STRATEGY" in keyRange|scan) ;; *)
   echo "unknown docIdStrategy '$STRATEGY' (keyRange | scan)" >&2; exit 1;; esac
+LEVELS=${SPARK_GRAFT_SCALE_LEVELS:-"4 8 16 32"}
+FIRST=$(set -- $LEVELS; echo "$1")
+NLEVELS=$(set -- $LEVELS; echo "$#")
 n=0
-for c in 4 8 16 32 4; do
+for c in $LEVELS $FIRST; do
   # sbt prefixes forked stdout with [info]; match the payload anywhere.
   # Pin SPARK_GRAFT_SCALE_PARTS so every level runs the IDENTICAL job
   # (otherwise partitions scale with cores and low levels get corpus-
@@ -47,5 +55,5 @@ for c in 4 8 16 32 4; do
   n=$((n + 1))
   line=$(SPARK_GRAFT_SCALE_PARTS=${SPARK_GRAFT_SCALE_PARTS:-128} \
     sbt -batch "runMain graft.ScalingBench $c $STRATEGY" 2>/dev/null | grep -o 'LEVEL .*')
-  if [ "$n" -eq 5 ]; then echo "${line/LEVEL/CONTROL}"; else echo "$line"; fi
+  if [ "$n" -gt "$NLEVELS" ]; then echo "${line/LEVEL/CONTROL}"; else echo "$line"; fi
 done
