@@ -28,10 +28,16 @@ object StoreBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 8000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val localDir = try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-      "/dev/shm/graft-tmp"
-    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    // tmpfs shuffle by default, but overridable: tmpfs pages count
+    // against host RAM, and a corpus-size × strategy combination whose
+    // exchange no longer fits beside the heap (27M keyRange = ~20 GB)
+    // must go to disk instead of meeting the OOM killer
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
+        "/dev/shm/graft-tmp"
+      } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
@@ -40,9 +46,21 @@ object StoreBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val corpus = CodeCorpus.generate(spark, nDocs, cpus * 4)
+    // SPARK_GRAFT_STORE_PARTS pins docs/task independently of cpu count:
+    // the partial-postings accumulator is sized per task, so corpus-size
+    // jumps (8M -> 27M) must grow partitions, not per-task load (the
+    // same fixed-docs-per-task rule the scaling protocol uses)
+    val parts = sys.env.get("SPARK_GRAFT_STORE_PARTS").map(_.toInt).getOrElse(cpus * 4)
+    // keyRange stays the default (oracle tie-break parity); `scan` is
+    // the documented bulk-build strategy (deterministic for this
+    // spark.range-derived corpus) and drops the build exchange from
+    // 740 to 141 B/doc — required to fit a 27M-doc store build beside
+    // the doc cache on this single box
+    val strategy = sys.env.getOrElse("SPARK_GRAFT_STORE_STRATEGY",
+      graft.index.DocIdStrategy.KeyRange)
+    val corpus = CodeCorpus.generate(spark, nDocs, parts)
     val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
-      shardDocs = 65536, buildPartitions = cpus * 4)
+      shardDocs = 65536, buildPartitions = parts, docIdStrategy = strategy)
     val dir = java.nio.file.Files.createTempDirectory("graftstorebench").toString
     val (_, tCreate) = Bench.time {
       IndexStore.create(corpus, config, dir).unpersist()
@@ -110,6 +128,12 @@ object StoreBench {
     results("post_delete_query_sec") = tQAfter
     results("post_delete_hits") = nAfter.toDouble
     idxAfter.unpersist()
+
+    // the same per-run regime markers every other harness emits: without
+    // them a cross-session comparison of these numbers is meaningless
+    // on this host (CLAUDE.md)
+    results("calib_sec") = Bench.calibrate()
+    results("mem_calib_sec") = Bench.calibrateMem()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"store_bench","nDocs":$nDocs,"cpus":$cpus,"queries":$qs}""")
