@@ -129,6 +129,26 @@ object StoreBench {
     results("post_delete_hits") = nAfter.toDouble
     idxAfter.unpersist()
 
+    // compaction/GC leg: physically absorb the tombstones (after the hot
+    // delete that's most of the corpus) — the LSM-merge cost a real
+    // curation pipeline pays after heavy churn. Traffic bracketed like
+    // the deletes; post-compact serving re-checked on a fresh load.
+    val tPre = traffic.settle() // re-settle: the post-delete probe query ran since t2
+    val (_, tCompact) = Bench.time(IndexStore.compact(spark, dir))
+    val t3 = traffic.settle()
+    results("compact_sec") = tCompact
+    results("compact_shuffle_write_mb") = (t3 - tPre).shuffleWriteBytes / 1e6
+    val idxC = IndexStore.load(spark, dir, cacheDocs = false)
+    val eC = new QueryEngine(idxC)
+    val (nDel, tQDel) = Bench.time(
+      eC.searchF32(Seq(Fts("content", "rareAuditBeacon")), 10).collect().length)
+    val (nLive, _) = Bench.time(
+      eC.searchF32(Seq(Fts("content", "binary search")), 10).collect().length)
+    results("post_compact_query_sec") = tQDel
+    results("post_compact_deleted_hits") = nDel.toDouble
+    results("post_compact_live_hits") = nLive.toDouble
+    idxC.unpersist()
+
     // the same per-run regime markers every other harness emits: without
     // them a cross-session comparison of these numbers is meaningless
     // on this host (CLAUDE.md)
