@@ -78,8 +78,16 @@ object CodeCorpus {
   }
 
   /** Distributed, deterministic generation of nDocs files. */
-  def generate(spark: SparkSession, nDocs: Long, parts: Int = 32): DataFrame = {
-    spark.range(0L, nDocs, 1L, parts)
+  def generate(spark: SparkSession, nDocs: Long, parts: Int = 32): DataFrame =
+    generateRange(spark, 0L, nDocs, parts)
+
+  /** The id-range slice [from, until) of the same corpus: genDoc is
+    * keyed on the absolute id, so slices never collide on the
+    * (repo, path, commit) PK — incremental-epoch benches feed
+    * successive ranges as successive source snapshots.
+    */
+  def generateRange(spark: SparkSession, from: Long, until: Long, parts: Int = 32): DataFrame = {
+    spark.range(from, until, 1L, parts)
       .map(id => genDoc(id))(Encoders.product[SourceFile])
       .toDF()
   }
