@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Persistent multi-segment index layout — the Spark-native analogue of
   * lnx's tablet store + SQLite metastore (SURVEY.md sections 1.3, 3.2):
@@ -404,10 +405,29 @@ object IndexStore {
     // every incremental append, which cannot hold at store scale
     val old = load(spark, dir, cacheDocs = false)
     val keyCols = config.keyCols
+    // the epoch's key set, SLIM and materialized exactly once: Catalyst
+    // pushes the left-semi join below through the store's per-segment
+    // union (one join per segment branch), so an unmaterialized right
+    // side is re-derived from the FULL-WIDTH epoch docs cache once per
+    // segment — measured O(segments) extra full passes per append
+    // (AQE doesn't reuse the exchange across the pushed-down branches)
+    val newKeys = idx.docs.select(keyCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // explicit count-gated broadcast (a persisted plan never gets AQE's
+    // runtime join conversion — CLAUDE.md): broadcasting the epoch keys
+    // makes upsert detection EXCHANGE-FREE on the store side — its slim
+    // (docId, key) columns stream through the pruned parquet scan and
+    // never shuffle, so the per-append exchange is O(epoch), not
+    // O(corpus). Above the gate (~200 MB of keys) fall back to the
+    // shuffle join rather than risk the driver. The gate cardinality is
+    // idx.numDocs (keys are one-per-doc by construction), so no extra
+    // full-width counting pass over the epoch cache is needed.
+    val rhs = if (idx.numDocs <= 2000000L) broadcast(newKeys) else newKeys
     val tombstones = old.docs.select((col("docId") +: keyCols.map(col)): _*)
-      .join(idx.docs.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .join(rhs, keyCols, "left_semi")
       .select("docId")
     tombstones.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$epoch")
+    newKeys.unpersist()
     old.unpersist()
     val newEpochs = epochs ++ config.fields.map(f =>
       EpochMeta(epoch, segName, idx.numDocs, base, base + idx.numDocs, f,

@@ -121,4 +121,21 @@ class IndexSpec extends AnyFunSuite {
       assert(resultSet(iScan).nonEmpty)
     } finally { iKey.unpersist(); iScan.unpersist() }
   }
+
+  test("generateRange: id-keyed slices = prefix of generate, PK-disjoint across epochs") {
+    import graft.corpus.CodeCorpus
+    // slice [0, n) must equal generate(n) row-for-row (epoch benches
+    // rely on the base build being the same corpus the full build sees)
+    val full = CodeCorpus.generate(spark, 120, 3).collect().toSet
+    val slice0 = CodeCorpus.generateRange(spark, 0, 120, 5).collect().toSet
+    assert(slice0 === full)
+    // successive epochs never collide on the (repo, path, commit) PK —
+    // genDoc keys the path on the absolute id
+    val e1 = CodeCorpus.generateRange(spark, 120, 240, 4)
+      .select("repo", "path", "commit").collect().toSet
+    val pk0 = CodeCorpus.generateRange(spark, 0, 120, 4)
+      .select("repo", "path", "commit").collect().toSet
+    assert(e1.intersect(pk0).isEmpty)
+    assert(e1.size === 120)
+  }
 }
