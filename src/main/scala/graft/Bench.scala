@@ -141,7 +141,15 @@ object Bench {
     val trafficD = traffic.settle() - traffic0
     idx1.unpersist()
     val (idx, tBuild2) = time(IndexBuilder.build(corpus, buildConfig))
+    val trafficD2 = traffic.settle() - traffic0 - trafficD
     val tBuild = math.min(tBuild1, tBuild2)
+    // per-pass observability (excluded from total): pass-2 shuffle-write
+    // must MATCH pass 1 — equal bytes prove the second pass re-executed
+    // the full job (no cross-pass stage reuse) and its speedup is
+    // JIT/allocator steady state, not skipped work
+    results("build_pass1_sec") = tBuild1
+    results("build_pass2_sec") = tBuild2
+    results("build_pass2_shuffle_write_mb") = trafficD2.shuffleWriteBytes / 1e6
     results(s"build_index_${nCorpus}_files") = tBuild
     results("build_shuffle_write_mb") = trafficD.shuffleWriteBytes / 1e6
     results("build_shuffle_read_mb") = trafficD.shuffleReadBytes / 1e6
@@ -196,11 +204,17 @@ object Bench {
     results("wand_blocks_skipped") = stats.skippedBlocks.value.toDouble
     // fuzzy pair: timed tokens differ from the warm-up tokens, so the
     // compiled-query LRU can't hide the dictionary-lookup cost being
-    // compared (fast-fuzzy must be the FAST path, README.md:28)
-    val (_, tFuzzy) = time2(engine.searchF32(Seq(FuzzyC("content", "serach mrege")), 10).collect())
-    results("q_fuzzy") = tFuzzy
-    val (_, tFast) = time2(engine.searchF32(Seq(FastFuzzy("content", "serach mrege")), 10).collect())
-    results("q_fastfuzzy") = tFast
+    // compared (fast-fuzzy must be the FAST path, README.md:28).
+    // min-of-2 here uses two DIFFERENT typo pairs (same shape: two
+    // transposition typos of the same dictionary words) — repeating one
+    // pair would make the second pass an LRU hit, hiding the very
+    // dictionary-expansion cost this leg measures
+    val (_, tFuzzyA) = time(engine.searchF32(Seq(FuzzyC("content", "serach mrege")), 10).collect())
+    val (_, tFuzzyB) = time(engine.searchF32(Seq(FuzzyC("content", "saerch megre")), 10).collect())
+    results("q_fuzzy") = math.min(tFuzzyA, tFuzzyB)
+    val (_, tFastA) = time(engine.searchF32(Seq(FastFuzzy("content", "serach mrege")), 10).collect())
+    val (_, tFastB) = time(engine.searchF32(Seq(FastFuzzy("content", "saerch megre")), 10).collect())
+    results("q_fastfuzzy") = math.min(tFastA, tFastB)
     // batched serving throughput: 32 mixed queries in ONE scoring pass
     // (searchManyF32 — decode-once per shard + per-query top-k heaps).
     // The sequential-vs-batched A/B and its two-core-level scaling
@@ -239,7 +253,8 @@ object Bench {
       .filterNot { case (k, _) =>
         k == "build_files_per_sec" || k == "batch_qps" || k.startsWith("wand_blocks") ||
           k.startsWith("calib") || k.startsWith("mem_calib") ||
-          k.startsWith("build_shuffle") || k == "build_spill_mb" }
+          k.startsWith("build_shuffle") || k == "build_spill_mb" ||
+          k.startsWith("build_pass") }
       .values.sum
     // total_norm = total in units of the calibration loop: regime-free
     // cross-round comparisons compare THIS, not raw wall seconds — and
