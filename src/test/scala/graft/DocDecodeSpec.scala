@@ -57,6 +57,58 @@ class DocDecodeSpec extends AnyFunSuite {
     assert(rt(m16) === m16)
   }
 
+  test("property: random nested values roundtrip encode -> decodeValue (seeded)") {
+    // the spec-vector tests pin each tag family; this sweeps the
+    // COMPOSITIONS — nested arrays/maps mixing every width family,
+    // strings straddling the fixstr/str8/str16 byte-length boundaries
+    // (incl. multi-byte UTF-8, where char count != byte count), and the
+    // full signed-integer ladder. Int widens to Long and f32 widens to
+    // Double on decode (documented); the generator emits Long/Double so
+    // identity is exact, with NaN compared by bit pattern.
+    val rnd = new scala.util.Random(0xBEEF5EEDL)
+    val longs = Seq(0L, 1L, 127L, 128L, 255L, 256L, 65535L, 65536L,
+      4294967295L, 4294967296L, -1L, -32L, -33L, -128L, -129L, -32768L,
+      -32769L, Int.MinValue.toLong, Int.MinValue - 1L, Long.MaxValue, Long.MinValue)
+    val doubles = Seq(0.0, -0.0, 1.5, -2.25, 1e300, -1e-300,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    def genStr(): String = {
+      val target = Seq(0, 1, 31, 32, 255, 256)(rnd.nextInt(6))
+      val sb = new StringBuilder
+      while (sb.length < target)
+        sb.append(if (rnd.nextInt(5) == 0) 'é' else ('a' + rnd.nextInt(26)).toChar)
+      sb.toString
+    }
+    def gen(depth: Int): Any = rnd.nextInt(if (depth >= 3) 6 else 8) match {
+      case 0 => null
+      case 1 => rnd.nextBoolean()
+      case 2 => if (rnd.nextBoolean()) longs(rnd.nextInt(longs.length)) else rnd.nextLong()
+      case 3 => doubles(rnd.nextInt(doubles.length))
+      case 4 => genStr()
+      case 5 => Array.fill[Byte](rnd.nextInt(40))(rnd.nextInt().toByte)
+      case 6 => Seq.fill(rnd.nextInt(5))(gen(depth + 1))
+      case _ => (0 until rnd.nextInt(5)).map(i => s"k$i" -> gen(depth + 1)).toMap
+    }
+    def same(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: Seq[_], y: Seq[_]) =>
+        x.length == y.length && x.lazyZip(y).forall(same)
+      case (x: Map[_, _], y: Map[_, _]) =>
+        val ym = y.asInstanceOf[Map[String, Any]]
+        x.size == y.size && x.asInstanceOf[Map[String, Any]].forall {
+          case (k, v) => ym.contains(k) && same(v, ym(k)) }
+      case (x: Double, y: Double) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      case (x, y) => x == y
+    }
+    for (i <- 1 to 1500) {
+      val v = gen(0)
+      val enc = MsgPack.encode(v)
+      val (back, consumed) = MsgPack.decodeValue(enc, 0)
+      assert(consumed === enc.length, s"case $i: trailing bytes after decode of $v")
+      assert(same(back, v), s"case $i: $v -> $back")
+    }
+  }
+
   test("msgpack malformed input fails loudly, never silently") {
     // truncated payloads at every cut point of an encoded doc
     val full = MsgPack.encode(Map[String, Any]("id" -> 123456L, "name" -> "abc"))

@@ -210,6 +210,27 @@ class PlanSpec extends AnyFunSuite {
     again.foreach(r => assert(r.getLong(1) == r.getLong(0) - (r.getLong(0) % 10)))
   }
 
+  test("property: resolveReps == driver-side closure on random forests (seeded)") {
+    // random min-elected forests (rep <= id, ~30% roots): the
+    // distributed pointer-jumping fixpoint must equal the trivial
+    // driver-side chase on every id, at whatever chain depths the seed
+    // happens to produce
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    for (round <- 1 to 3) {
+      val pairs = (0L until 300L).map { id =>
+        val rep = if (id == 0 || rnd.nextInt(10) < 3) id else (rnd.nextLong().abs % id)
+        id -> rep
+      }
+      val m = pairs.toMap
+      def root(x: Long): Long = { var c = x; while (m(c) != c) c = m(c); c }
+      val expect = pairs.map { case (id, _) => id -> root(id) }.toMap
+      val out = graft.ops.Dedup.resolveReps(pairs.toDF("id", "rep")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === expect, s"round $round diverged from driver-side closure")
+    }
+  }
+
   test("resolveReps keeps rows whose rep target is absent (pre-filtered dups-only view)") {
     // chain 0 <- 1 <- 2 with the root row (0, 0) filtered out — the
     // natural `where rep < id` view. An inner self-join would drop

@@ -58,4 +58,27 @@ class SymSpellSpec extends AnyFunSuite {
     assert(SymSpell.pickBest("searcq", Seq(("searcz", 7L), ("searca", 7L))) === Some("searca"))
     assert(SymSpell.pickBest("qqqqqq", Seq(("ab", 1L))) === None)
   }
+
+  test("property: banded distance == full-DP distance clamped at max+1 (seeded pairs)") {
+    // the banded early-exit (row-min > max => bail) and the |len diff|
+    // shortcut must never change the CLAMPED value the callers compare
+    // against; a small alphabet makes the whole 0..max+1 spectrum dense
+    def fullDp(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(20260820L)
+    val alpha = "abcd"
+    def str(): String =
+      Seq.fill(rnd.nextInt(11))(alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 2000; max <- 0 to 3) {
+      val a = str(); val b = str()
+      val expect = math.min(fullDp(a, b), max + 1)
+      assert(Levenshtein.distance(a, b, max) === expect, s"a='$a' b='$b' max=$max")
+    }
+  }
 }
