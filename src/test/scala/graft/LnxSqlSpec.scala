@@ -334,6 +334,40 @@ class LnxSqlSpec extends AnyFunSuite {
     intercept[ParseException](sess.execute("UPDATE upn SET n = -3 WHERE id = 1"))
   }
 
+  test("property: ip canonical form is order-exact and display-roundtrips (seeded)") {
+    // the r03-flagged defect class was ORDER, so the property is order:
+    // lexicographic comparison of the stored 32-hex form must agree
+    // with numeric comparison of the canonical 16-byte value on random
+    // v4/v6 pairs (mixed families included — v4 maps into ::ffff:a.b.c.d
+    // space), and ipDisplay must round-trip through canonIp exactly
+    val sess = new LnxSession(spark)
+    val rnd = new scala.util.Random(0x15EEDL)
+    def v4() = Seq.fill(4)(rnd.nextInt(256)).mkString(".")
+    def v6() = Seq.fill(8)(if (rnd.nextInt(3) == 0) 0 else rnd.nextInt(0x10000))
+      .map(g => f"$g%x").mkString(":")
+    val ips = (Seq.fill(120)(v4()) ++ Seq.fill(120)(v6())).distinct
+    val canons = ips.map(ip => ip -> sess.canonIp(ip))
+    canons.foreach { case (ip, c) =>
+      assert(c.length == 32 && c.forall(ch => ch.isDigit || (ch >= 'a' && ch <= 'f')),
+        s"$ip -> $c is not 32 lowercase hex") }
+    def num(ip: String): BigInt = {
+      val b = java.net.InetAddress.getByName(ip).getAddress
+      BigInt(1, if (b.length == 4) Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++ b else b)
+    }
+    canons.combinations(2).take(4000).foreach { case Seq((ipA, cA), (ipB, cB)) =>
+      assert(cA.compareTo(cB).sign === num(ipA).compare(num(ipB)).sign,
+        s"order($ipA, $ipB) disagrees between hex form and numeric value")
+    }
+    import spark.implicits._
+    val col = org.apache.spark.sql.functions.col _
+    val displayed = canons.map(_._2).toDF("canon")
+      .select(col("canon"), sess.ipDisplay(col("canon")).as("disp")).collect()
+    displayed.foreach { r =>
+      assert(sess.canonIp(r.getString(1)) === r.getString(0),
+        s"display '${r.getString(1)}' does not re-canonicalize to ${r.getString(0)}")
+    }
+  }
+
   test("canonIp rejects non-literal input instead of falling back to DNS") {
     val sess = new LnxSession(spark)
     // all-hex and out-of-range-octet strings pass naive charset checks
