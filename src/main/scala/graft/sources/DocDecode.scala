@@ -137,16 +137,20 @@ object MsgPack {
     var first = true
     while (pos < payload.length) {
       val (v, next) = decodeValue(payload, pos)
+      // `case o` must not dereference o: a decoded nil is null, and an
+      // NPE from the ERROR PATH would break the fails-loudly-with-IAE
+      // contract exactly where it matters (fuzz-found)
+      def kind(x: Any) = if (x == null) "nil" else x.getClass.getSimpleName
       v match {
         case m: Map[_, _] => docs += m.asInstanceOf[Map[String, Any]]
         case xs: Seq[_] if first =>
           xs.foreach {
             case m: Map[_, _] => docs += m.asInstanceOf[Map[String, Any]]
             case o => throw new IllegalArgumentException(
-              s"array element is not a document map: ${o.getClass.getSimpleName}")
+              s"array element is not a document map: ${kind(o)}")
           }
         case o => throw new IllegalArgumentException(
-          s"top-level value is not a document: ${o.getClass.getSimpleName}")
+          s"top-level value is not a document: ${kind(o)}")
       }
       first = false
       pos = next
@@ -208,8 +212,8 @@ object MsgPack {
         val (k, q) = decodeValue(b, p, depth + 1)
         val key = k match {
           case s: String => s
-          case o => throw new IllegalArgumentException(
-            s"map key must be a string, got ${o.getClass.getSimpleName}")
+          case o => throw new IllegalArgumentException( // o may be null (nil key)
+            s"map key must be a string, got ${if (o == null) "nil" else o.getClass.getSimpleName}")
         }
         val (v, r) = decodeValue(b, q, depth + 1)
         out += (key -> v); p = r; i += 1

@@ -107,7 +107,13 @@ object LnxSql {
         val ds = new StringBuilder
         while (i < n && sql.charAt(i).isDigit) { ds += sql.charAt(i); i += 1 }
         if (ds.isEmpty) throw ParseException("bad parameter", start)
-        out += ((Par(ds.toString.toInt), start))
+        // toInt on an over-long digit run would leak NumberFormatException
+        // through the ParseException contract (fuzz-found)
+        val pn = try ds.toString.toInt catch {
+          case _: NumberFormatException =>
+            throw ParseException(s"parameter number out of range: $$$ds", start)
+        }
+        out += ((Par(pn), start))
       } else if (c.isDigit || (c == '-' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
         val start = i
         val sb = new StringBuilder
@@ -134,7 +140,12 @@ object LnxSql {
     private var p = 0
     def pos: Int = if (p < toks.length) toks(p)._2 else -1
     def peek: Option[Tok] = if (p < toks.length) Some(toks(p)._1) else None
-    def next(): Tok = { val t = toks(p)._1; p += 1; t }
+    def next(): Tok = {
+      // every truncated statement ("UPDATE ", "SELECT * FROM") funnels
+      // through here — bounds-check or the contract leaks IOOBE (fuzz-found)
+      if (p >= toks.length) throw ParseException("unexpected end of statement", pos)
+      val t = toks(p)._1; p += 1; t
+    }
     def done: Boolean = p >= toks.length
     def isKw(kw: String): Boolean = peek match {
       case Some(Ident(s)) => s.equalsIgnoreCase(kw)

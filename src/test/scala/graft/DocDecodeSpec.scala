@@ -109,6 +109,33 @@ class DocDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: arbitrary byte streams decode or throw IllegalArgumentException only (seeded)") {
+    // the decoder's total-function contract: any input either decodes or
+    // raises IAE — never a hang (negative-size / non-advancing offsets),
+    // an NPE, an array-bounds error, or a StackOverflowError (crafted
+    // nesting). Random streams probe the tag dispatch; bit-flipped VALID
+    // documents probe the deep paths (length fields, nested structures)
+    // that pure noise rarely reaches.
+    val rnd = new scala.util.Random(0xFA22L)
+    def check(b: Array[Byte], what: => String): Unit =
+      try { MsgPack.decodeDocs(b); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"$what threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (i <- 1 to 4000)
+      check(Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte), s"noise case $i")
+    val valid = MsgPack.encode(Map[String, Any](
+      "id" -> 123456789L, "name" -> "abcdefghij", "ok" -> true,
+      "tags" -> Seq("alpha", "beta", "gamma"), "score" -> 1.5,
+      "nested" -> Map[String, Any]("k" -> Seq(1L, 2L, 3L))))
+    for (i <- 1 to 4000) {
+      val m = valid.clone()
+      (0 to rnd.nextInt(3)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt().toByte)
+      check(m, s"mutation case $i")
+    }
+  }
+
   test("msgpack malformed input fails loudly, never silently") {
     // truncated payloads at every cut point of an encoded doc
     val full = MsgPack.encode(Map[String, Any]("id" -> 123456L, "name" -> "abc"))

@@ -334,6 +334,42 @@ class LnxSqlSpec extends AnyFunSuite {
     intercept[ParseException](sess.execute("UPDATE upn SET n = -3 WHERE id = 1"))
   }
 
+  test("fuzz: parser is total — random inputs parse or throw ParseException only (seeded)") {
+    // the hand-rolled recursive-descent parser's contract: every input
+    // either parses or raises ParseException with a position — never a
+    // NumberFormatException from a literal edge ('9e999', '1.2.3'), an
+    // index error from a truncated token stream, or a MatchError from
+    // an unexpected token shape. Fragment soup biases the fuzz toward
+    // NEARLY-valid statements, which reach far deeper than raw noise.
+    val rnd = new scala.util.Random(0xF0220L)
+    val frag = Array("SELECT", "INSERT", "INTO", "*", "FROM", "WHERE", "AND",
+      "LIMIT", "ORDER", "BY", "VALUES", "CREATE", "TABLE", "DELETE", "UPDATE",
+      "SET", "(", ")", ",", "=", ">", "<", ">=", "<>", "'abc", "'x'", "$1",
+      "$", "$99999999999999999999", "1.2.3", "9e999", "-", ".", "fts", "score()",
+      "18446744073709551999", "t", "[", "]", "ARRAY", ";", "''", "NOT", "NULL",
+      "PRIMARY", "KEY", "DEFAULT", "IF", "EXISTS", "desc", "--", "/*")
+    var parsed = 0
+    for (i <- 1 to 6000) {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(24)).foreach { _ =>
+        if (rnd.nextInt(4) == 0) sb.append((rnd.nextInt(94) + 33).toChar)
+        else { sb.append(frag(rnd.nextInt(frag.length))); sb.append(' ') }
+      }
+      val s = sb.toString
+      try { LnxSql.parse(s); parsed += 1 }
+      catch {
+        case _: ParseException => ()
+        case e: Throwable =>
+          fail(s"case $i input <$s> threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // random soup should essentially never be a valid statement; if it
+    // all parsed, the catch block is eating the signal
+    assert(parsed < 60, s"degenerate fuzz: $parsed/6000 parsed")
+    // and the harness itself must let a valid statement through
+    assert(LnxSql.parse("SELECT * FROM t WHERE a = 1 LIMIT 5").nonEmpty)
+  }
+
   test("property: ip canonical form is order-exact and display-roundtrips (seeded)") {
     // the r03-flagged defect class was ORDER, so the property is order:
     // lexicographic comparison of the stored 32-hex form must agree
