@@ -100,4 +100,40 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(len === toks.length)
     assert(counts === toks.groupBy(identity).view.mapValues(_.length).toMap)
   }
+
+  test("fuzz: every tokenizer and the stemmer are total over random unicode (seeded)") {
+    // the tokenizer registry feeds both BUILD and QUERY paths with
+    // arbitrary user text: each named tokenizer must be total (no
+    // exceptions on any input, surrogates and CJK included) and never
+    // emit an empty token (an empty term would pollute the dictionary
+    // and can never be matched by a query)
+    import graft.analyze.{SnowballStemmer, Tokenizers}
+    val rnd = new scala.util.Random(0xA11AL)
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(60)).foreach { _ =>
+        sb.append(rnd.nextInt(4) match {
+          case 0 => (rnd.nextInt(95) + 32).toChar // printable ascii
+          case 1 => (rnd.nextInt(0x2000) + 0x80).toChar // extended BMP
+          case 2 => (rnd.nextInt(0x800) + 0x4E00).toChar // CJK
+          case _ => if (rnd.nextBoolean()) '\uD83D' else '\uDE00' // surrogates, often lone
+        })
+      }
+      sb.toString
+    }
+    for (i <- 1 to 2000; name <- Tokenizers.known) {
+      val s = randString()
+      val toks =
+        try Tokenizers.tokenize(name, s)
+        catch { case e: Throwable =>
+          fail(s"$name on case $i <$s> threw ${e.getClass.getName}: ${e.getMessage}") }
+      toks.foreach(t => assert(t.nonEmpty, s"$name emitted an empty token on case $i <$s>"))
+    }
+    for (i <- 1 to 2000) {
+      val w = randString()
+      try { SnowballStemmer.stem(w); () }
+      catch { case e: Throwable =>
+        fail(s"stem case $i <$w> threw ${e.getClass.getName}: ${e.getMessage}") }
+    }
+  }
 }

@@ -164,4 +164,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ow >= 1 && ow <= 64 && oh >= 1 && oh <= 64)
     }
   }
+
+  test("fuzz: lenient decodeOne is total over noise and mutated payloads (seeded)") {
+    // the leniency contract: one corrupt row must never abort (or hang)
+    // a corpus-sized decode job — ANY input degrades to kind=unknown.
+    // Noise probes the signature dispatch; bit-flipped VALID payloads
+    // probe the deep paths (length fields, CRC, fmt offsets).
+    val rnd = new scala.util.Random(0x11ED1AL)
+    def check(id: Long, b: Array[Byte], what: => String): Unit =
+      try { Multimodal.decodeOne(id, b); () }
+      catch { case e: Throwable =>
+        fail(s"$what threw ${e.getClass.getName}: ${e.getMessage}") }
+    for (i <- 1 to 3000)
+      check(i, Array.fill[Byte](rnd.nextInt(80))(rnd.nextInt().toByte), s"noise $i")
+    val png = Multimodal.pngBytes(640, 480)
+    val wav = Multimodal.wavBytes(2, 44100)
+    for (i <- 1 to 3000) {
+      val m = (if (rnd.nextBoolean()) png else wav).clone()
+      (0 to rnd.nextInt(4)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt().toByte)
+      check(i, m, s"mutation $i")
+    }
+  }
+
+  test("fuzz: sampleFrames leniency holds under payload mutation (seeded)") {
+    // the RIFF chunk walk must neither throw nor spin (the ADVICE-flagged
+    // negative-chunk-size hang class) for ANY mutation of a real payload
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5A3FL)
+    val rows = (0L until 200L).map { id =>
+      val m = Multimodal.wavBytesWithSamples(id).clone()
+      (0 to rnd.nextInt(6)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt().toByte)
+      (id, m)
+    }
+    val out = Multimodal.sampleFrames(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    assert(out.count() >= 0) // completion IS the assertion (no throw, no hang)
+  }
 }
