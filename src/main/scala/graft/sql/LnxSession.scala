@@ -351,7 +351,7 @@ final class LnxSession(val spark: SparkSession) {
           case _: IllegalArgumentException =>
             throw ParseException(s"malformed date literal '$s' (expected yyyy-mm-dd)", -1)
         }
-      case _ => s
+      case other => throw ParseException(s"string literal for $other column", -1)
     }
     case ILit(v) => dt match {
       case LongType => v // exact: no double round-trip for 64-bit values
@@ -361,16 +361,29 @@ final class LnxSession(val spark: SparkSession) {
         v.toInt
       case FloatType => v.toFloat
       case DoubleType => v.toDouble
-      case _ => v
+      case TimestampType =>
+        // datetime IS a UNIX-epoch value in the reference
+        // (apis/mod.rs:178-179): an integer literal is epoch seconds
+        try java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(v))
+        catch { case _: java.time.DateTimeException =>
+          throw ParseException(s"epoch seconds out of timestamp range: $v", -1) }
+      case DateType =>
+        try java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v))
+        catch { case _: java.time.DateTimeException =>
+          throw ParseException(s"epoch days out of date range: $v", -1) }
+      case other => throw ParseException(s"integer literal for $other column", -1)
     }
     case NLit(v) => dt match {
       case LongType => v.toLong
       case IntegerType => v.toInt
       case FloatType => v.toFloat
       case DoubleType => v
-      case _ => v
+      case other => throw ParseException(s"numeric literal for $other column", -1)
     }
-    case BLit(b) => b
+    case BLit(b) => dt match {
+      case BooleanType => b
+      case other => throw ParseException(s"boolean literal for $other column", -1)
+    }
     case NullLit => null
     case ALit(items) => dt match {
       case ArrayType(et, _) => items.map(i => litValue(i, et))
@@ -409,7 +422,10 @@ final class LnxSession(val spark: SparkSession) {
     in.cols.find(c => !byName.contains(c)).foreach(c =>
       throw ParseException(s"unknown column $c in INSERT into ${in.table}", -1))
     val newRows = in.rows.map { vals =>
-      require(vals.length == in.cols.length, "column/value arity mismatch")
+      if (vals.length != in.cols.length) // ParseException, not require: the
+        // dialect's error contract is ParseException for every bad statement
+        throw ParseException(
+          s"INSERT has ${in.cols.length} columns but ${vals.length} values", -1)
       val m = in.cols.zip(vals.map(v => LnxSql.bind(v, params))).toMap
       Row.fromSeq(schema.fields.toSeq.map { f =>
         val raw = m.get(f.name).map(l => litValue(l, f.dataType))

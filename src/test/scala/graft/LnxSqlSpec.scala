@@ -733,4 +733,78 @@ class LnxSqlSpec extends AnyFunSuite {
     sess.execute("DELETE FROM srcAtt WHERE id = 2")
     assert(sess.execute("SELECT id FROM srcAtt").count() === 1L)
   }
+
+  test("fuzz: execute is total — semantic errors are ParseException, valid plans run (seeded)") {
+    // end-to-end dialect fuzz: statements assembled from plausible
+    // fragments (real AND unknown columns, wrong-type literals, broken
+    // ip/date strings, arity mismatches, search funcs on non-text
+    // columns). Contract: execute() either succeeds or throws
+    // ParseException — never an NPE, MatchError, Spark AnalysisException
+    // (the dialect validates columns itself), or NumberFormatException.
+    // SELECT results are collected, so lazily-planned paths execute too.
+    val sess = new LnxSession(spark)
+    sess.execute(
+      "CREATE TABLE fz (id bigint PRIMARY KEY, name text, n uint32, addr ip, " +
+        "tags text[], ts datetime)")
+    sess.execute("INSERT INTO fz (id, name, n, addr, tags, ts) VALUES " +
+      "(1, 'alpha beta', 7, '10.0.0.1', ARRAY['x','y'], '2024-01-02 03:04:05')")
+    val rnd = new scala.util.Random(0xE8ECL)
+    val cols = Array("id", "name", "n", "addr", "tags", "ts", "bogus", "score")
+    val lits = Array("1", "-1", "99999999999", "18446744073709551999", "1.5",
+      "'alpha'", "'10.0.0.1'", "'999.0.0.1'", "'2024-01-02 03:04:05'",
+      "'not-a-date'", "ARRAY['x']", "ARRAY[]", "$1", "''")
+    val ops = Array("=", ">", "<", ">=", "<=", "<>")
+    def col() = cols(rnd.nextInt(cols.length))
+    def lit() = lits(rnd.nextInt(lits.length))
+    def pred(): String = rnd.nextInt(5) match {
+      case 0 => s"${col()} ${ops(rnd.nextInt(ops.length))} ${lit()}"
+      case 1 => s"fts(${col()}, ${lit()})"
+      case 2 => s"fuzzy(${col()}, 'alhpa')"
+      case 3 => s"${pred()} AND ${pred()}"
+      case _ => s"levenshtein(${col()}, 'beta')"
+    }
+    def stmt(): String = rnd.nextInt(5) match {
+      case 0 =>
+        val proj = if (rnd.nextBoolean()) "*" else
+          Seq.fill(1 + rnd.nextInt(3))(if (rnd.nextInt(5) == 0) "score()" else col()).mkString(", ")
+        s"SELECT $proj FROM fz WHERE ${pred()}" +
+          (if (rnd.nextBoolean()) s" LIMIT ${rnd.nextInt(4)}" else "")
+      case 1 =>
+        val cs = Seq.fill(1 + rnd.nextInt(4))(col()).distinct
+        s"INSERT INTO fz (${cs.mkString(", ")}) VALUES " +
+          s"(${Seq.fill(cs.length + rnd.nextInt(2))(lit()).mkString(", ")})"
+      case 2 => s"UPDATE fz SET ${col()} = ${lit()} WHERE ${pred()}"
+      case 3 => s"DELETE FROM fz WHERE ${pred()}"
+      case _ => s"SELECT * FROM ${if (rnd.nextBoolean()) "fz" else "nosuch"} WHERE ${pred()}"
+    }
+    var ran = 0
+    for (i <- 1 to 400) {
+      val q = stmt()
+      try { sess.execute(q).collect(); ran += 1 }
+      catch {
+        case _: ParseException => ()
+        case e: Throwable =>
+          fail(s"case $i <$q> threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    assert(ran > 20, s"degenerate fuzz: only $ran/400 executed") // both outcomes exercised
+  }
+
+  test("datetime accepts integer epoch-seconds literals (apis/mod.rs:178-179)") {
+    // the reference's datetime IS a UNIX-epoch value; '2024-01-02
+    // 03:04:05' UTC == 1704164645, independent of the JVM zone
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ep (id bigint PRIMARY KEY, ts datetime)")
+    sess.execute("INSERT INTO ep (id, ts) VALUES (1, '2024-01-02 03:04:05'), (2, 1704164645)")
+    assert(sess.execute("SELECT id FROM ep WHERE ts = 1704164645")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(sess.execute("SELECT id FROM ep WHERE ts > 1704164644 AND ts < 1704164646")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // out-of-range epoch is a ParseException, not a DateTimeException leak
+    intercept[ParseException](
+      sess.execute("SELECT id FROM ep WHERE ts = 99999999999999999"))
+    // mismatched literal kinds are rejected, not passed through to Spark
+    intercept[ParseException](sess.execute("SELECT id FROM ep WHERE ts = 1.5"))
+    intercept[ParseException](sess.execute("SELECT id FROM ep WHERE id = 'abc'"))
+  }
 }
