@@ -297,7 +297,9 @@ final class LnxSession(val spark: SparkSession) {
       StructField(c.name, if (c.isArray) ArrayType(base) else base, nullable = !c.primaryKey)
     })
     val pk = ct.columns.filter(_.primaryKey).map(_.name)
-    require(pk.nonEmpty, "a primary key column is required")
+    if (pk.isEmpty) // ParseException, not require: the dialect's error
+      // contract is ParseException for every bad statement
+      throw ParseException("a primary key column is required", -1)
     // `score` is the score() projection's result column; a stored column
     // of that name would be silently clobbered by the synthetic score of
     // non-search SELECTs — reserve it at CREATE rather than corrupt later
@@ -320,6 +322,16 @@ final class LnxSession(val spark: SparkSession) {
       if (!graft.analyze.Tokenizers.isKnown(tokName))
         throw ParseException(s"unknown tokenizer '$tokName' for column $colName", -1)
     }
+    // a type-mismatched DEFAULT must fail HERE, naming its column — not
+    // on the first (possibly unrelated) INSERT via the eager defaults map
+    ct.columns.foreach(c => c.default.foreach { d =>
+      val ft = if (c.isArray) ArrayType(sparkType(c.tpe)) else sparkType(c.tpe)
+      try { litValue(d, ft); () }
+      catch {
+        case e: ParseException =>
+          throw ParseException(s"DEFAULT for column ${c.name}: ${e.msg}", -1)
+      }
+    })
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     putTable(ct.table, TableState(empty,
       IndexConfig(pk, fields, 4096,
@@ -327,6 +339,20 @@ final class LnxSession(val spark: SparkSession) {
         tokenizers = ct.tokenizers),
       ct.columns, None))
     status(s"created ${ct.table}")
+  }
+
+  /** Spark timestamps are micros-since-epoch in a Long and java.sql
+    * types convert through millis; `Timestamp.from` does NOT throw on
+    * millis overflow — it silently wraps (so would Spark's
+    * millis→micros step). Bound epoch seconds to the micros-safe
+    * window so neither conversion can wrap.
+    */
+  private val MaxEpochSecond = Long.MaxValue / 1000000L
+
+  private def toSqlTimestamp(epochSec: Long, nanos: Int, what: => String): java.sql.Timestamp = {
+    if (epochSec < -MaxEpochSecond || epochSec > MaxEpochSecond)
+      throw ParseException(s"$what out of timestamp range: $epochSec", -1)
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epochSec, nanos.toLong))
   }
 
   private def litValue(l: Lit, dt: DataType): Any = l match {
@@ -338,15 +364,22 @@ final class LnxSession(val spark: SparkSession) {
         // (apis/mod.rs:178-179): parse the literal as UTC wall-clock so
         // the stored instant is independent of the JVM default timezone
         // (Timestamp.valueOf would shift it by the driver's zone)
-        try java.sql.Timestamp.from(
-          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC))
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            throw ParseException(s"not a timestamp literal: $s", -1)
-        }
+        val inst =
+          try java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw ParseException(s"not a timestamp literal: $s", -1)
+          }
+        toSqlTimestamp(inst.getEpochSecond, inst.getNano, s"timestamp literal '$s'")
       case DateType =>
-        try java.sql.Date.valueOf(s)
+        // strict yyyy-mm-dd: Date.valueOf accepts 9-digit years and
+        // silently wraps through its millis constructor; a 4-digit
+        // year cannot overflow anything
+        val ds = s.trim
+        if (!ds.matches("""\d{4}-\d{2}-\d{2}"""))
+          throw ParseException(s"malformed date literal '$s' (expected yyyy-mm-dd)", -1)
+        try java.sql.Date.valueOf(ds)
         catch {
           case _: IllegalArgumentException =>
             throw ParseException(s"malformed date literal '$s' (expected yyyy-mm-dd)", -1)
@@ -359,23 +392,58 @@ final class LnxSession(val spark: SparkSession) {
         if (v < Int.MinValue || v > Int.MaxValue)
           throw ParseException(s"integer out of int32 range: $v", -1)
         v.toInt
+      // registered/attached DataFrames (register(), parquet attach) may
+      // carry Spark types outside the lnx DDL set — bind those too
+      // rather than rejecting previously-working predicates on them
+      case ShortType =>
+        if (v < Short.MinValue || v > Short.MaxValue)
+          throw ParseException(s"integer out of int16 range: $v", -1)
+        v.toShort
+      case ByteType =>
+        if (v < Byte.MinValue || v > Byte.MaxValue)
+          throw ParseException(s"integer out of int8 range: $v", -1)
+        v.toByte
+      case _: DecimalType => BigDecimal(v)
       case FloatType => v.toFloat
       case DoubleType => v.toDouble
       case TimestampType =>
         // datetime IS a UNIX-epoch value in the reference
         // (apis/mod.rs:178-179): an integer literal is epoch seconds
-        try java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(v))
-        catch { case _: java.time.DateTimeException =>
-          throw ParseException(s"epoch seconds out of timestamp range: $v", -1) }
+        toSqlTimestamp(v, 0, "epoch seconds")
       case DateType =>
-        try java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v))
-        catch { case _: java.time.DateTimeException =>
-          throw ParseException(s"epoch days out of date range: $v", -1) }
+        // Spark DateType is int32 days-since-epoch; java.sql.Date
+        // converts through millis — the int32 window keeps both safe
+        // (LocalDate.ofEpochDay accepts days that java.sql.Date wraps)
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw ParseException(s"epoch days out of date range: $v", -1)
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v))
       case other => throw ParseException(s"integer literal for $other column", -1)
     }
     case NLit(v) => dt match {
-      case LongType => v.toLong
-      case IntegerType => v.toInt
+      // integer columns take a numeric literal only when it is EXACT:
+      // `id = 1.5` silently truncating to `id = 1` both diverges from
+      // SQL comparison semantics and stores corrupted values on INSERT
+      case LongType =>
+        val bd = BigDecimal(v)
+        if (!bd.isValidLong)
+          throw ParseException(s"numeric literal $v is not an exact int64", -1)
+        bd.toLongExact
+      case IntegerType =>
+        val bd = BigDecimal(v)
+        if (!bd.isValidInt)
+          throw ParseException(s"numeric literal $v is not an exact int32", -1)
+        bd.toIntExact
+      case ShortType =>
+        val bd = BigDecimal(v)
+        if (!bd.isValidShort)
+          throw ParseException(s"numeric literal $v is not an exact int16", -1)
+        bd.toShortExact
+      case ByteType =>
+        val bd = BigDecimal(v)
+        if (!bd.isValidByte)
+          throw ParseException(s"numeric literal $v is not an exact int8", -1)
+        bd.toByteExact
+      case _: DecimalType => BigDecimal(v)
       case FloatType => v.toFloat
       case DoubleType => v
       case other => throw ParseException(s"numeric literal for $other column", -1)
@@ -559,7 +627,8 @@ final class LnxSession(val spark: SparkSession) {
     // per-clause thresholds: supported when there is a single
     // search clause (clause score == total score, apis/mod.rs:221)
     searches.flatMap(_.cmp).foreach { case (op, v) =>
-      require(searches.size == 1, "score threshold on multi-clause WHERE: use score()")
+      if (searches.size != 1)
+        throw ParseException("score threshold on multi-clause WHERE: use score()", -1)
       m = applyCmp(m, op, v)
     }
     scorePreds.foreach(sp => m = applyCmp(m, sp.op, sp.value))
@@ -719,9 +788,10 @@ final class LnxSession(val spark: SparkSession) {
   private def runFacetSelect(s: Select, f: FacetCol, searches: Seq[SearchPred],
       colPreds: Seq[ColPred], scorePreds: Seq[ScorePred], params: Seq[Lit],
       t: TableState): DataFrame = {
-    require(s.cols.size == 1, "facet_counts must be the only SELECT column")
-    require(scorePreds.isEmpty && searches.flatMap(_.cmp).isEmpty,
-      "facet_counts does not combine with score thresholds")
+    if (s.cols.size != 1)
+      throw ParseException("facet_counts must be the only SELECT column", -1)
+    if (scorePreds.nonEmpty || searches.flatMap(_.cmp).nonEmpty)
+      throw ParseException("facet_counts does not combine with score thresholds", -1)
     if (!t.rows.columns.contains(f.col))
       throw ParseException(s"unknown column ${f.col}", -1)
     val e = engineFor(t)

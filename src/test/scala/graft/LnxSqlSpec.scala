@@ -540,7 +540,7 @@ class LnxSqlSpec extends AnyFunSuite {
       .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
     assert(filt === Seq(("/lang", 2L), ("/lang/en", 2L)))
     // facet_counts must be the only SELECT column
-    intercept[IllegalArgumentException](
+    intercept[ParseException](
       sess.execute("SELECT id, facet_counts(cat) FROM fc"))
   }
 
@@ -806,5 +806,85 @@ class LnxSqlSpec extends AnyFunSuite {
     // mismatched literal kinds are rejected, not passed through to Spark
     intercept[ParseException](sess.execute("SELECT id FROM ep WHERE ts = 1.5"))
     intercept[ParseException](sess.execute("SELECT id FROM ep WHERE id = 'abc'"))
+  }
+
+  test("temporal literal overflow windows are ParseException, never silent wrap") {
+    // java.sql.Timestamp.from / Date.valueOf(LocalDate) do NOT throw on
+    // millis overflow — they wrap to garbage values. Every window in
+    // which the java.time parse succeeds but the java.sql conversion
+    // (or Spark's micros representation) would wrap must be caught.
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ov (id bigint PRIMARY KEY, ts datetime, d date)")
+    // 1e16 epoch seconds: inside Instant range, outside micros-safe Long
+    intercept[ParseException](
+      sess.execute("SELECT id FROM ov WHERE ts = 10000000000000000"))
+    // epoch days between int32 and LocalDate.MAX: ofEpochDay succeeds,
+    // java.sql.Date would wrap through its millis constructor
+    intercept[ParseException](
+      sess.execute("INSERT INTO ov (id, d) VALUES (1, 365241780471)"))
+    // string timestamp with an ISO extended year: LocalDateTime.parse
+    // accepts it, Timestamp.from would wrap
+    intercept[ParseException](
+      sess.execute("SELECT id FROM ov WHERE ts = '+999999999-12-31 00:00:00'"))
+    // 9-digit-year date string: Date.valueOf accepts and wraps — the
+    // strict yyyy-mm-dd shape check rejects it first
+    intercept[ParseException](
+      sess.execute("SELECT id FROM ov WHERE d = '999999999-12-31'"))
+    // the plain in-range forms still work
+    sess.execute("INSERT INTO ov (id, ts, d) VALUES (2, 1704164645, '2024-01-02')")
+    assert(sess.execute("SELECT id FROM ov WHERE d = '2024-01-02'").count() === 1L)
+  }
+
+  test("statement-level semantic errors are ParseException, not IllegalArgumentException") {
+    val sess = new LnxSession(spark)
+    // CREATE without a primary key
+    intercept[ParseException](sess.execute("CREATE TABLE nopk (a text)"))
+    sess.execute("CREATE TABLE sem (id bigint PRIMARY KEY, a text, b text, f facet)")
+    sess.execute("INSERT INTO sem (id, a, b, f) VALUES (1, 'x y', 'y z', '/t/u')")
+    // per-clause threshold on a multi-clause WHERE
+    intercept[ParseException](sess.execute(
+      "SELECT id FROM sem WHERE fts(a, 'x') > 0.5 AND fts(b, 'y')"))
+    // facet_counts shape violations
+    intercept[ParseException](sess.execute("SELECT facet_counts(f), id FROM sem"))
+    intercept[ParseException](sess.execute(
+      "SELECT facet_counts(f) FROM sem WHERE fts(a, 'x') > 0.5"))
+  }
+
+  test("fractional numeric literals on integer columns are rejected, not truncated") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE fr (id bigint PRIMARY KEY, n uint32)")
+    sess.execute("INSERT INTO fr (id, n) VALUES (1, 2)")
+    // WHERE id = 1.5 must NOT match the id=1 row via silent toLong
+    intercept[ParseException](sess.execute("SELECT id FROM fr WHERE id = 1.5"))
+    intercept[ParseException](sess.execute("INSERT INTO fr (id, n) VALUES (2, 2.5)"))
+    // whole-valued numerics bind exactly
+    assert(sess.execute("SELECT id FROM fr WHERE id = 1.0").count() === 1L)
+  }
+
+  test("register()-ed frames with non-lnx Spark column types still take predicates") {
+    import spark.implicits._
+    val sess = new LnxSession(spark)
+    val df = Seq((1L, "alpha beta", 3.toShort, BigDecimal("4.25")),
+      (2L, "gamma", 7.toShort, BigDecimal("9.50")))
+      .toDF("doc_id", "text", "sh", "dec")
+      .withColumn("sh", org.apache.spark.sql.functions.col("sh").cast("smallint"))
+    sess.register("ext", df, Seq("doc_id"), Seq("text"))
+    assert(sess.execute("SELECT doc_id FROM ext WHERE sh = 3")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(sess.execute("SELECT doc_id FROM ext WHERE dec > 5.0")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // range checks still bite on the narrow types
+    intercept[ParseException](sess.execute("SELECT doc_id FROM ext WHERE sh = 99999"))
+  }
+
+  test("type-mismatched DEFAULT fails at CREATE naming the column, not at first INSERT") {
+    val sess = new LnxSession(spark)
+    val e = intercept[ParseException](sess.execute(
+      "CREATE TABLE bd (id bigint PRIMARY KEY, n uint32 DEFAULT 'oops')"))
+    assert(e.msg.contains("n"), s"error must name the column: ${e.msg}")
+    // a valid default still works end-to-end
+    sess.execute("CREATE TABLE gd (id bigint PRIMARY KEY, n uint32 DEFAULT 7)")
+    sess.execute("INSERT INTO gd (id) VALUES (1)")
+    assert(sess.execute("SELECT n FROM gd").collect()(0).getLong(0) === 7L)
   }
 }
