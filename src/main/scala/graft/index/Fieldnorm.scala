@@ -33,10 +33,16 @@ object Fieldnorm {
     if (shift == -1) bits else (bits | 0x08L) << shift
   }
 
-  /** token count -> u8 norm id (0..255) */
+  /** token count -> u8 norm id (0..255). Negative lengths fail loud
+    * (the longToInt4 require is unreachable for len < 24); lengths so
+    * large the encoding exceeds id 255 (>= ~2^31 tokens) saturate to
+    * 255, as Lucene's SmallFloat does — never an id that would index
+    * past the 256-entry decode tables.
+    */
   def encode(len: Long): Int = {
+    require(len >= 0, s"negative fieldnorm $len")
     if (len < NumFreeValues) len.toInt
-    else NumFreeValues + longToInt4(len - NumFreeValues)
+    else math.min(255, NumFreeValues + longToInt4(len - NumFreeValues))
   }
 
   /** norm id -> decoded (floor-approximate) token count */

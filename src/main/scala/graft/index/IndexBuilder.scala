@@ -243,53 +243,66 @@ object IndexBuilder {
     // straight off the columnar cache without per-doc external-Row
     // materialization; only the few output PartialRows pay an encoder
     val rdd = projected.queryExecution.toRdd.mapPartitions { rows =>
-      final class Buf {
-        val docIds = new scala.collection.mutable.ArrayBuffer[Long](8)
-        val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
-        val norms = new scala.collection.mutable.ArrayBuffer[Int](8)
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[PartialRow]
-      val acc = new java.util.HashMap[(String, String), Buf]()
-      var curShard = -1
-      def flush(): Unit = {
-        if (!acc.isEmpty) {
-          val it = acc.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            val (field, term) = e.getKey
-            val b = e.getValue
-            val docIds = b.docIds.toArray
-            val tfArr = b.tfs.toArray
-            var sumTf = 0L
-            var i = 0
-            while (i < tfArr.length) { sumTf += tfArr(i); i += 1 }
-            val enc = PostingCodec.encode(docIds, tfArr, b.norms.toArray)
-            out += PartialRow(field, term, curShard, docIds(0), docIds.length, sumTf,
-              enc.bytes, enc.blockOffset, enc.blockLast)
-          }
-          acc.clear()
+      // streaming iterator, NOT a partition-wide buffer: each shard's
+      // flushed PartialRows are emitted (and consumed by the shuffle
+      // writer) before the next shard accumulates, so task memory holds
+      // one shard's activity — not the whole partition's encoded output
+      new Iterator[PartialRow] {
+        final class Buf {
+          val docIds = new scala.collection.mutable.ArrayBuffer[Long](8)
+          val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
+          val norms = new scala.collection.mutable.ArrayBuffer[Int](8)
         }
-      }
-      rows.foreach { r =>
-        val docId = r.getLong(0)
-        val shard = (docId / shardDocs).toInt
-        if (shard != curShard) { flush(); curShard = shard }
-        var fi = 0
-        while (fi < fields.length) {
-          val text = if (r.isNullAt(fi + 1)) "" else r.getUTF8String(fi + 1).toString
-          val (counts, len) = graft.analyze.Tokenizers.tokenCounts(fieldTokenizers(fi), text)
-          val norm = Fieldnorm.encode(len.toLong)
-          val field = fields(fi)
-          counts.foreach { case (t, tf) =>
-            var b = acc.get((field, t))
-            if (b == null) { b = new Buf; acc.put((field, t), b) }
-            b.docIds += docId; b.tfs += tf; b.norms += norm
+        private val acc = new java.util.HashMap[(String, String), Buf]()
+        private val pending = new java.util.ArrayDeque[PartialRow]()
+        private var curShard = -1
+        private var done = false
+        private def flush(): Unit = {
+          if (!acc.isEmpty) {
+            val it = acc.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val (field, term) = e.getKey
+              val b = e.getValue
+              val docIds = b.docIds.toArray
+              val tfArr = b.tfs.toArray
+              var sumTf = 0L
+              var i = 0
+              while (i < tfArr.length) { sumTf += tfArr(i); i += 1 }
+              val enc = PostingCodec.encode(docIds, tfArr, b.norms.toArray)
+              pending.addLast(PartialRow(field, term, curShard, docIds(0), docIds.length,
+                sumTf, enc.bytes, enc.blockOffset, enc.blockLast))
+            }
+            acc.clear()
           }
-          fi += 1
         }
+        private def advance(): Unit = {
+          while (pending.isEmpty && !done) {
+            if (!rows.hasNext) { done = true; flush() }
+            else {
+              val r = rows.next()
+              val docId = r.getLong(0)
+              val shard = (docId / shardDocs).toInt
+              if (shard != curShard) { flush(); curShard = shard }
+              var fi = 0
+              while (fi < fields.length) {
+                val text = if (r.isNullAt(fi + 1)) "" else r.getUTF8String(fi + 1).toString
+                val (counts, len) = graft.analyze.Tokenizers.tokenCounts(fieldTokenizers(fi), text)
+                val norm = Fieldnorm.encode(len.toLong)
+                val field = fields(fi)
+                counts.foreach { case (t, tf) =>
+                  var b = acc.get((field, t))
+                  if (b == null) { b = new Buf; acc.put((field, t), b) }
+                  b.docIds += docId; b.tfs += tf; b.norms += norm
+                }
+                fi += 1
+              }
+            }
+          }
+        }
+        override def hasNext: Boolean = { advance(); !pending.isEmpty }
+        override def next(): PartialRow = { advance(); pending.removeFirst() }
       }
-      flush()
-      out.iterator
     }
     docs.sparkSession.createDataset(rdd)(Encoders.product[PartialRow])
   }
@@ -324,6 +337,16 @@ object IndexBuilder {
     */
   def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex = {
     val spark = df.sparkSession
+    // fail loud HERE, naming the column: partialPostings reads fields
+    // via getUTF8String, which on a non-string column misreads the
+    // value's bytes as an offset word — garbage tokens or an
+    // out-of-bounds crash deep inside a task, far from the cause
+    config.fields.foreach { f =>
+      val sf = df.schema.fields.find(_.name == f)
+        .getOrElse(throw new IllegalArgumentException(s"indexed field $f not in schema"))
+      require(sf.dataType == org.apache.spark.sql.types.StringType,
+        s"indexed field $f must be a string column, got ${sf.dataType.simpleString}")
+    }
     val (withIds, _, numDocs) =
       assignDocIdsCounted(df, config.keyCols, config.buildPartitions, docIdBase,
         config.docIdStrategy)

@@ -72,10 +72,13 @@ object IndexStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
     spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
-    if (kv.nonEmpty)
-      spark.createDataset(kv.toSeq)(Encoders.tuple(Encoders.STRING, Encoders.STRING))
-        .toDF("key", "value")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/kv.parquet")
+    // kv is written even when EMPTY: a crashed updateConfig may have
+    // left a stale kv.parquet at this version number, and skipping the
+    // write would adopt those never-committed overrides verbatim when
+    // this version commits (ghost config resurrection)
+    spark.createDataset(kv.toSeq)(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .toDF("key", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/kv.parquet")
     commitVersion(dir, v)
   }
 
@@ -239,6 +242,24 @@ object IndexStore {
   /** Create a new index directory with epoch 0. */
   def create(df: DataFrame, config: IndexConfig, dir: String,
       snapshotId: String = "epoch-0"): BuiltIndex = {
+    // create() means a NEW store: state from a previous store at this
+    // dir would otherwise look live — LATEST resets to 1 but the old
+    // _manifest/vNNNNN dirs remain as version numbers the new store
+    // will advance THROUGH (adopting e.g. a stale kv.parquet when it
+    // commits that version), _lineage keeps the dead store's epochs in
+    // lineage() output, and orphan _deletes/seg-* dirs linger
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      Seq("_manifest", "_lineage", "_deletes").foreach(d => deleteTree(root.resolve(d)))
+      val listing = Files.list(root)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("seg-")) deleteTree(p)
+        }
+      } finally listing.close()
+    }
     val idx = IndexBuilder.build(df, config)
     writeSegment(idx, s"$dir/seg-00000")
     writeLineage(idx, dir, 0)
@@ -532,7 +553,11 @@ object IndexStore {
     // a driver-collected Set / task closure)
     val delByShard = deletes match {
       case Some(d) => d
-        .select((col("docId") / config.shardDocs).cast("int").as("shard"), col("docId"))
+        // DIV = integral division, the one shard definition everything
+        // shares ((docId / shardDocs).toInt — IndexBuilder, Scorer
+        // .deletesByShard); `/` on longs is DOUBLE division, which can
+        // land on the wrong shard once docIds pass double precision
+        .select(expr(s"CAST(docId DIV ${config.shardDocs} AS INT)").as("shard"), col("docId"))
         .groupBy("shard").agg(sort_array(collect_list("docId")).as("dels"))
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
@@ -593,12 +618,15 @@ object IndexStore {
       retained.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$mergedEpoch")
       true
     }
-    // the merged epoch keeps the id-space ceiling of what it merged
-    // (ids are never renumbered); unmerged epochs keep their rows
+    // the merged epoch keeps the id-space window of what it merged
+    // (ids are never renumbered); unmerged epochs keep their rows — a
+    // base of 0 would claim an id range overlapping epochs that were
+    // NOT selected by a partial compaction
     val mergedDocIdEnd = epochs.filter(e => selectedEpochs(e.epoch)).map(_.docIdEnd).max
+    val mergedDocIdBase = epochs.filter(e => selectedEpochs(e.epoch)).map(_.docIdBase).min
     val newEpochs = epochs.filterNot(e => selectedEpochs(e.epoch)) ++
       config.fields.map(f =>
-        EpochMeta(mergedEpoch, segName, liveDocs, 0L, mergedDocIdEnd, f,
+        EpochMeta(mergedEpoch, segName, liveDocs, mergedDocIdBase, mergedDocIdEnd, f,
           newFieldTokens.getOrElse(f, 0L)))
     writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, cps, kv)
     // GC the pre-merge tombstone dirs: absorbed (full) or rewritten

@@ -165,6 +165,7 @@ object PostingCodec {
       var maxDelta = 0L
       var maxTf = 0
       var minNorm = 255
+      var maxNorm = 0
       var i = 0
       while (i < len) {
         val gi = start + i
@@ -176,18 +177,20 @@ object PostingCodec {
         }
         if (tfs(gi) > maxTf) maxTf = tfs(gi)
         if (norms(gi) < minNorm) minNorm = norms(gi)
+        if (norms(gi) > maxNorm) maxNorm = norms(gi)
         i += 1
       }
       val bitsDoc = BitPack.bitsNeeded(maxDelta)
       val bitsTf = BitPack.bitsNeeded((maxTf - 1).toLong)
-      var maxNorm = 0
-      i = 0
-      while (i < len) { if (norms(start + i) > maxNorm) maxNorm = norms(start + i); i += 1 }
       val bitsNorm = BitPack.bitsNeeded(maxNorm.toLong)
       out.write(len - 1)
       out.write(bitsDoc)
       out.write(bitsTf)
       out.write(bitsNorm)
+      // the adjacent-pair require above never compares ACROSS blocks
+      // (i=0 skips it): an out-of-order first docId would varlong-encode
+      // a negative delta and silently decode out of order
+      require(docIds(start) > prevLast, s"docIds not strictly increasing at $start")
       writeVarLong(docIds(start) - prevLast - 1, out)
       BitPack.pack(deltas, bitsDoc, out)
       BitPack.pack(Array.tabulate(len)(i => (tfs(start + i) - 1).toLong), bitsTf, out)

@@ -34,6 +34,15 @@ class FieldnormSpec extends AnyFunSuite {
     }
   }
 
+  test("encode is total: negative fails loud, huge lengths saturate at the u8 ceiling") {
+    intercept[IllegalArgumentException](Fieldnorm.encode(-1L))
+    assert(Fieldnorm.encode(Int.MaxValue.toLong) === 255)
+    // beyond ~2^31 tokens the raw encoding would exceed 255 and index
+    // past the 256-entry decode tables; it saturates instead (SmallFloat)
+    assert(Fieldnorm.encode(Int.MaxValue.toLong + 1000L) === 255)
+    assert(Fieldnorm.encode(Long.MaxValue) === 255)
+  }
+
   test("Spark SQL expression matches the Scala implementation") {
     val spark = TestSpark.spark
     import spark.implicits._

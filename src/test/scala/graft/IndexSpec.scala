@@ -138,4 +138,19 @@ class IndexSpec extends AnyFunSuite {
     assert(e1.intersect(pk0).isEmpty)
     assert(e1.size === 120)
   }
+
+  test("build fails loud when an indexed field is not a string column") {
+    // partialPostings reads fields via getUTF8String: on a LongType
+    // column that misreads the value's bytes as an offset word —
+    // garbage tokens or a crash deep inside a task, far from the cause
+    val df = spark.range(10).selectExpr("id", "id as views", "'some text' as content")
+    val e = intercept[IllegalArgumentException] {
+      IndexBuilder.build(df, IndexConfig(Seq("id"), Seq("views"), 256, 2))
+    }
+    assert(e.getMessage.contains("views"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexBuilder.build(df, IndexConfig(Seq("id"), Seq("nosuch"), 256, 2))
+    }
+    assert(e2.getMessage.contains("nosuch"), e2.getMessage)
+  }
 }

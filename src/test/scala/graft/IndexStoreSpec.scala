@@ -366,4 +366,70 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(e3.index.docs.count() === 300L - removed + 1L)
     e3.release()
   }
+
+  test("a crashed config update cannot resurrect: stale kv at the next version is overwritten") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 200, 2).cache()
+    IndexStore.create(corpus, config, dir) // commits v1, no kv overrides
+    // simulate updateConfig crashing AFTER writing v2's kv.parquet but
+    // BEFORE the LATEST swap: the overrides were never committed
+    import spark.implicits._
+    Seq(("ghost", "value")).toDF("key", "value")
+      .coalesce(1).write.parquet(s"$dir/_manifest/v00002/kv.parquet")
+    assert(IndexStore.configKv(spark, dir) === Map.empty) // v1 still live
+    // the next committed change lands at version 2: it must not adopt
+    // the ghost overrides as its own
+    IndexStore.appendEpoch(CodeCorpus.generateRange(spark, 200, 220, 2), dir, "snap-1")
+    assert(IndexStore.currentVersion(dir) === 2)
+    assert(IndexStore.configKv(spark, dir) === Map.empty)
+  }
+
+  test("create() over a previous store dir clears stale manifests/lineage/segments") {
+    val dir = tmpDir()
+    val c1 = CodeCorpus.generate(spark, 300, 2).cache()
+    IndexStore.create(c1, config, dir)
+    IndexStore.appendEpoch(CodeCorpus.generateRange(spark, 300, 350, 2), dir, "s1")
+    IndexStore.updateConfig(spark, dir, set = Map("k" -> "v"))
+    assert(IndexStore.currentVersion(dir) === 3)
+    // a NEW store at the same dir: without cleanup LATEST resets to 1
+    // while old _manifest versions remain as numbers the new store will
+    // advance THROUGH, and _lineage mixes dead-store epochs into metrics
+    val idx = IndexStore.create(CodeCorpus.generate(spark, 100, 2), config, dir)
+    assert(IndexStore.currentVersion(dir) === 1)
+    assert(IndexStore.configKv(spark, dir) === Map.empty)
+    assert(idx.numDocs === 100L)
+    val lineageEpochs = IndexStore.lineage(spark, dir)
+      .select("epoch").distinct().collect().map(_.get(0).toString.toLong).toSet
+    assert(lineageEpochs === Set(0L))
+    // and the version the dead store had committed must be GONE, not
+    // waiting to be adopted
+    IndexStore.appendEpoch(CodeCorpus.generateRange(spark, 100, 120, 2), dir, "s1")
+    assert(IndexStore.configKv(spark, dir) === Map.empty)
+    idx.unpersist()
+  }
+
+  test("partial compaction records the merged epoch's true docId window") {
+    val dir = tmpDir()
+    IndexStore.create(CodeCorpus.generate(spark, 300, 2).cache(), config, dir)
+    IndexStore.appendEpoch(CodeCorpus.generateRange(spark, 300, 400, 2), dir, "s1")
+    IndexStore.appendEpoch(CodeCorpus.generateRange(spark, 400, 450, 2), dir, "s2")
+    val (pre, _, _) = IndexStore.readManifest(spark, dir)
+    // mirror compact's size-ranked selection: smallest (numDocs, epoch)
+    val selected = pre.groupBy(_.epoch).toSeq
+      .map { case (ep, es) => (ep, es.head.numDocs, es.head.docIdBase, es.head.docIdEnd) }
+      .sortBy(s => (s._2, s._1)).take(2)
+    IndexStore.compact(spark, dir, maxSegments = 2)
+    val (post, _, _) = IndexStore.readManifest(spark, dir)
+    val mergedEpochs = post.map(_.epoch).toSet -- pre.map(_.epoch).toSet
+    assert(mergedEpochs.size === 1)
+    val merged = post.find(e => mergedEpochs(e.epoch)).get
+    // the merged segment claims exactly the id window it merged — a
+    // base of 0 would overlap the unselected epoch's range
+    assert(merged.docIdBase === selected.map(_._3).min)
+    assert(merged.docIdEnd === selected.map(_._4).max)
+    pre.filterNot(e => selected.map(_._1).contains(e.epoch)).foreach(u =>
+      assert(merged.docIdBase >= u.docIdEnd || merged.docIdEnd <= u.docIdBase,
+        s"merged [${merged.docIdBase},${merged.docIdEnd}) overlaps " +
+          s"unselected epoch ${u.epoch} [${u.docIdBase},${u.docIdEnd})"))
+  }
 }

@@ -61,4 +61,16 @@ class PostingCodecSpec extends AnyFunSuite {
       PostingCodec.encode(Array(5L, 5L), Array(1, 1), Array(0, 0))
     }
   }
+
+  test("rejects non-increasing docIds ACROSS a block boundary") {
+    // the adjacent-pair check skips i=0 of each 128-doc block: an
+    // out-of-order first docId of block 1 would varlong-encode a
+    // negative delta and decode silently out of order
+    val n = 129
+    val docIds = Array.tabulate(n)(_.toLong)
+    docIds(128) = 100L // <= docIds(127) = 127, first element of block 1
+    intercept[IllegalArgumentException] {
+      PostingCodec.encode(docIds, Array.fill(n)(1), Array.fill(n)(0))
+    }
+  }
 }
