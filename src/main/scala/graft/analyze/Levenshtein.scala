@@ -4,13 +4,19 @@ package graft.analyze
   * for fuzzy-term verification (the reference delegates fuzzy matching to
   * levenshtein automata, Cargo.lock:1453; semantics are the distance
   * itself, apis/mod.rs:225-266). Distributed candidate filtering uses
-  * Spark's built-in `levenshtein` function; results must agree.
+  * Spark's built-in `levenshtein` function; results must agree — Spark
+  * counts CODEPOINTS (a surrogate pair is one edit), so the DP runs
+  * over codepoints, not UTF-16 chars (char-based DP counted an astral
+  * substitution as 2 edits and silently dropped plan-admitted
+  * candidates in the driver re-verify).
   */
 object Levenshtein {
   def distance(a: String, b: String, max: Int): Int = {
     if (a == b) return 0
-    val la = a.length
-    val lb = b.length
+    val ca = a.codePoints.toArray
+    val cb = b.codePoints.toArray
+    val la = ca.length
+    val lb = cb.length
     if (math.abs(la - lb) > max) return max + 1
     var prev = Array.tabulate(lb + 1)(identity)
     var cur = new Array[Int](lb + 1)
@@ -20,7 +26,7 @@ object Levenshtein {
       var best = cur(0)
       var j = 1
       while (j <= lb) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
         cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
         if (cur(j) < best) best = cur(j)
         j += 1
@@ -43,7 +49,11 @@ object Levenshtein {
 object SymSpell {
   final val MaxDistance = 2
 
-  /** All strings obtained from `s` by deleting up to `d` chars (incl. s). */
+  /** All strings obtained from `s` by deleting up to `d` CODEPOINTS
+    * (incl. s) — codepoint granularity matches the distance definition
+    * above (a char-granular delete would split surrogate pairs and
+    * lose depth-2 completeness for astral-codepoint terms).
+    */
   def deletes(s: String, d: Int = MaxDistance): Set[String] = {
     var cur = Set(s)
     var all = Set(s)
@@ -56,7 +66,14 @@ object SymSpell {
         // prefilter silently drops legitimate short-term fuzzy matches
         // that the length-banded fallback path finds.
         if (t.isEmpty) Set.empty[String]
-        else (0 until t.length).map(j => t.substring(0, j) + t.substring(j + 1)).toSet
+        else {
+          val n = t.codePointCount(0, t.length)
+          (0 until n).map { j =>
+            val st = t.offsetByCodePoints(0, j)
+            val en = t.offsetByCodePoints(st, 1)
+            t.substring(0, st) + t.substring(en)
+          }.toSet
+        }
       }
       all ++= cur
       i += 1

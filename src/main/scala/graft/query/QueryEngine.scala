@@ -25,6 +25,12 @@ final case class FuzzyC(field: String, query: String, maxDist: Int = 2,
   // compile indexes multipliers(min(d, size - 1)): an empty list would
   // surface as a bare IndexOutOfBounds(-1) deep in query compilation
   require(multipliers.nonEmpty, "fuzzy needs at least one distance multiplier")
+  // WAND's block-max upper bounds assume non-negative term weights
+  // (max-tf x weight is only an UPPER bound for weight >= 0): a
+  // negative multiplier would turn them into lower bounds and let the
+  // pruned path silently return a different top-k than the exhaustive
+  // scorer
+  require(multipliers.forall(_ >= 0.0), "distance multipliers must be non-negative")
 }
 
 /** `levenshtein(col, query)`: pure fuzzy match, 1.0/0.0, no BM25
@@ -212,7 +218,11 @@ final class QueryEngine(val index: BuiltIndex) {
         // as BroadcastNestedLoopJoin, i.e. a full dictionary re-scan per
         // token (PlanSpec asserts the shape)
         val pairs = toks.distinct.flatMap { t =>
-          (math.max(1, t.length - maxDist) to (t.length + maxDist)).map(l => (t, l))
+          // CODEPOINT count: Spark's length() counts codepoints, and the
+          // band keys on it — t.length (UTF-16 units) would misplace the
+          // band for astral-codepoint tokens and drop exact matches
+          val n = t.codePointCount(0, t.length)
+          (math.max(1, n - maxDist) to (n + maxDist)).map(l => (t, l))
         }
         val tdf = pairs.toDF("tok", "len")
         index.termStats
@@ -590,10 +600,16 @@ final class QueryEngine(val index: BuiltIndex) {
     minGroupDf * 4 <= index.numDocs
   }
 
-  /** (docId, score double) — oracle-parity path. */
+  /** (docId, score double) — oracle-parity path. Top-k selection runs
+    * under the ORACLE's total order (round(score,4) desc, docId asc),
+    * the same order searchManyF64's shard heaps use — selecting under
+    * raw-double order disagreed with the batched path (and DuckDB's
+    * LIMIT) whenever k cut between docs tied at 4dp.
+    */
   def searchF64(clauses: Seq[SearchClause], k: Int = DefaultLimit,
       threshold: Option[Double] = None): DataFrame =
-    Scorer.topK(matchF64(clauses, threshold), k)
+    matchF64(clauses, threshold)
+      .orderBy(round(col("score"), 4).desc, col("docId").asc).limit(k)
 
   /** Batched multi-query top-k — the cluster THROUGHPUT path
     * (qid, docId, score float). The reference's envelope is many small

@@ -169,7 +169,10 @@ class SearchSpec extends AnyFunSuite {
           }
         }
       }
-      scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      // searchF64 selects under the oracle's total order: round4 desc, id asc
+      scores.toSeq.sortBy { case (id, s) =>
+        (-BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP), id)
+      }.take(10)
     }
     got.zip(exp).foreach { case ((gid, gs), (eid, es)) =>
       assert(gid === eid)
@@ -178,11 +181,20 @@ class SearchSpec extends AnyFunSuite {
   }
 
   test("f32 rank path and f64 oracle path agree on top-k membership and order") {
+    // The engine's rank contract is 4dp: searchF64 selects under the
+    // oracle's total order (round(score,4) desc, docId asc), while the
+    // f32 fast path breaks sub-4dp ties by raw float score. Normalize
+    // both sides to the 4dp order before comparing — agreement below
+    // 1e-4 is not promised (and DuckDB can't observe it either).
+    def norm4(rows: Array[(Long, Double)]): Seq[Long] =
+      rows.sortBy { case (id, s) =>
+        (-BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP), id)
+      }.map(_._1).toSeq
     for (q <- Seq("binary search", "fn return license", "needle", "prefab*")) {
-      val f32 = engine.searchF32(Seq(Fts("content", q)), 10)
-        .collect().map(_.getLong(0)).toSeq
-      val f64 = engine.searchF64(Seq(Fts("content", q)), 10)
-        .collect().map(_.getLong(0)).toSeq
+      val f32 = norm4(engine.searchF32(Seq(Fts("content", q)), 10)
+        .collect().map(r => (r.getLong(0), r.getFloat(1).toDouble)))
+      val f64 = norm4(engine.searchF64(Seq(Fts("content", q)), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))))
       assert(f32 === f64, s"query '$q'")
     }
   }
