@@ -19,8 +19,14 @@ import graft.index.Fieldnorm
   * driver's hash-compare sees bit-stable values after round(_, 4).
   */
 object Bm25 {
-  final val K1: Float = 1.2f
-  final val B: Float = 0.75f
+  // Doubles are the source of truth (they mirror the DuckDB oracle SQL
+  // verbatim); the f32 constants are derived so tuning K1/B can never
+  // silently de-couple the two precision paths. 1.2d.toFloat == 1.2f
+  // and 0.75d.toFloat == 0.75f exactly, so the derivation is lossless.
+  final val K1d: Double = 1.2d
+  final val Bd: Double = 0.75d
+  final val K1: Float = K1d.toFloat
+  final val B: Float = Bd.toFloat
 
   def idfF32(df: Long, n: Long): Float = {
     val x = ((n - df).toFloat + 0.5f) / (df.toFloat + 0.5f)
@@ -32,14 +38,14 @@ object Bm25 {
 
   def weightF32(df: Long, n: Long): Float = idfF32(df, n) * (1.0f + K1)
 
-  def weightF64(df: Long, n: Long): Double = idfF64(df, n) * 2.2d
+  def weightF64(df: Long, n: Long): Double = idfF64(df, n) * (1.0d + K1d)
 
   /** Precomputed per-normId denominators: cache(id) = k1*(1-b+b*norm/avgdl). */
   def normCacheF32(avgFieldnorm: Float): Array[Float] =
     Array.tabulate(256)(id => K1 * (1.0f - B + B * Fieldnorm.Table(id).toFloat / avgFieldnorm))
 
   def normCacheF64(avgFieldnorm: Double): Array[Double] =
-    Array.tabulate(256)(id => 1.2d * (1.0d - 0.75d + 0.75d * Fieldnorm.Table(id).toDouble / avgFieldnorm))
+    Array.tabulate(256)(id => K1d * (1.0d - Bd + Bd * Fieldnorm.Table(id).toDouble / avgFieldnorm))
 
   @inline def tfScoreF32(weight: Float, tf: Int, cache: Float): Float =
     weight * tf.toFloat / (tf.toFloat + cache)

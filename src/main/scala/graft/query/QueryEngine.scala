@@ -308,6 +308,13 @@ final class QueryEngine(val index: BuiltIndex) {
 
   /** Top tf-idf terms of a seed document (more-like-this). */
   def seedTerms(field: String, docId: Long, topTerms: Int): Seq[String] = {
+    // fail with a clear contract error rather than a ClassCastException
+    // out of getString below when the seed field is a non-text column
+    // (a non-INDEXED text field degrades gracefully to zero terms via
+    // dfLookup; only the type case needs the explicit gate)
+    val dt = index.docs.schema(field).dataType
+    require(dt == org.apache.spark.sql.types.StringType,
+      s"more_like_this: field '$field' is ${dt.simpleString}, not a text column")
     val rows = index.docs.filter(col("docId") === docId).select(col(field)).collect()
     if (rows.isEmpty) return Nil
     val (counts, _) = graft.analyze.Tokenizers.tokenCounts(

@@ -155,7 +155,6 @@ object Wand {
       else 0)
 
     def thresholdScore: Float = if (heap.size() < k) Float.NegativeInfinity else heap.peek().score
-    def thresholdDoc: Long = if (heap.size() < k) Long.MaxValue else heap.peek().docId
 
     def offer(docId: Long, score: Float): Unit = {
       if (heap.size() < k) heap.add(Hit(docId, score))

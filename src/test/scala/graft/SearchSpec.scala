@@ -199,6 +199,18 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("more-like-this on a non-text column fails with a contract error, not a CCE") {
+    val e = intercept[IllegalArgumentException] {
+      engine.searchF32(Seq(MoreLikeThis("docId", 1L)), 5).collect()
+    }
+    assert(e.getMessage.contains("not a text column"), e.getMessage)
+    // negative distance multipliers would invert WAND's block-max upper
+    // bounds; the clause must reject them at construction
+    intercept[IllegalArgumentException] {
+      FuzzyC("content", "needle", multipliers = Seq(1.0, 0.8, -0.5))
+    }
+  }
+
   test("default limit is 1000") {
     val got = engine.searchF32(Seq(Fts("content", "fn")))
     assert(got.count() === 1000L)
