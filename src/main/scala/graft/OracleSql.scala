@@ -8,6 +8,12 @@ import graft.index.Fieldnorm
   * SmallFloat fieldnorm quantization (Fieldnorm.encodeSql/decodeSql),
   * same double-precision BM25 arithmetic as Scorer.scoreF64. Scores are
   * rounded to 4 decimals on both sides before the driver's hash compare.
+  *
+  * Scope note: DuckDB's `levenshtein` is BYTE-based while the engine
+  * (matching Spark's builtin) counts codepoints, so the fuzzy/lev/
+  * fast-fuzzy oracles mirror the engine exactly for ASCII terms only —
+  * which all gated queries use: they run over default-analyzer text
+  * columns whose terms are [a-z0-9]+ by construction.
   */
 object OracleSql {
 

@@ -130,22 +130,44 @@ object Tokenizers {
     * dictionary (e.g. querying 'quickly' against terms stemmed to
     * 'quickli'). v1 = Porter 1980 `en_stem` (manifests without the
     * column); v2 = Snowball English ("Porter2") `en_stem`, matching
-    * tantivy's rust-stemmers. */
-  final val AnalyzerVersion = 2
+    * tantivy's rust-stemmers; v3 = Unicode-whitespace split +
+    * codepoint-granular length caps for `whitespace`/`raw`, and
+    * codepoint-granular SymSpell delete variants (symspell.parquet is
+    * a persisted artifact, so variant granularity is versioned
+    * analysis semantics too — only raw/whitespace terms can contain
+    * astral codepoints, the other tokenizers emit [a-z0-9]+). */
+  final val AnalyzerVersion = 3
 
-  /** Tokenizers whose output changed since stored version `v` — a
-    * store using any of these must be rebuilt, not re-interpreted. */
+  /** Tokenizers whose output (or persisted derived artifacts) changed
+    * since stored version `v` — a store using any of these must be
+    * rebuilt, not re-interpreted. */
   def changedSince(v: Int): Set[String] =
-    if (v < 2) Set("en_stem") else Set.empty
+    (if (v < 2) Set("en_stem") else Set.empty[String]) ++
+      (if (v < 3) Set("raw", "whitespace") else Set.empty[String])
 
   val known: Set[String] = Set("default", "simple", "raw", "whitespace", "en_stem")
   def isKnown(name: String): Boolean = known.contains(name)
 
+  /** tantivy's whitespace tokenizer splits on Rust `char::is_whitespace`
+    * = the Unicode White_Space property, NOT Java's ASCII-only `\s`:
+    * controls 09-0D, NEL 85, LS/PS 2028/2029, plus category Zs (NBSP,
+    * ideographic space, ...). Same class in Java regex and DuckDB RE2.
+    */
+  private val WsPat =
+    java.util.regex.Pattern.compile("[\\t\\n\\x0B\\f\\r\\u0085\\u2028\\u2029\\p{Zs}]+")
+
   def tokenize(name: String, s: String): Array[String] = name match {
     case "raw" =>
-      if (s.isEmpty || s.length > MaxRawLen) Array.empty else Array(s)
+      // codepoint cap: DuckDB's length() (the oracle mirror,
+      // OracleSql rawTermsCte) counts codepoints, not UTF-16 units.
+      // length > 2*cap is over in any encoding — don't scan megabyte
+      // values just to reject them.
+      if (s.isEmpty || s.length > 2 * MaxRawLen ||
+          s.codePointCount(0, s.length) > MaxRawLen) Array.empty
+      else Array(s)
     case "whitespace" =>
-      s.split("\\s+").filter(t => t.nonEmpty && t.length <= Analyzer.MaxTokenLen)
+      WsPat.split(s).filter(t =>
+        t.nonEmpty && t.codePointCount(0, t.length) <= Analyzer.MaxTokenLen)
     case "en_stem" => Analyzer.tokenize(s).map(SnowballStemmer.stem)
     case _ => Analyzer.tokenize(s)
   }

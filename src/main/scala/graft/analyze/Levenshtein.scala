@@ -8,13 +8,60 @@ package graft.analyze
   * counts CODEPOINTS (a surrogate pair is one edit), so the DP runs
   * over codepoints, not UTF-16 chars (char-based DP counted an astral
   * substitution as 2 edits and silently dropped plan-admitted
-  * candidates in the driver re-verify).
+  * candidates in the driver re-verify). Surrogate-free strings (every
+  * default-analyzer term: tokens are [a-z0-9]+ runs) take an
+  * allocation-free char path — chars == codepoints there.
+  *
+  * NOTE the DuckDB oracle leg is BYTE-based (`levenshtein('héllo',
+  * 'hello') = 2`), so the three-way engine/Spark/oracle agreement is
+  * guaranteed only for ASCII terms — which all oracle-gated fuzzy
+  * queries use (default-analyzer text columns).
   */
 object Levenshtein {
   def distance(a: String, b: String, max: Int): Int = {
     if (a == b) return 0
-    val ca = a.codePoints.toArray
-    val cb = b.codePoints.toArray
+    if (hasSurrogate(a) || hasSurrogate(b)) distCps(a.codePoints.toArray, b.codePoints.toArray, max)
+    else distChars(a, b, max)
+  }
+
+  /** True iff chars != codepoints anywhere (an actual astral pair, or a
+    * lone surrogate — the codepoint path handles both consistently).
+    */
+  private[analyze] def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def distChars(a: String, b: String, max: Int): Int = {
+    val la = a.length
+    val lb = b.length
+    if (math.abs(la - lb) > max) return max + 1
+    var prev = Array.tabulate(lb + 1)(identity)
+    var cur = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      cur(0) = i
+      var best = cur(0)
+      var j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < best) best = cur(j)
+        j += 1
+      }
+      if (best > max) return max + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(lb), max + 1)
+  }
+
+  private def distCps(ca: Array[Int], cb: Array[Int], max: Int): Int = {
     val la = ca.length
     val lb = cb.length
     if (math.abs(la - lb) > max) return max + 1
@@ -52,7 +99,9 @@ object SymSpell {
   /** All strings obtained from `s` by deleting up to `d` CODEPOINTS
     * (incl. s) — codepoint granularity matches the distance definition
     * above (a char-granular delete would split surrogate pairs and
-    * lose depth-2 completeness for astral-codepoint terms).
+    * lose depth-2 completeness for astral-codepoint terms). This output
+    * is PERSISTED (symspell.parquet), so any change here is an
+    * analyzer-version bump (Tokenizers.AnalyzerVersion v3).
     */
   def deletes(s: String, d: Int = MaxDistance): Set[String] = {
     var cur = Set(s)
@@ -66,13 +115,20 @@ object SymSpell {
         // prefilter silently drops legitimate short-term fuzzy matches
         // that the length-banded fallback path finds.
         if (t.isEmpty) Set.empty[String]
+        else if (!Levenshtein.hasSurrogate(t))
+          // chars == codepoints: the index-build dictionary pass pays
+          // this per distinct term per segment, keep it substring-cheap
+          (0 until t.length).map(j => t.substring(0, j) + t.substring(j + 1)).toSet
         else {
+          // one boundary scan per string, not one offsetByCodePoints
+          // rescan per deletion position
           val n = t.codePointCount(0, t.length)
-          (0 until n).map { j =>
-            val st = t.offsetByCodePoints(0, j)
-            val en = t.offsetByCodePoints(st, 1)
-            t.substring(0, st) + t.substring(en)
-          }.toSet
+          val bounds = new Array[Int](n + 1)
+          var k = 0
+          var off = 0
+          while (k < n) { bounds(k) = off; off = t.offsetByCodePoints(off, 1); k += 1 }
+          bounds(n) = t.length
+          (0 until n).map(j => t.substring(0, bounds(j)) + t.substring(bounds(j + 1))).toSet
         }
       }
       all ++= cur

@@ -23,9 +23,26 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Tokenizers.tokenize("raw", "").toSeq === Seq.empty)
     assert(Tokenizers.tokenize("raw", "x" * 256).toSeq === Seq.empty) // MaxRawLen cap
     assert(Tokenizers.tokenize("raw", "x" * 255).toSeq === Seq("x" * 255))
-    // whitespace: split on \s+ only, case preserved, no camelCase split
+    // whitespace: split on Unicode White_Space runs only (tantivy's
+    // whitespace tokenizer = Rust char::is_whitespace), case preserved,
+    // no camelCase split
     assert(Tokenizers.tokenize("whitespace", "FooBar  baz\tQux").toSeq ===
       Seq("FooBar", "baz", "Qux"))
+    // NBSP / ideographic space are whitespace in Unicode but not Java \s
+    assert(Tokenizers.tokenize("whitespace", "foo bar　baz").toSeq ===
+      Seq("foo", "bar", "baz"))
+    assert(Tokenizers.tokenize("whitespace", "a bc").toSeq ===
+      Seq("a", "b", "c"))
+    // length caps count codepoints, matching Spark/DuckDB length():
+    // 250 astral codepoints = 500 UTF-16 units but still under MaxRawLen
+    val astral = "😀" * 250
+    assert(Tokenizers.tokenize("raw", astral).toSeq === Seq(astral))
+    assert(Tokenizers.tokenize("raw", "😀" * 256).toSeq === Seq.empty)
+    val astralTok = "😀" * 40
+    assert(Tokenizers.tokenize("whitespace", s"$astralTok ok").toSeq ===
+      Seq(astralTok, "ok"))
+    assert(Tokenizers.tokenize("whitespace", ("😀" * 41) + " ok").toSeq ===
+      Seq("ok"))
     // default/simple delegate to the code-aware analyzer
     assert(Tokenizers.tokenize("default", "FooBar baz").toSeq ===
       Analyzer.tokenize("FooBar baz").toSeq)

@@ -318,6 +318,32 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.load(spark, dir2).numDocs === 100)
   }
 
+  test("a v2 store with raw/whitespace tokenizers fails loudly at load (v3 granularity change)") {
+    // v3 changed whitespace splitting (ASCII \s -> Unicode White_Space),
+    // raw/whitespace length caps (UTF-16 units -> codepoints) and the
+    // persisted SymSpell variant granularity — a v2 store using those
+    // tokenizers must rebuild, while default/en_stem-only v2 stores load.
+    def setVersion(dir: String, ver: Int): Unit = {
+      val v = IndexStore.currentVersion(dir)
+      val p = f"$dir/_manifest/v$v%05d/config.parquet"
+      val old = spark.read.parquet(p)
+        .withColumn("analyzerVersion", org.apache.spark.sql.functions.lit(ver))
+      val rows = old.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), old.schema)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    }
+    val corpus = CodeCorpus.generate(spark, 100, 2)
+    val dir = tmpDir()
+    IndexStore.create(corpus, config.copy(tokenizers = Map("path" -> "whitespace")), dir)
+    setVersion(dir, 2)
+    val ex = intercept[IllegalStateException](IndexStore.load(spark, dir))
+    assert(ex.getMessage.contains("whitespace") && ex.getMessage.contains("rebuild"))
+    val dir2 = tmpDir()
+    IndexStore.create(corpus, config.copy(tokenizers = Map("content" -> "en_stem")), dir2)
+    setVersion(dir2, 2)
+    assert(IndexStore.load(spark, dir2).numDocs === 100)
+  }
+
   test("deleteByQuery tombstones the full match set durably and is idempotent") {
     val dir = tmpDir()
     val corpus = CodeCorpus.generate(spark, 300, 4).cache()
