@@ -66,18 +66,50 @@ object DocDecode {
           .select(col("d.*"))
       case Msgpack =>
         val rdd = df.select(col(payloadCol)).rdd.mapPartitions { it =>
-          it.flatMap(r => MsgPack.decodeDocs(r.getAs[Array[Byte]](0))
-            .map(coerceRow(_, schema)))
+          // a NULL payload cell yields no documents, mirroring the
+          // JSON branch (split(null) explodes to nothing) — without the
+          // guard decodeDocs NPEs, violating the codec's IAE-only
+          // malformed-input contract
+          it.flatMap { r =>
+            val p = r.getAs[Array[Byte]](0)
+            if (p == null) Nil else MsgPack.decodeDocs(p).map(coerceRow(_, schema))
+          }
         }
         spark.createDataFrame(rdd, schema)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
   }
 
+  /** Driver-local decode for the request-body ingest path: the caller
+    * (LnxSession.ingest) normalizes and upserts on the driver anyway,
+    * so msgpack rows must not pay a parallelize -> collect round trip
+    * (a full Spark job per request) for data that never needed to leave
+    * the driver. JSON/NDJSON still go through spark.read (FAILFAST
+    * Jackson) and collect back — request bodies are small by contract.
+    */
+  def decodeLocal(spark: SparkSession, format: String, payload: Array[Byte],
+      schema: StructType): Seq[Row] = format match {
+    case Msgpack => MsgPack.decodeDocs(payload).map(coerceRow(_, schema))
+    case Json | NdJson => decode(spark, format, payload, schema).collect().toSeq
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
+  // mirror of the SQL dialect's timestamp range gate
+  // (LnxSession.toSqlTimestamp): Timestamp.from does NOT throw on
+  // millis overflow, it silently wraps — bound epoch seconds to the
+  // micros-safe window first
+  private val MaxEpochSecond = Long.MaxValue / 1000000L
+
   /** Coerce a decoded field value to the declared Spark type — the
     * schema-full boundary: documents are typed by the table DDL, not by
     * the wire format's value tags (a msgpack uint8 inserts fine into a
-    * bigint column).
+    * bigint column). Semantics mirror the SQL dialect's literal binding
+    * (LnxSession.litValue) so the same logical document means the same
+    * thing through every ingress: datetime takes epoch-second integers
+    * or UTC-parsed ISO strings, date takes epoch-day integers or
+    * yyyy-mm-dd, and scalars stringify into text columns (the JSON
+    * path's Jackson already does; a typed wire format must not be
+    * stricter than the untyped one).
     */
   private[graft] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
@@ -104,16 +136,69 @@ object DocDecode {
         throw new IllegalArgumentException(s"int32 out of range: $d")
       d.toInt
     case (s: String, StringType) => s
+    case (l: Long, StringType) => l.toString
+    case (d: Double, StringType) => d.toString
+    case (b: Boolean, StringType) => b.toString
     case (b: Boolean, BooleanType) => b
     case (b: Array[Byte], BinaryType) => b
     case (s: String, BinaryType) => s.getBytes(UTF_8)
+    // registered/attached tables carry Spark types outside the lnx DDL
+    // set; bind them like the dialect does (LnxSession.litValue)
+    case (l: Long, ShortType) =>
+      if (l < Short.MinValue || l > Short.MaxValue)
+        throw new IllegalArgumentException(s"int16 out of range: $l")
+      l.toShort
+    case (l: Long, ByteType) =>
+      if (l < Byte.MinValue || l > Byte.MaxValue)
+        throw new IllegalArgumentException(s"int8 out of range: $l")
+      l.toByte
+    case (l: Long, _: DecimalType) => java.math.BigDecimal.valueOf(l)
+    case (d: Double, _: DecimalType) => java.math.BigDecimal.valueOf(d)
+    case (l: Long, TimestampType) =>
+      // datetime IS a UNIX-epoch value in the reference
+      // (apis/mod.rs:178-179): integers are epoch seconds
+      if (l < -MaxEpochSecond || l > MaxEpochSecond)
+        throw new IllegalArgumentException(s"epoch seconds out of timestamp range: $l")
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(l))
+    case (s: String, TimestampType) =>
+      // UTC wall-clock parse: the stored instant must be independent of
+      // the JVM default timezone, exactly like the dialect's literals
+      val inst =
+        try java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(s"not a timestamp value: $s")
+        }
+      if (inst.getEpochSecond < -MaxEpochSecond || inst.getEpochSecond > MaxEpochSecond)
+        throw new IllegalArgumentException(s"timestamp out of range: $s")
+      java.sql.Timestamp.from(inst)
+    case (l: Long, DateType) =>
+      // Spark DateType is int32 days-since-epoch; the int32 window also
+      // keeps java.sql.Date's millis constructor from wrapping
+      if (l < Int.MinValue || l > Int.MaxValue)
+        throw new IllegalArgumentException(s"epoch days out of date range: $l")
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+    case (s: String, DateType) =>
+      val ds = s.trim
+      if (!ds.matches("""\d{4}-\d{2}-\d{2}"""))
+        throw new IllegalArgumentException(s"malformed date value '$s' (expected yyyy-mm-dd)")
+      try java.sql.Date.valueOf(ds)
+      catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"malformed date value '$s' (expected yyyy-mm-dd)")
+      }
     case (xs: Seq[_], ArrayType(et, _)) => xs.map(coerce(_, et))
     case (other, t) => throw new IllegalArgumentException(
       s"cannot coerce ${other.getClass.getSimpleName} to ${t.simpleString}")
   }
 
   private[sources] def coerceRow(doc: Map[String, Any], schema: StructType): Row =
-    Row.fromSeq(schema.fields.toSeq.map(f => coerce(doc.getOrElse(f.name, null), f.dataType)))
+    // schema-ful rows: decodeLocal consumers access fields BY NAME
+    // (getAs[Any](name) needs row.schema), matching what a collected
+    // DataFrame row carries
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      schema.fields.map(f => coerce(doc.getOrElse(f.name, null), f.dataType)), schema)
 }
 
 /** Self-contained MessagePack codec (public spec,

@@ -582,9 +582,11 @@ final class LnxSession(val spark: SparkSession) {
     val t = table(tableName)
     val schema = t.rows.schema
     val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
-    val decoded = graft.sources.DocDecode.decode(spark, format, payload, schema)
+    // decodeLocal: msgpack rows decode on the driver and stay there (no
+    // parallelize -> collect job per request body)
+    val decoded = graft.sources.DocDecode.decodeLocal(spark, format, payload, schema)
     val required = requiredCols(t)
-    val newRows = decoded.collect().toSeq.map { r =>
+    val newRows = decoded.map { r =>
       Row.fromSeq(schema.fields.toSeq.map(f =>
         checkNotNull(required, f.name,
           normalize(tpeByName.getOrElse(f.name, ""), r.getAs[Any](f.name)))))

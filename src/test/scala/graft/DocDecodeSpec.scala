@@ -244,6 +244,56 @@ class DocDecodeSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.toString.toLowerCase.contains("malformed")), e.toString)
   }
 
+  test("coerce mirrors the dialect's literal binding: datetime/date/short/byte/stringify") {
+    def c(v: Any, dt: DataType): Any = {
+      val s = StructType(Seq(StructField("x", dt)))
+      DocDecode.decode(spark, DocDecode.Msgpack,
+        MsgPack.encode(Map[String, Any]("x" -> v)), s).collect()(0).get(0)
+    }
+    // datetime: epoch-second integers and UTC-parsed ISO strings agree
+    val ts = c(1600000000L, TimestampType).asInstanceOf[java.sql.Timestamp]
+    assert(ts.toInstant.getEpochSecond === 1600000000L)
+    assert(c("2020-09-13 12:26:40", TimestampType) === ts) // same instant, TZ-independent
+    intercept[Exception](c(Long.MaxValue / 1000L, TimestampType)) // micros-unsafe epoch
+    intercept[Exception](c("not a time", TimestampType))
+    // date: epoch-day integers and strict yyyy-mm-dd
+    assert(c(18518L, DateType) ===
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18518L)))
+    assert(c("2020-09-13", DateType) === java.sql.Date.valueOf("2020-09-13"))
+    intercept[Exception](c("13/09/2020", DateType))
+    // registered-frame types outside the DDL set
+    assert(c(5L, ShortType) === 5.toShort)
+    intercept[Exception](c(40000L, ShortType))
+    assert(c(-7L, ByteType) === (-7).toByte)
+    intercept[Exception](c(200L, ByteType))
+    // scalars stringify into text columns — the typed wire format must
+    // not be stricter than the JSON path's Jackson
+    assert(c(123L, StringType) === "123")
+    assert(c(true, StringType) === "true")
+  }
+
+  test("decodePayloads(msgpack): NULL payload cells yield no rows, like the JSON branch") {
+    val s = StructType(Seq(StructField("id", LongType)))
+    val data = Seq(Row(MsgPack.encode(Map[String, Any]("id" -> 1L))), Row(null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data, 2),
+      StructType(Seq(StructField("payload", BinaryType))))
+    val out = DocDecode.decodePayloads(df, "payload", DocDecode.Msgpack, s)
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("session ingest: msgpack into datetime/date columns (the dialect's epoch semantics)") {
+    val sess = new graft.sql.LnxSession(spark)
+    sess.execute("CREATE TABLE ingest_ts (id bigint primary key, at datetime, d date)")
+    sess.ingest("ingest_ts", DocDecode.Msgpack, MsgPack.encode(Seq(
+      Map[String, Any]("id" -> 1L, "at" -> 1600000000L, "d" -> "2020-09-13"),
+      Map[String, Any]("id" -> 2L, "at" -> "2020-09-13 12:26:40", "d" -> 18518L))))
+    val rows = sess.execute("SELECT id, at, d FROM ingest_ts ORDER BY id").collect()
+    assert(rows(0).getTimestamp(1) === rows(1).getTimestamp(1)) // same instant both ways
+    assert(rows(0).getDate(2) === rows(1).getDate(2))
+    // epoch-integer predicate binds against the ingested value
+    assert(sess.execute("SELECT id FROM ingest_ts WHERE at >= 1600000000").count() === 2)
+  }
+
   test("session ingest: msgpack payload upserts by primary key") {
     val sess = new graft.sql.LnxSession(spark)
     sess.execute("CREATE TABLE ingest_t (id bigint primary key, name text, weight float64)")
