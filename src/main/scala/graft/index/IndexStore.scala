@@ -52,8 +52,21 @@ object IndexStore {
   private def manifestDir(dir: String, v: Int) = f"$dir/_manifest/v$v%05d"
 
   /** Atomically advance the LATEST pointer (tmp file + rename). */
-  private def commitVersion(dir: String, v: Int): Unit = {
+  private[index] def commitVersion(dir: String, v: Int): Unit = {
     Files.createDirectories(Paths.get(dir, "_manifest"))
+    // best-effort version CAS: every mutator reads LATEST=v-1 and
+    // commits v. If another writer advanced LATEST in between (e.g. a
+    // deleteByQuery racing a streaming appendEpoch), a silent
+    // last-writer-wins here would DISCARD the other writer's committed
+    // epochs from the manifest view. The store's contract is single
+    // writer; this turns a contract violation into a loud error
+    // instead of silent data loss (a true CAS needs a locking FS
+    // primitive — the remaining window is the move below).
+    val cur = currentVersion(dir)
+    if (cur != v - 1)
+      throw new IllegalStateException(
+        s"concurrent manifest writer at $dir: committing v$v but LATEST is v$cur " +
+        s"(expected v${v - 1}); the store supports one writer at a time")
     val tmp = Paths.get(dir, "_manifest", s".LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -111,13 +124,24 @@ object IndexStore {
     */
   def updateConfig(spark: SparkSession, dir: String,
       set: Map[String, String] = Map.empty, unset: Seq[String] = Nil): Map[String, String] = {
-    val (epochs, config, cps) = readManifest(spark, dir)
+    val (basis, epochs, config, cps) = readManifestV(spark, dir)
     val kv = (configKv(spark, dir) ++ set) -- unset
-    writeManifest(spark, dir, currentVersion(dir) + 1, epochs, config, cps, kv)
+    writeManifest(spark, dir, basis + 1, epochs, config, cps, kv)
     kv
   }
 
   def readManifest(spark: SparkSession, dir: String): (Seq[EpochMeta], IndexConfig, Seq[CheckpointRow]) = {
+    val (_, epochs, config, cps) = readManifestV(spark, dir)
+    (epochs, config, cps)
+  }
+
+  /** readManifest plus the manifest VERSION the content was read at —
+    * mutators must commit at basis+1 (commitVersion CAS-checks it) so
+    * a concurrent writer's manifest can never be silently overwritten
+    * by content derived from a stale read.
+    */
+  private[index] def readManifestV(spark: SparkSession,
+      dir: String): (Int, Seq[EpochMeta], IndexConfig, Seq[CheckpointRow]) = {
     val v = currentVersion(dir)
     require(v > 0, s"no committed manifest at $dir")
     val md = manifestDir(dir, v)
@@ -161,7 +185,7 @@ object IndexStore {
       c.tokenizers, c.docIdStrategy)
     val cps = spark.read.parquet(s"$md/checkpoints.parquet")
       .as(Encoders.product[CheckpointRow]).collect().toSeq.sortBy(_.epoch)
-    (epochs, config, cps)
+    (v, epochs, config, cps)
   }
 
   /** Write one epoch's segment data (no manifest commit yet):
@@ -411,7 +435,7 @@ object IndexStore {
     */
   def appendEpoch(newDocs: DataFrame, dir: String, snapshotId: String): Boolean = {
     val spark = newDocs.sparkSession
-    val (epochs, config, cps) = readManifest(spark, dir)
+    val (basis, epochs, config, cps) = readManifestV(spark, dir)
     if (cps.exists(_.snapshotId == snapshotId)) return false // already committed: resume no-op
     val epoch = nextEpoch(epochs, cps)
     val base = epochs.map(_.docIdEnd).max
@@ -454,7 +478,7 @@ object IndexStore {
       EpochMeta(epoch, segName, idx.numDocs, base, base + idx.numDocs, f,
         idx.fieldTokens.getOrElse(f, 0L)))
     val newCps = cps :+ CheckpointRow(epoch, snapshotId, 0L)
-    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, newCps,
+    writeManifest(spark, dir, basis + 1, newEpochs, config, newCps,
       configKv(spark, dir))
     idx.unpersist()
     true
@@ -487,7 +511,7 @@ object IndexStore {
 
   def deleteByQuery(spark: SparkSession, dir: String,
       clauses: Seq[graft.query.SearchClause], deleteId: String): Long = {
-    val (epochs, config, cps) = readManifest(spark, dir)
+    val (basis, epochs, config, cps) = readManifestV(spark, dir)
     if (cps.exists(_.snapshotId == deleteCheckpointId(deleteId))) return -1L
     val epoch = nextEpoch(epochs, cps)
     val delDir = s"$dir/_deletes/epoch=$epoch"
@@ -498,7 +522,7 @@ object IndexStore {
     finally engine.release()
     val removed = spark.read.parquet(delDir).count()
     if (removed == 0L) { deleteTree(Paths.get(delDir)); return 0L }
-    writeManifest(spark, dir, currentVersion(dir) + 1, epochs, config,
+    writeManifest(spark, dir, basis + 1, epochs, config,
       cps :+ CheckpointRow(epoch, deleteCheckpointId(deleteId), 0L), configKv(spark, dir))
     removed
   }
@@ -524,7 +548,7 @@ object IndexStore {
     *   by the merge disappear. Default = full compaction.
     */
   def compact(spark: SparkSession, dir: String, maxSegments: Int = Int.MaxValue): Unit = {
-    val (epochs, config, cps) = readManifest(spark, dir)
+    val (basis, epochs, config, cps) = readManifestV(spark, dir)
     val kv = configKv(spark, dir)
     val segs = epochs.groupBy(_.epoch).toSeq
       .map { case (ep, es) => (ep, es.head.path, es.head.numDocs) }
@@ -628,7 +652,7 @@ object IndexStore {
       config.fields.map(f =>
         EpochMeta(mergedEpoch, segName, liveDocs, mergedDocIdBase, mergedDocIdEnd, f,
           newFieldTokens.getOrElse(f, 0L)))
-    writeManifest(spark, dir, currentVersion(dir) + 1, newEpochs, config, cps, kv)
+    writeManifest(spark, dir, basis + 1, newEpochs, config, cps, kv)
     // GC the pre-merge tombstone dirs: absorbed (full) or rewritten
     // under the merged epoch (partial). Re-applying a tombstone is
     // idempotent, so a crash between the commit above and this sweep

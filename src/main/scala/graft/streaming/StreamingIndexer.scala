@@ -10,32 +10,73 @@ import graft.index.IndexStore
   * its streaming-shaped capability is incremental index maintenance
   * (synchronous REST INSERTs become tablet blobs, README.md:21,
   * writer.rs:244-266). Here each micro-batch is one upsert epoch:
-  * `foreachBatch` calls IndexStore.appendEpoch with the batch id as the
-  * snapshot id, so restart-after-crash replays of a committed batch are
-  * no-ops (exactly-once index commits on top of at-least-once delivery —
-  * the same idempotent-resume contract as the batch path).
+  * `foreachBatch` calls IndexStore.appendEpoch with a snapshot id
+  * derived from the STREAM IDENTITY (checkpoint location) plus the
+  * batch id, so restart-after-crash replays of a committed batch are
+  * no-ops (exactly-once index commits on top of at-least-once delivery
+  * — the same idempotent-resume contract as the batch path), while a
+  * DIFFERENT stream (fresh checkpoint, batch ids restarting at 0)
+  * cannot collide with this one's committed batches and silently drop
+  * its data.
+  *
+  * Writer contract: ONE active writer per index dir — the manifest
+  * commit is version-CAS-guarded (IndexStore.commitVersion), so a
+  * concurrent deleteByQuery/compact against a live stream fails loudly
+  * rather than silently discarding epochs.
   */
 object StreamingIndexer {
 
+  /** Stable per-stream namespace: the checkpoint location IS the stream
+    * identity (same checkpoint = same replayable batch ids).
+    */
+  private def streamNs(checkpointDir: String): String = {
+    val canon = java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize.toString
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(4).map(b => f"${b & 0xFF}%02x").mkString
+  }
+
   /** Start indexing a streaming DataFrame of documents into `indexDir`
     * (which must already exist via IndexStore.create).
+    *
+    * Within one micro-batch, duplicate primary keys collapse to a
+    * single live version (the upsert contract; appendEpoch's tombstone
+    * pass only covers PREVIOUS epochs, so an un-deduped batch would
+    * leave both copies live forever). The surviving row for an
+    * intra-batch duplicate is arbitrary — sources that need a
+    * deterministic winner must resolve versions upstream.
+    *
+    * `compactEvery` > 0 runs tiered compaction after every N committed
+    * batches: an unbounded stream of small epochs otherwise grows the
+    * manifest and the per-append tombstone pass linearly with batch
+    * count (and the query-side segment union with it).
     */
-  def start(stream: DataFrame, indexDir: String, checkpointDir: String): StreamingQuery =
+  def start(stream: DataFrame, indexDir: String, checkpointDir: String,
+      compactEvery: Int = 0): StreamingQuery = {
+    val ns = streamNs(checkpointDir)
+    val keyCols = {
+      val (_, config, _) = IndexStore.readManifest(stream.sparkSession, indexDir)
+      config.keyCols
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // appendEpoch runs several actions over the batch (index build,
         // lineage, tombstone pass) plus the isEmpty probe — without a
         // persist each action re-reads the micro-batch source files
-        batch.persist()
+        val deduped = batch.dropDuplicates(keyCols)
+        deduped.persist()
         try {
-          if (!batch.isEmpty) {
-            IndexStore.appendEpoch(batch, indexDir, s"stream-batch-$batchId")
-            ()
+          if (!deduped.isEmpty) {
+            val committed =
+              IndexStore.appendEpoch(deduped, indexDir, s"stream-$ns-batch-$batchId")
+            if (committed && compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+              IndexStore.compact(deduped.sparkSession, indexDir)
           }
-        } finally { batch.unpersist(); () }
+        } finally { deduped.unpersist(); () }
       }
       .start()
+  }
 
   /** Convenience source: a directory of parquet document files consumed
     * incrementally (new files become new epochs).

@@ -42,7 +42,9 @@ class StreamingSpec extends AnyFunSuite {
     // epochs recorded with stream snapshot ids
     val snaps = IndexStore.checkpoints(spark, idxDir).map(_.snapshotId)
     assert(snaps.head === "snap-0")
-    assert(snaps.tail.forall(_.startsWith("stream-batch-")))
+    // ids are namespaced by stream identity (checkpoint dir), so a
+    // different stream's batch 0 can never collide with this one's
+    assert(snaps.tail.forall(_.startsWith("stream-")))
 
     // restart from the same checkpoint: a fresh query over the same
     // source must not re-commit any processed batch (kill-resume safety
@@ -55,5 +57,85 @@ class StreamingSpec extends AnyFunSuite {
     val after = IndexStore.load(spark, idxDir)
     assert(after.docs.count() === docsBefore)
     assert(IndexStore.checkpoints(spark, idxDir).size === epochsBefore)
+  }
+
+  test("intra-batch duplicate keys collapse to one live version (upsert within a micro-batch)") {
+    val base = java.nio.file.Files.createTempDirectory("graftstreamdup").toString
+    val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"), 256, 2)
+    val c0 = CodeCorpus.generate(spark, 50, 2)
+    IndexStore.create(c0, config, s"$base/idx", "snap-0")
+    // one source file carrying the SAME key twice: without the skin's
+    // per-batch dedup, appendEpoch's tombstone pass (previous epochs
+    // only) leaves both copies live forever
+    val dup = CodeCorpus.generate(spark, 10, 1).limit(3)
+      .withColumn("content", lit("dupmarker one"))
+    dup.unionByName(dup.withColumn("content", lit("dupmarker two")))
+      .coalesce(1).write.parquet(s"$base/src")
+    val q = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, s"$base/src", c0.schema),
+      s"$base/idx", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    val idx = IndexStore.load(spark, s"$base/idx")
+    assert(idx.docs.groupBy("repo", "path", "commit").count()
+      .filter(col("count") > 1).count() === 0L)
+    val e = new QueryEngine(idx)
+    assert(e.searchF32(Seq(Fts("content", "dupmarker")), 100).count() === 3L)
+  }
+
+  test("a second stream with a fresh checkpoint does not collide with committed batch ids") {
+    val base = java.nio.file.Files.createTempDirectory("graftstream2").toString
+    val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"), 256, 2)
+    val c0 = CodeCorpus.generate(spark, 50, 2)
+    IndexStore.create(c0, config, s"$base/idx", "snap-0")
+    CodeCorpus.generate(spark, 80, 2).filter(col("path").contains("file_6"))
+      .withColumn("content", lit("wavealpha marker"))
+      .write.parquet(s"$base/srcA")
+    val qa = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, s"$base/srcA", c0.schema),
+      s"$base/idx", s"$base/cpA")
+    try qa.processAllAvailable() finally qa.stop()
+    // stream B: DIFFERENT source + checkpoint, batch ids restart at 0.
+    // Under un-namespaced 'stream-batch-0' ids, appendEpoch would see
+    // an already-committed snapshot and silently drop wave B.
+    CodeCorpus.generate(spark, 90, 2).filter(col("path").contains("file_7"))
+      .withColumn("content", lit("wavebeta marker"))
+      .write.parquet(s"$base/srcB")
+    val qb = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, s"$base/srcB", c0.schema),
+      s"$base/idx", s"$base/cpB")
+    try qb.processAllAvailable() finally qb.stop()
+    val e = new QueryEngine(IndexStore.load(spark, s"$base/idx"))
+    assert(e.searchF32(Seq(Fts("content", "wavealpha")), 1000).count() > 0L)
+    assert(e.searchF32(Seq(Fts("content", "wavebeta")), 1000).count() > 0L)
+  }
+
+  test("streaming compactEvery folds small epochs back into a bounded segment count") {
+    val base = java.nio.file.Files.createTempDirectory("graftstreamcpt").toString
+    val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"), 256, 2)
+    val c0 = CodeCorpus.generate(spark, 40, 2)
+    IndexStore.create(c0, config, s"$base/idx", "snap-0")
+    // three waves, compactEvery=1: every committed batch compacts, so
+    // the live segment count stays bounded instead of growing per batch
+    CodeCorpus.generate(spark, 50, 2).filter(col("path").contains("file_1"))
+      .write.parquet(s"$base/src")
+    val q = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, s"$base/src", c0.schema),
+      s"$base/idx", s"$base/cp", compactEvery = 1)
+    try {
+      q.processAllAvailable()
+      for (w <- 2 to 3) {
+        CodeCorpus.generate(spark, 40 + w * 10, 2)
+          .filter(col("path").contains(s"file_$w"))
+          .write.mode("append").parquet(s"$base/src")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (epochs, _, _) = IndexStore.readManifest(spark, s"$base/idx")
+    assert(epochs.map(_.path).distinct.size === 1,
+      s"expected a single compacted segment, got ${epochs.map(_.path).distinct}")
+    // and the data is all there, one live version per key
+    val idx = IndexStore.load(spark, s"$base/idx")
+    assert(idx.docs.groupBy("repo", "path", "commit").count()
+      .filter(col("count") > 1).count() === 0L)
   }
 }
