@@ -66,18 +66,39 @@ final case class HyperplaneSig(child: Expression, nBits: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if nBits < 1 || nBits > 63 =>
+      // > 63 would silently wrap `1L << p` (Java masks the shift count
+      // mod 64: plane 64 collides onto bit 0) while the DuckDB twin
+      // does not — a silent cross-engine divergence; < 1 would crash
+      // per-row at execution time. Fail at analysis instead.
+      TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig nBits must be in [1, 63], got $nBits")
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"hyperplane_sig expects an array<double> column, got ${t.simpleString}")
   }
   override def dataType: DataType = LongType
+  // NULL vector -> 0L, matching the HOF twin (every when(dot > 0)
+  // test fails on null -> otherwise(0L)) and the DuckDB oracle's CASE
+  // chain — default null propagation silently diverged on NULL rows
+  override def nullable: Boolean = false
   override def prettyName: String = "hyperplane_sig"
 
-  override def nullSafeEval(input: Any): Any =
-    VectorOps.hyperplaneSig(input.asInstanceOf[ArrayData], nBits)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else VectorOps.hyperplaneSig(v.asInstanceOf[ArrayData], nBits)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.hyperplaneSig($c, $nBits)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L :
+          graft.functions.VectorOps.hyperplaneSig(${c.value}, $nBits);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
@@ -128,34 +149,75 @@ object VectorOps {
   def hyperplaneSig(v: ArrayData, nBits: Int): Long = {
     val n = v.numElements()
     if (n == 0) return 0L
+    val xs = new Array[Double](n)
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return 0L
+      xs(i) = v.getDouble(i)
       i += 1
     }
-    val acc = new Array[Double](nBits)
-    i = 0
-    while (i < n) {
-      val x = v.getDouble(i)
-      var p = 0
-      while (p < nBits) {
+    // the (plane, element) sign matrix is data-independent — computing
+    // the 4-step mix per (element, plane) per ROW was ~10 redundant ALU
+    // ops around each multiply-add (nBits x dim x rows evaluations);
+    // the cached table keeps results bit-identical and turns the inner
+    // loop into a contiguous load + multiply-add. Per-bit accumulation
+    // still sees its terms in element order (the f64 exactness
+    // contract vs the HOF twin and the DuckDB oracle).
+    val tbl = signTable(nBits, n)
+    val stride = tbl.dim
+    val s = tbl.signs
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      val off = p * stride
+      var acc = 0.0d
+      var j = 0
+      while (j < n) { acc += xs(j) * s(off + j); j += 1 }
+      if (acc > 0.0d) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Lazily-grown per-JVM cache of the deterministic +-1 sign matrix,
+    * laid out signs(p * dim + i). Monotone growth: a table covering
+    * (nBits', dim') >= (nBits, dim) serves any smaller request via its
+    * own stride. Max size is 63 planes x dim doubles (~0.5 MB at
+    * dim 1024) — executor-resident, built once per JVM.
+    */
+  private final class SignTable(val nBits: Int, val dim: Int) {
+    val signs = new Array[Double](nBits * dim)
+    private var p = 0
+    while (p < nBits) {
+      var i = 0
+      while (i < dim) {
         var h = ((p.toLong * 1000003L + i) * 2654435761L) & 0xFFFFFFFFL
         h ^= h >>> 16
         h = (h * 40503L) & 0xFFFFFFFFL
         h ^= h >>> 13
-        val sign = if ((h & 1L) == 0L) 1.0d else -1.0d
-        acc(p) += x * sign
-        p += 1
+        signs(p * dim + i) = if ((h & 1L) == 0L) 1.0d else -1.0d
+        i += 1
       }
-      i += 1
-    }
-    var sig = 0L
-    var p = 0
-    while (p < nBits) {
-      if (acc(p) > 0.0d) sig |= (1L << p)
       p += 1
     }
-    sig
+  }
+
+  @volatile private var cachedSigns: SignTable = null
+
+  private def signTable(nBits: Int, dim: Int): SignTable = {
+    val t = cachedSigns
+    if (t != null && t.nBits >= nBits && t.dim >= dim) t
+    else this.synchronized {
+      val t2 = cachedSigns
+      if (t2 != null && t2.nBits >= nBits && t2.dim >= dim) t2
+      else {
+        val nt = new SignTable(
+          math.max(nBits, if (t2 == null) 0 else t2.nBits),
+          math.max(dim, if (t2 == null) 0 else t2.dim))
+        cachedSigns = nt
+        nt
+      }
+    }
   }
 
   /** Column wrappers. */

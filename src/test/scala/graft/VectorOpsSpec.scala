@@ -99,6 +99,41 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 17L).get.getLong(1) == 0L)
   }
 
+  test("hyperplane_sig on a NULL vector is 0L on both paths (not NULL)") {
+    // a NULL embedding row must land in band key 0 like the HOF twin
+    // and the DuckDB oracle's CASE chain — default unary null
+    // propagation gave NULL band keys on the Spark side only
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Seq(0.5d, -0.25d)),
+        org.apache.spark.sql.Row(2L, null))),
+      schema)
+    val out = df
+      .withColumn("native", Similarity.lshSignature(col("a"), 16))
+      .withColumn("hof", Similarity.hofLshSignature(col("a"), 16))
+      .orderBy("id").collect()
+    assert(!out(1).isNullAt(2) && out(1).getLong(2) === 0L, "native must be 0L, not NULL")
+    assert(out(1).getLong(2) === out(1).getLong(3))
+    assert(out(0).getLong(2) === out(0).getLong(3))
+  }
+
+  test("hyperplane_sig rejects nBits outside [1, 63] at analysis time") {
+    val rnd = new scala.util.Random(5)
+    val df = vecDf(Seq((0L, randVec(rnd, 8), randVec(rnd, 8))))
+    // > 63 would silently wrap 1L << p onto bit 0; < 1 would crash
+    // per-row mid-job — both must fail before execution
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.withColumn("s", Similarity.lshSignature(col("a"), 64)).collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.withColumn("s", Similarity.lshSignature(col("a"), 0)).collect())
+    // 63 is the last legal width
+    df.withColumn("s", Similarity.lshSignature(col("a"), 63)).collect()
+  }
+
   test("ivfCandidateCounts reports zero-candidate queries instead of dropping them") {
     // a single-vector corpus: the only query's probed cluster holds
     // only itself, so it has ZERO candidates — a bare groupBy would
