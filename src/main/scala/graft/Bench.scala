@@ -93,6 +93,34 @@ object Bench {
     dt
   }
 
+  /** Delete first-level children of `dirs` older than `ageMinutes` —
+    * the leaked-shuffle-dir reaper (tools/scaling.sh:36 ported to the
+    * entry point the driver gate actually invokes). Best-effort: any
+    * IO error is ignored, never fatal to the bench.
+    */
+  def purgeStaleTmp(dirs: Seq[String], ageMinutes: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
+    dirs.foreach { d =>
+      val base = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.isDirectory(base)) {
+        val children = java.nio.file.Files.list(base)
+        try children.forEach { p =>
+          try {
+            if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach { q =>
+                  try { java.nio.file.Files.deleteIfExists(q); () }
+                  catch { case _: Throwable => () }
+                }
+              finally walk.close()
+            }
+          } catch { case _: Throwable => }
+        } finally children.close()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -102,6 +130,12 @@ object Bench {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
       "/dev/shm/graft-tmp"
     } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    // purge stale shuffle dirs from KILLED runs before the session
+    // starts: leaked tmpfs pages count against host RAM forever and
+    // silently starve later heaps (the 106 GB incident, CLAUDE.md).
+    // Same >60-min guard as scaling.sh — old enough that no live Spark
+    // job still owns them.
+    purgeStaleTmp(Seq("/dev/shm/graft-tmp", "/dev/shm/spark-tmp"), ageMinutes = 60)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
@@ -111,7 +145,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sf = sfDir.split("sf").last.toDouble
+    // tolerate trailing slashes and sf-free custom dirs: a crashed
+    // bench emits NO JSON line, zeroing the round's perf evidence over
+    // a path-formatting nit
+    val sf = raw"sf(\d+(?:\.\d+)?)".r.findAllMatchIn(sfDir).toSeq.lastOption
+      .map(_.group(1).toDouble).getOrElse(0.0)
     val nCorpus = math.max(5000L, (sf * 500000).toLong) // sf0.1 -> 50k files
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -139,7 +177,9 @@ object Bench {
     val traffic0 = traffic.settle()
     val (idx1, tBuild1) = time(IndexBuilder.build(corpus, buildConfig))
     val trafficD = traffic.settle() - traffic0
-    idx1.unpersist()
+    // blocking: async drop would leave pass-1 blocks competing with
+    // pass 2 for storage memory, contaminating build_pass2_sec
+    idx1.unpersist(blocking = true)
     val (idx, tBuild2) = time(IndexBuilder.build(corpus, buildConfig))
     val trafficD2 = traffic.settle() - traffic0 - trafficD
     val tBuild = math.min(tBuild1, tBuild2)

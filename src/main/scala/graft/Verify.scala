@@ -15,11 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += 1
+        // a query that throws BEFORE .write must not leave a previous
+        // run's dump behind in a reused outDir — check_oracle.py would
+        // compare the STALE parquet and report a PASS the current code
+        // never produced (it FAILs loudly on a missing dir instead)
+        val p = Paths.get(s"$outDir/$name")
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach { q =>
+              try { Files.deleteIfExists(q); () } catch { case _: Throwable => () }
+            }
+          finally walk.close()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,5 +53,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // nonzero exit on any failed query: the gate must see the failure
+    // even if a comparer only checks the dumps it finds
+    if (failed > 0) {
+      System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -135,9 +135,16 @@ final class BuiltIndex(
     this
   }
 
-  def unpersist(): Unit = {
-    docs.unpersist(); postings.unpersist(); termStats.unpersist()
-    symspell.foreach(_.unpersist())
+  def unpersist(): Unit = unpersist(blocking = false)
+
+  /** blocking = true waits for the blocks to actually drop — required
+    * when the caller immediately starts competing work (e.g. Bench's
+    * second build pass) and async eviction would contaminate its
+    * storage-memory budget.
+    */
+  def unpersist(blocking: Boolean): Unit = {
+    docs.unpersist(blocking); postings.unpersist(blocking); termStats.unpersist(blocking)
+    symspell.foreach(_.unpersist(blocking))
   }
 }
 
