@@ -50,10 +50,22 @@ object OracleSql {
       |       JOIN nrm ON nrm.doc_id = tf.doc_id CROSS JOIN st
       |  GROUP BY 1)""".stripMargin
 
-  /** Exact-term qt CTE from (term, weight, group) triples. */
+  /** SQL string literal: single quotes doubled (DuckDB single-quoted
+    * strings are otherwise escape-free, so this is the only
+    * metacharacter). Every interpolated user term goes through here —
+    * a raw-column value legitimately contains apostrophes.
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Exact-term qt CTE from (term, weight, group) triples — deduped:
+    * the engine dedupes (field, term, group) keeping the first
+    * (compileUncached), so a repeated term must not double its BM25
+    * contribution on the oracle side only.
+    */
   def qtValues(terms: Seq[(String, Double, Int)]): String =
     "qt(term, w, grp) AS (VALUES " +
-      terms.map { case (t, w, g) => s"('$t', ${w}::DOUBLE, $g)" }.mkString(", ") + ")"
+      terms.distinct.map { case (t, w, g) => s"(${sqlLit(t)}, ${w}::DOUBLE, $g)" }
+        .mkString(", ") + ")"
 
   /** Top-k projection with the engine's total order. */
   def topK(k: Int, requiredGroups: Int): String =
@@ -102,8 +114,33 @@ object OracleSql {
     * cap or ordering change can't desynchronize one oracle from the
     * engine while the others still pass.
     */
-  private def prefixExpansionSql(prefix: String): String =
-    s"SELECT term FROM dict WHERE term LIKE '$prefix%' ORDER BY term LIMIT 1024"
+  private def prefixExpansionSql(prefix: String): String = {
+    // LIKE-escape % _ \ (the engine's startsWith is LITERAL — a prefix
+    // containing '_' must not act as a wildcard here), then quote
+    val esc = prefix.replace("\\", "\\\\").replace("%", "\\%")
+      .replace("_", "\\_").replace("'", "''")
+    s"SELECT term FROM dict WHERE term LIKE '$esc%' ESCAPE '\\' ORDER BY term LIMIT 1024"
+  }
+
+  /** The ONE fuzzy-expansion contract all levenshtein-based oracles
+    * share (mirrors QueryEngine.fuzzyExpandAll / fuzzyLookups): per
+    * token, candidates within maxDist by DuckDB levenshtein, lnx
+    * distance multipliers (1.0/0.8/0.6, apis/mod.rs:225-246), ordered
+    * (distance, term), capped at MaxExpansions=1024. `tag` emits an
+    * extra constant column (tok_idx for disjunction-merge dedupe, grp
+    * for conjunction groups). Kept single like prefixExpansionSql so a
+    * cap/ordering/multiplier change can't desynchronize one oracle
+    * from the engine while the others still pass.
+    */
+  private def fuzzyExpansionSql(tok: String, tagCol: String, tagVal: Int,
+      maxDist: Int = 2): String = {
+    val t = sqlLit(tok)
+    s"""SELECT * FROM (
+       |  SELECT term, (CASE levenshtein(term, $t) WHEN 0 THEN 1.0
+       |    WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $tagVal AS $tagCol
+       |  FROM dict WHERE levenshtein(term, $t) <= $maxDist
+       |  ORDER BY levenshtein(term, $t) ASC, term ASC LIMIT 1024)""".stripMargin
+  }
 
   /** Prefix query: one capped dictionary expansion. */
   def ftsPrefix(prefix: String, k: Int): String =
@@ -149,11 +186,7 @@ object OracleSql {
     */
   def fuzzy(tokens: Seq[String], k: Int): String = {
     val perTok = tokens.zipWithIndex.map { case (tok, i) =>
-      s"""SELECT * FROM (
-         |  SELECT term, (CASE levenshtein(term, '$tok') WHEN 0 THEN 1.0
-         |    WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $i AS tok_idx
-         |  FROM dict WHERE levenshtein(term, '$tok') <= 2
-         |  ORDER BY levenshtein(term, '$tok') ASC, term ASC LIMIT 1024)""".stripMargin
+      fuzzyExpansionSql(tok, "tok_idx", i)
     }
     s"""WITH $scaffold,
        |cand AS (${perTok.mkString(" UNION ALL ")}),
@@ -171,11 +204,7 @@ object OracleSql {
     */
   def fuzzyConj(clauseTokens: Seq[String], k: Int): String = {
     val perClause = clauseTokens.zipWithIndex.map { case (tok, g) =>
-      s"""SELECT * FROM (
-         |  SELECT term, (CASE levenshtein(term, '$tok') WHEN 0 THEN 1.0
-         |    WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, $g AS grp
-         |  FROM dict WHERE levenshtein(term, '$tok') <= 2
-         |  ORDER BY levenshtein(term, '$tok') ASC, term ASC LIMIT 1024)""".stripMargin
+      fuzzyExpansionSql(tok, "grp", g)
     }
     s"""WITH $scaffold,
        |qt AS (${perClause.mkString(" UNION ALL ")}),
@@ -192,26 +221,35 @@ object OracleSql {
        |qt AS (SELECT term, 1.0::DOUBLE AS w, 0 AS grp
        |       FROM (${prefixExpansionSql(prefix)})
        |       UNION ALL
-       |       SELECT * FROM (
-       |         SELECT term, (CASE levenshtein(term, '$fuzzyTok') WHEN 0 THEN 1.0
-       |           WHEN 1 THEN 0.8 ELSE 0.6 END)::DOUBLE AS w, 1 AS grp
-       |         FROM dict WHERE levenshtein(term, '$fuzzyTok') <= 2
-       |         ORDER BY levenshtein(term, '$fuzzyTok') ASC, term ASC LIMIT 1024)),
+       |       ${fuzzyExpansionSql(fuzzyTok, "grp", 1)}),
        |$scorer
        |${topK(k, 2)}""".stripMargin
 
-  /** levenshtein(): boolean match, score 1.0 (apis/mod.rs:249-266). */
-  def lev(token: String, k: Int): String =
+  /** levenshtein(): boolean match, score 1.0 (apis/mod.rs:249-266).
+    * Matches via the SAME capped expansion the engine uses (LevC routes
+    * through fuzzyLookups): an uncapped `WHERE levenshtein <= d` oracle
+    * silently diverges once a dictionary holds > MaxExpansions terms
+    * within distance d of the token.
+    */
+  def lev(token: String, k: Int, maxDist: Int = 2): String =
     s"""WITH $scaffold,
-       |m AS (SELECT DISTINCT tf.doc_id FROM tf
-       |      WHERE levenshtein(tf.term, '$token') <= 2)
+       |cand AS (${fuzzyExpansionSql(token, "grp", 0, maxDist)}),
+       |m AS (SELECT DISTINCT tf.doc_id FROM tf JOIN cand USING (term))
        |SELECT doc_id, 1.0::DOUBLE AS score FROM m ORDER BY doc_id ASC LIMIT $k""".stripMargin
 
-  /** regex(): pattern vs whole terms, score 1.0 (apis/mod.rs:269-281). */
+  /** regex(): pattern vs whole terms, score 1.0 (apis/mod.rs:269-281),
+    * through the engine's term-ordered MaxExpansions cap
+    * (QueryEngine.regexExpand). Dialect scope: DuckDB evaluates RE2,
+    * the engine evaluates Java regex (`rlike`) — gated patterns must
+    * stay inside the common subset (no lookarounds/backreferences/
+    * possessive quantifiers; see tools/check_oracle gotchas).
+    */
   def regex(pattern: String, k: Int): String =
     s"""WITH $scaffold,
-       |m AS (SELECT DISTINCT tf.doc_id FROM tf
-       |      WHERE regexp_full_match(tf.term, '$pattern'))
+       |cand AS (SELECT term FROM dict
+       |         WHERE regexp_full_match(term, ${sqlLit(pattern)})
+       |         ORDER BY term LIMIT 1024),
+       |m AS (SELECT DISTINCT tf.doc_id FROM tf JOIN cand USING (term))
        |SELECT doc_id, 1.0::DOUBLE AS score FROM m ORDER BY doc_id ASC LIMIT $k""".stripMargin
 
   /** Score threshold: fts(...) > t (apis/mod.rs:221). */
@@ -228,9 +266,10 @@ object OracleSql {
     * the SQL mirror of SymSpell.pickBest + QueryEngine.correct.
     */
   def fastFuzzy(tokens: Seq[String], k: Int): String = {
-    val corr = tokens.map { t =>
-      s"""SELECT coalesce((SELECT d.term FROM dict d WHERE levenshtein(d.term, '$t') <= 2
-         |  ORDER BY levenshtein(d.term, '$t') ASC, d.df DESC, d.term ASC LIMIT 1), '$t')""".stripMargin
+    val corr = tokens.map { tok =>
+      val t = sqlLit(tok)
+      s"""SELECT coalesce((SELECT d.term FROM dict d WHERE levenshtein(d.term, $t) <= 2
+         |  ORDER BY levenshtein(d.term, $t) ASC, d.df DESC, d.term ASC LIMIT 1), $t)""".stripMargin
     }
     s"""WITH $scaffold,
        |qt AS (SELECT DISTINCT c.t AS term, 1.0::DOUBLE AS w, 0 AS grp

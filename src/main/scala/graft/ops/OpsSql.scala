@@ -48,7 +48,10 @@ object OpsSql {
   def minhashPerm(h: Column, i: Column): Column =
     (((i * 2 + 1) * (h % MinhashP)) + (i * 101 + 17)) % MinhashP
   def minhashPermDuck(h: String, i: String): String =
-    s"((($i * 2 + 1) * (($h) % $MinhashP)) + ($i * 101 + 17)) % $MinhashP"
+    // ($i) parenthesized like ($h): a compound operand (e.g. "perm - 1")
+    // must not silently rebind precedence on the DuckDB side of a
+    // bit-identical-twin contract
+    s"(((($i) * 2 + 1) * (($h) % $MinhashP)) + (($i) * 101 + 17)) % $MinhashP"
 
   /** Bounded-bucket split hash, salted per band. Every dedup/similarity
     * blocking op splits buckets above its size bound into
@@ -75,5 +78,5 @@ object OpsSql {
   def subSplit(splitHash: Column, sizeExpr: String, maxBucket: Int): Column =
     pmod(splitHash, expr(s"($sizeExpr + ${maxBucket - 1}) div $maxBucket"))
   def subSplitDuck(hashExpr: String, sizeExpr: String, maxBucket: Int): String =
-    s"($hashExpr) % (($sizeExpr + ${maxBucket - 1}) // $maxBucket)"
+    s"($hashExpr) % ((($sizeExpr) + ${maxBucket - 1}) // $maxBucket)"
 }

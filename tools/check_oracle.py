@@ -25,7 +25,13 @@ for name, sql in sorted(oracles.items()):
         exp = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
-    got = con.execute(f"SELECT * FROM '{got_dir}/*.parquet'").fetchdf()
+    try:
+        # a killed/partial Verify run can leave a dir with only _SUCCESS
+        # or a truncated part file — that must FAIL this query and keep
+        # checking the rest, not abort the whole gate mid-loop
+        got = con.execute(f"SELECT * FROM '{got_dir}/*.parquet'").fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: unreadable spark output: {e}"); fail += 1; continue
     # driver semantics: sort columns by name, compare values
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
