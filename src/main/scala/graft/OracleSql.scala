@@ -23,8 +23,14 @@ object OracleSql {
     * subset, so corpus stats must come from the filtered view, exactly
     * as a compacted store recomputes them from live postings).
     */
-  def scaffoldOver(docs: String): String = {
-    val toks = Analyzer.tokensSqlDuck("text")
+  def scaffoldOver(docs: String): String =
+    scaffoldTokens(docs, Analyzer.tokensSqlDuck("text"))
+
+  /** The scaffold over an arbitrary token-array expression — the
+    * tokenizer is the only thing that differs between the default,
+    * whitespace, and raw scaffolds.
+    */
+  private def scaffoldTokens(docs: String, toks: String): String = {
     val nid = Fieldnorm.encodeSql("len", duck = true)
     val dnorm = Fieldnorm.decodeSql("nid", duck = true)
     s"""tok AS (SELECT doc_id, unnest($toks) AS term FROM $docs),
@@ -37,6 +43,17 @@ object OracleSql {
   }
 
   val scaffold: String = scaffoldOver("documents")
+
+  /** fts over a whitespace-tokenized text column (Tokenizers v3
+    * semantics: Unicode White_Space split, case preserved, codepoint
+    * length cap) — gates the whitespace tokenizer end-to-end against
+    * DuckDB, fieldnorms included.
+    */
+  def ftsWhitespace(terms: Seq[String], k: Int): String =
+    s"""WITH ${scaffoldTokens("documents", Analyzer.whitespaceTokensSqlDuck("text"))},
+       |${qtValues(terms.map(t => (t, 1.0, 0)))},
+       |$scorer
+       |${topK(k, 1)}""".stripMargin
 
   /** BM25 score sum + matched-group count over a weighted term set CTE
     * `qt(term, w, grp)`.

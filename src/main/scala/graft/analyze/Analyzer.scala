@@ -92,6 +92,16 @@ object Analyzer {
   def tokensSqlDuck(col: String): String =
     s"list_filter(regexp_split_to_array(lower(regexp_replace($col, '([a-z0-9])([A-Z])', " +
       raw"'\1 \2', 'g')), '[^a-z0-9]+'), t -> t <> '' AND length(t) <= $MaxTokenLen)"
+
+  /** DuckDB twin of the `whitespace` tokenizer (Tokenizers.tokenize):
+    * split on Unicode White_Space runs (RE2 class mirroring WsPat —
+    * controls 09-0D, NEL, LS/PS, category Zs), case preserved, cap in
+    * codepoints like DuckDB's length().
+    */
+  def whitespaceTokensSqlDuck(col: String): String =
+    raw"list_filter(regexp_split_to_array($col, " +
+      raw"'[\t\n\x{000B}\f\r\x{0085}\x{2028}\x{2029}\p{Zs}]+'), " +
+      s"t -> t <> '' AND length(t) <= $MaxTokenLen)"
 }
 
 /** Per-column tokenizer registry — the engine-side analogue of the
