@@ -93,6 +93,26 @@ object Bench {
     dt
   }
 
+  /** The shared bench local-dir policy, used by every harness main:
+    * honor SPARK_GRAFT_LOCAL_DIR first (tmpfs pages count against host
+    * RAM — an exchange that no longer fits beside the heap must be
+    * routable to disk), shuffle on /dev/shm/graft-tmp otherwise (the VM
+    * disk thrashes under concurrent shuffle writers, BENCH.md), and
+    * ALWAYS purge stale leftovers from killed runs first: leaked tmpfs
+    * pages silently starve later heaps (the 106 GB incident,
+    * CLAUDE.md). Same >60-min guard as scaling.sh — old enough that no
+    * live Spark job still owns them.
+    */
+  def benchLocalDir(): String = {
+    purgeStaleTmp(Seq("/dev/shm/graft-tmp", "/dev/shm/spark-tmp"), ageMinutes = 60)
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
+        "/dev/shm/graft-tmp"
+      } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    }
+  }
+
   /** Delete first-level children of `dirs` older than `ageMinutes` —
     * the leaked-shuffle-dir reaper (tools/scaling.sh:36 ported to the
     * entry point the driver gate actually invokes). Best-effort: any
@@ -124,18 +144,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // shuffle/spill on tmpfs: the sandbox VM disk thrashes under many
-    // concurrent shuffle writers (BENCH.md)
-    val localDir = try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-      "/dev/shm/graft-tmp"
-    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
-    // purge stale shuffle dirs from KILLED runs before the session
-    // starts: leaked tmpfs pages count against host RAM forever and
-    // silently starve later heaps (the 106 GB incident, CLAUDE.md).
-    // Same >60-min guard as scaling.sh — old enough that no live Spark
-    // job still owns them.
-    purgeStaleTmp(Seq("/dev/shm/graft-tmp", "/dev/shm/spark-tmp"), ageMinutes = 60)
+    val localDir = benchLocalDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)

@@ -34,12 +34,7 @@ object EpochBench {
     val epochDocs = if (args.length > 1) args(1).toLong else 1000000L
     val nEpochs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
-      try {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-        "/dev/shm/graft-tmp"
-      } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
-    }
+    val localDir = Bench.benchLocalDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
@@ -61,6 +56,11 @@ object EpochBench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val traffic = new BuildTraffic
     spark.sparkContext.addSparkListener(traffic)
+
+    // markers bracket the run — a shift during the long create/append
+    // legs must show as start/end drift (see StoreBench)
+    results("calib_sec_start") = Bench.calibrate()
+    results("mem_calib_sec_start") = Bench.calibrateMem()
 
     val (_, tCreate) = Bench.time {
       IndexStore.create(CodeCorpus.generateRange(spark, 0L, baseDocs, parts),

@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Second scale point for the training-data ops (VERDICT r02 task 9):
   * the driver bench times minhash/LSH only at sf0.1 (50k docs), which
@@ -94,10 +93,10 @@ object OpsBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val localDir = try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-      "/dev/shm/graft-tmp"
-    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    // shared policy: SPARK_GRAFT_LOCAL_DIR honored (the sibling
+    // harnesses' disk escape hatch applies to the 1M-doc LSH exchanges
+    // too), stale leftovers purged
+    val localDir = Bench.benchLocalDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)

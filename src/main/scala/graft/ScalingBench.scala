@@ -85,7 +85,12 @@ object ScalingBench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "80000").toLong
     if (args.length >= 1) {
       val strategy = if (args.length > 1) args(1) else graft.index.DocIdStrategy.KeyRange
-      val r = runLevel(args(0).toInt, nDocs, strategy)
+      // CLI levels run one JVM each, back-to-back — partitions must be
+      // PINNED (128, same default scaling.sh exports) or each level
+      // runs a DIFFERENT job (59.9 vs 70.2 shuffle-write MB measured
+      // at 32 vs 128 parts) and the efficiency curve is invalid
+      val pinnedCli = Some(sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt).getOrElse(128))
+      val r = runLevel(args(0).toInt, nDocs, strategy, partsOverride = pinnedCli)
       val t = r.traffic
       // LEVEL <cores> <buildSec> <filesPerSec> <queryBatchSec> <calibSec>
       //   <memCalibSec> <inputMB> <shufWriteMB> <shufReadMB> <spillMB>

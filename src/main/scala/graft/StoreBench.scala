@@ -28,16 +28,10 @@ object StoreBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 8000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // tmpfs shuffle by default, but overridable: tmpfs pages count
-    // against host RAM, and a corpus-size × strategy combination whose
-    // exchange no longer fits beside the heap (27M keyRange = ~20 GB)
-    // must go to disk instead of meeting the OOM killer
-    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
-      try {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-        "/dev/shm/graft-tmp"
-      } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
-    }
+    // shared policy (override -> tmpfs -> tmpdir, stale dirs purged):
+    // a 27M keyRange exchange (~20 GB) must be routable to disk
+    // instead of meeting the OOM killer
+    val localDir = Bench.benchLocalDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
@@ -62,6 +56,12 @@ object StoreBench {
     val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"),
       shardDocs = 65536, buildPartitions = parts, docIdStrategy = strategy)
     val dir = java.nio.file.Files.createTempDirectory("graftstorebench").toString
+    // regime markers BRACKET the run (start here, end below): a
+    // mid-run host shift must show as start/end drift, not hide behind
+    // one healthy end-of-run sample while the multi-minute create leg
+    // ran degraded
+    val calibStart = Bench.calibrate()
+    val memCalibStart = Bench.calibrateMem()
     val (_, tCreate) = Bench.time {
       IndexStore.create(corpus, config, dir).unpersist()
     }
@@ -152,6 +152,8 @@ object StoreBench {
     // the same per-run regime markers every other harness emits: without
     // them a cross-session comparison of these numbers is meaningless
     // on this host (CLAUDE.md)
+    results("calib_sec_start") = calibStart
+    results("mem_calib_sec_start") = memCalibStart
     results("calib_sec") = Bench.calibrate()
     results("mem_calib_sec") = Bench.calibrateMem()
 
