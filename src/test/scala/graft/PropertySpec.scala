@@ -150,4 +150,50 @@ class PropertySpec extends AnyFunSuite {
         graft.analyze.Analyzer.tokenizeRegex(s).toSeq, s"input: '$s'")
     }
   }
+
+  test("property: driver Levenshtein == Spark builtin on random Unicode (incl. astral)") {
+    // the fuzzy stack's agreement contract (Levenshtein.scala doc):
+    // the plan filters with Spark's codepoint-based levenshtein, the
+    // driver re-verifies with the banded DP — a granularity mismatch
+    // silently drops plan-admitted candidates. Alphabet mixes ASCII,
+    // BMP non-ASCII, and astral (surrogate-pair) codepoints, hitting
+    // both the char fast path and the codepoint path.
+    val cpGen = Gen.frequency(
+      (5, Gen.oneOf('a'.toInt, 'b'.toInt, 'c'.toInt)),
+      (2, Gen.oneOf(0xE9, 0x4E2D)),          // é, 中 (BMP)
+      (2, Gen.oneOf(0x1F600, 0x1F680)))      // 😀, 🚀 (astral)
+    val strGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, cpGen).map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val pairs = samples(Gen.zip(strGen, strGen), 150).distinct
+    val sparkDists = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    pairs.zip(sparkDists).foreach { case ((a, b), sd) =>
+      val want = math.min(sd, 3)
+      assert(graft.analyze.Levenshtein.distance(a, b, 2) === want,
+        s"a='$a' b='$b' spark=$sd")
+    }
+  }
+
+  test("property: SymSpell depth-2 delete variants stay complete over astral codepoints") {
+    // completeness invariant: d(a, b) <= 2 => deletes2(a) intersects
+    // deletes2(b) — the prefilter must not lose candidates when terms
+    // carry surrogate pairs (a char-granular delete would split them)
+    val cpGen = Gen.frequency(
+      (4, Gen.oneOf('x'.toInt, 'y'.toInt)),
+      (3, Gen.oneOf(0x1F600, 0x1F680, 0x1F4A9)))
+    val strGen = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, cpGen).map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    val terms = samples(strGen, 60).distinct
+    for (a <- terms; b <- terms) {
+      if (graft.analyze.Levenshtein.distance(a, b, 2) <= 2) {
+        val ia = graft.analyze.SymSpell.deletes(a)
+        val ib = graft.analyze.SymSpell.deletes(b)
+        assert((ia & ib).nonEmpty, s"no shared variant for '$a' / '$b'")
+      }
+    }
+  }
 }
