@@ -12,10 +12,7 @@ object PhaseBench {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val nDocs = args(1).toLong
-    val localDir = try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-      "/dev/shm/graft-tmp"
-    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    val localDir = Bench.benchLocalDir()
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)

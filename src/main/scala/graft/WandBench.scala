@@ -24,10 +24,7 @@ object WandBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val localDir = try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
-      "/dev/shm/graft-tmp"
-    } catch { case _: Throwable => System.getProperty("java.io.tmpdir", "/tmp") }
+    val localDir = Bench.benchLocalDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
