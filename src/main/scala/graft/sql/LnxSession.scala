@@ -247,6 +247,15 @@ final class LnxSession(val spark: SparkSession) {
     // one, and search SELECTs' docs-join would produce a duplicate
     if (df.columns.exists(_.equalsIgnoreCase("score")))
       throw ParseException("column name 'score' is reserved for score()", -1)
+    // the same PK contract runCreate enforces: with EMPTY keyCols the
+    // INSERT upsert anti-join has no condition — every existing row
+    // "matches" and the whole table is silently replaced by the batch;
+    // a key/field absent from df would die later with an opaque
+    // AnalysisException instead of failing here
+    if (keyCols.isEmpty)
+      throw ParseException(s"register($name) needs at least one key column", -1)
+    (keyCols ++ fields).find(c => !df.columns.contains(c)).foreach(c =>
+      throw ParseException(s"register($name): column $c is not in the DataFrame", -1))
     val defs = df.schema.fields.map(f =>
       ColumnDef(f.name, f.dataType.simpleString, keyCols.contains(f.name), false, None, false))
     putTable(name, TableState(df,
@@ -292,6 +301,10 @@ final class LnxSession(val spark: SparkSession) {
       if (ct.ifNotExists) return status(s"table ${ct.table} exists")
       throw ParseException(s"table ${ct.table} already exists", -1)
     }
+    // duplicate column names would build a StructType whose first use
+    // dies with AMBIGUOUS_REFERENCE deep in analysis — fail at DDL time
+    ct.columns.map(_.name).diff(ct.columns.map(_.name).distinct).headOption.foreach(c =>
+      throw ParseException(s"duplicate column $c in CREATE TABLE ${ct.table}", -1))
     val schema = StructType(ct.columns.map { c =>
       val base = sparkType(c.tpe)
       StructField(c.name, if (c.isArray) ArrayType(base) else base, nullable = !c.primaryKey)
@@ -489,6 +502,10 @@ final class LnxSession(val spark: SparkSession) {
     // (the row would store with the real column null and the value gone)
     in.cols.find(c => !byName.contains(c)).foreach(c =>
       throw ParseException(s"unknown column $c in INSERT into ${in.table}", -1))
+    // same rationale for a REPEATED column: toMap's last-wins would
+    // silently drop the earlier value
+    in.cols.diff(in.cols.distinct).headOption.foreach(c =>
+      throw ParseException(s"duplicate column $c in INSERT into ${in.table}", -1))
     val newRows = in.rows.map { vals =>
       if (vals.length != in.cols.length) // ParseException, not require: the
         // dialect's error contract is ParseException for every bad statement
@@ -502,17 +519,10 @@ final class LnxSession(val spark: SparkSession) {
         checkNotNull(required, f.name, normalize(tpeByName.getOrElse(f.name, ""), raw))
       })
     }
-    val pk = t.config.keyCols
-    // a batch may repeat a PK ("INSERT ... VALUES (1,'a'),(1,'b')"):
-    // upsert means the LAST write wins (apis/mod.rs:81-82, Cassandra
-    // analogy) — without the dedup both rows would survive the
-    // anti-join and the unique-key docId-determinism invariant breaks
-    val deduped = dedupeByPk(newRows, schema, pk)
-    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(deduped.toList), schema)
-    // INSERT is always UPSERT by PK (apis/mod.rs:81-82)
-    t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
-    noteMutation(t)
-    status(s"upserted ${deduped.size} rows into ${in.table}")
+    // INSERT is always UPSERT by PK; within a batch the LAST write wins
+    // (apis/mod.rs:81-82, Cassandra analogy)
+    val n = upsertRows(t, newRows)
+    status(s"upserted $n rows into ${in.table}")
   }
 
   /** Last-occurrence-wins PK dedup of a driver-side row batch,
@@ -522,9 +532,33 @@ final class LnxSession(val spark: SparkSession) {
       pk: Seq[String]): Seq[Row] = {
     if (pk.isEmpty) return rows
     val pkIdx = pk.map(schema.fieldIndex)
-    def keyOf(r: Row): Seq[Any] = pkIdx.map(r.get)
+    // Array[Byte] compares by IDENTITY inside a Seq key — a bytea PK
+    // would never dedup (both copies of a repeated key survive and the
+    // unique-key docId-determinism invariant breaks); wrap binary
+    // values in a value-comparable Seq
+    def keyVal(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
+    def keyOf(r: Row): Seq[Any] = pkIdx.map(i => keyVal(r.get(i)))
     val lastIdx = rows.zipWithIndex.map { case (r, i) => keyOf(r) -> i }.toMap
     rows.zipWithIndex.collect { case (r, i) if lastIdx(keyOf(r)) == i => r }
+  }
+
+  /** The ONE upsert tail both ingress paths share (SQL INSERT and
+    * payload ingest): last-write-wins PK dedup of the normalized batch,
+    * PK anti-join against the current rows, union. Returns the number
+    * of surviving rows. Keeping this single means the two paths cannot
+    * drift on upsert semantics.
+    */
+  private def upsertRows(t: TableState, rows: Seq[Row]): Int = {
+    val schema = t.rows.schema
+    val pk = t.config.keyCols
+    val deduped = dedupeByPk(rows, schema, pk)
+    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(deduped.toList), schema)
+    t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
+    noteMutation(t)
+    deduped.size
   }
 
   private def colFilter(p: ColPred, params: Seq[Lit], t: TableState): Column = {
@@ -581,22 +615,27 @@ final class LnxSession(val spark: SparkSession) {
   def ingest(tableName: String, format: String, payload: Array[Byte]): DataFrame = {
     val t = table(tableName)
     val schema = t.rows.schema
+    val byName = schema.fields.map(f => f.name -> f).toMap
     val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
+    // the same DEFAULT semantics as SQL INSERT: a document that omits
+    // (or nulls — wire formats can't distinguish the two) a defaulted
+    // column stores the default, not NULL; ingress paths must agree on
+    // what the same logical document means (DocDecode contract)
+    val defaults: Map[String, Any] = t.columns.flatMap(c =>
+      c.default.map(d => c.name -> litValue(d, byName(c.name).dataType))).toMap
     // decodeLocal: msgpack rows decode on the driver and stay there (no
     // parallelize -> collect job per request body)
     val decoded = graft.sources.DocDecode.decodeLocal(spark, format, payload, schema)
     val required = requiredCols(t)
     val newRows = decoded.map { r =>
-      Row.fromSeq(schema.fields.toSeq.map(f =>
-        checkNotNull(required, f.name,
-          normalize(tpeByName.getOrElse(f.name, ""), r.getAs[Any](f.name)))))
+      Row.fromSeq(schema.fields.toSeq.map { f =>
+        val raw = Option(r.getAs[Any](f.name)).orElse(defaults.get(f.name)).getOrElse(null)
+        checkNotNull(required, f.name, normalize(tpeByName.getOrElse(f.name, ""), raw))
+      })
     }
-    val pk = t.config.keyCols
-    val deduped = dedupeByPk(newRows, schema, pk) // last write wins within a payload
-    val newDf = spark.createDataFrame(spark.sparkContext.parallelize(deduped.toList), schema)
-    t.rows = t.rows.join(newDf.select(pk.map(col): _*), pk, "left_anti").unionByName(newDf)
-    noteMutation(t)
-    status(s"ingested ${deduped.size} documents into $tableName")
+    // last write wins within a payload — the shared upsert tail
+    val n = upsertRows(t, newRows)
+    status(s"ingested $n documents into $tableName")
   }
 
   /** Partition a WHERE into (searches, colPreds, scorePreds) and apply
@@ -880,16 +919,37 @@ final class LnxSession(val spark: SparkSession) {
 
     // ORDER BY may reference a SELECT alias (e.g. score() AS s)
     val resolvedOrder = s.orderBy.map { case (n, asc) => (aliasTarget.getOrElse(n, n), asc) }
+    // the tie-break chain pinning a TOTAL order: Spark's distributed
+    // sort is not stable, so a LIMIT boundary cutting a tie group would
+    // return different row sets per run without it — docId on search
+    // frames (== key order under keyRange, the oracle tie-break), the
+    // PK columns otherwise
+    def tieBreak(df: DataFrame): Seq[Column] =
+      if (df.columns.contains("docId")) Seq(col("docId").asc)
+      else t.config.keyCols.filter(df.columns.contains(_)).map(col(_).asc)
     val ordered = resolvedOrder match {
       case Some(("score", asc)) =>
-        if (asc) filtered.orderBy(col("score").asc) else orderByScore(filtered)
-      case Some((c, asc)) => filtered.orderBy(if (asc) col(c).asc else col(c).desc)
+        if (asc) filtered.orderBy(col("score").asc +: tieBreak(filtered): _*)
+        else orderByScore(filtered)
+      case Some((c, asc)) =>
+        // unknown column -> the dialect's error contract, not a raw
+        // AnalysisException out of eager Dataset analysis
+        if (!filtered.columns.contains(c))
+          throw ParseException(s"unknown column $c in ORDER BY", -1)
+        val key = if (asc) col(c).asc else col(c).desc
+        filtered.orderBy(key +: tieBreak(filtered): _*)
       case None if searches.nonEmpty => orderByScore(filtered)
       case None => filtered
     }
     val limited = ordered.limit(limit)
     val projected = s.cols.flatMap {
       case StarCol => t.rows.columns.toSeq.map(c => outputCol(t, c))
+      case NamedCol(n, a) if n.equalsIgnoreCase("score") =>
+        // 'score' is reserved at CREATE/register, so the bare name can
+        // only mean the ranking signal — same resolution ORDER BY
+        // already applies; the sparse-field fallback below would
+        // silently return all-NULLs for the one column that IS present
+        Seq(a.fold(col("score").as(n))(al => col("score").as(al)))
       case NamedCol(n, a) =>
         // documents are sparse: a selected field no document carries is
         // null, not an error (apis/mod.rs:124-127; the reference's own

@@ -887,4 +887,62 @@ class LnxSqlSpec extends AnyFunSuite {
     sess.execute("INSERT INTO gd (id) VALUES (1)")
     assert(sess.execute("SELECT n FROM gd").collect()(0).getLong(0) === 7L)
   }
+
+  test("bytea PRIMARY KEY upserts by VALUE, not array identity") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE bk (k bytea PRIMARY KEY, v text)")
+    // same-batch repeat: last write wins, ONE row survives (Array[Byte]
+    // identity comparison kept both and broke the unique-PK invariant)
+    sess.execute("INSERT INTO bk (k, v) VALUES ('a', 'x'), ('a', 'y')")
+    val rows = sess.execute("SELECT v FROM bk").collect()
+    assert(rows.length === 1, s"duplicate binary PK must collapse, got ${rows.length} rows")
+    assert(rows(0).getString(0) === "y")
+    // cross-statement upsert by value too
+    sess.execute("INSERT INTO bk (k, v) VALUES ('a', 'z')")
+    val rows2 = sess.execute("SELECT v FROM bk").collect()
+    assert(rows2.length === 1 && rows2(0).getString(0) === "z")
+  }
+
+  test("ingest applies DEFAULTs like SQL INSERT (one meaning per document, any ingress)") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ind (id bigint PRIMARY KEY, status text DEFAULT 'new', n uint32 DEFAULT 7)")
+    sess.ingest("ind", graft.sources.DocDecode.Json,
+      """{"id": 1}""".getBytes("UTF-8"))
+    val r = sess.execute("SELECT status, n FROM ind").collect()(0)
+    assert(r.getString(0) === "new" && r.getLong(1) === 7L)
+  }
+
+  test("register validates key/field columns up front") {
+    import spark.implicits._
+    val sess = new LnxSession(spark)
+    val df = Seq((1L, "t")).toDF("doc_id", "text")
+    // empty keyCols: the upsert anti-join would silently REPLACE the
+    // whole table with each batch
+    intercept[ParseException](sess.register("r0", df, Seq.empty, Seq("text")))
+    intercept[ParseException](sess.register("r1", df, Seq("nope"), Seq("text")))
+    intercept[ParseException](sess.register("r2", df, Seq("doc_id"), Seq("nope")))
+  }
+
+  test("duplicate column names are ParseException at the statement, not analysis blowups later") {
+    val sess = new LnxSession(spark)
+    intercept[ParseException](sess.execute(
+      "CREATE TABLE dup (id bigint PRIMARY KEY, a text, a text)"))
+    sess.execute("CREATE TABLE dup2 (id bigint PRIMARY KEY, v text)")
+    // repeated INSERT column: toMap last-wins would silently drop 'a'
+    intercept[ParseException](sess.execute(
+      "INSERT INTO dup2 (id, v, v) VALUES (1, 'a', 'b')"))
+  }
+
+  test("ORDER BY: unknown column is ParseException; bare 'score' projects the ranking signal") {
+    val sess = new LnxSession(spark)
+    sess.execute("CREATE TABLE ob (id bigint PRIMARY KEY, t text)")
+    sess.execute("INSERT INTO ob (id, t) VALUES (1, 'alpha beta'), (2, 'alpha gamma')")
+    intercept[ParseException](sess.execute("SELECT id FROM ob ORDER BY nosuch"))
+    // bare `score` (no parens) = the ranking signal, same as ORDER BY
+    val r = sess.execute("SELECT id, score FROM ob WHERE fts(t, 'alpha') ORDER BY score DESC")
+      .collect()
+    assert(r.length === 2)
+    assert(!r(0).isNullAt(1), "bare 'score' must project the real score, not NULL")
+    assert(r(0).getFloat(1) > 0.0f)
+  }
 }
