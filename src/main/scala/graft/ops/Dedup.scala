@@ -305,44 +305,61 @@ object Dedup {
     // released, so no recomputation cascades through unpersisted plans.
     var curStore = assign.select(col("id"), col("rep")).persist(lvl)
     var cur = curStore
-    var rounds = 0
-    var moved = 1L
-    while (moved > 0 && rounds < maxRounds) {
-      // left_outer: a rep with no row of its own is a root — keep the
-      // pointer as-is (inner would DROP the row from the closure)
-      val jumped = cur
-        .join(cur.select(col("id").as("rid"), col("rep").as("rrep")),
-          col("rep") === col("rid"), "left_outer")
-        .select(col("id"), coalesce(col("rrep"), col("rep")).as("rep"),
-          (col("rrep").isNotNull && col("rep") =!= col("rrep")).as("moved"))
-        .persist(lvl)
-      moved = jumped.filter(col("moved")).count()
-      if (moved == 0) {
-        jumped.unpersist(blocking = false)
-      } else {
-        curStore.unpersist(blocking = false)
-        curStore = jumped
-        cur = jumped.select("id", "rep")
-        rounds += 1
+    // any throw below (a lost executor mid-count, the maxRounds error)
+    // must release whatever is pinned at that moment — the same
+    // session-lifetime residue scoped() guards against for the sibling
+    // ops; jumpedLive tracks the round frame between persist and its
+    // adoption as curStore
+    var jumpedLive: DataFrame = null
+    try {
+      var rounds = 0
+      var moved = 1L
+      while (moved > 0 && rounds < maxRounds) {
+        // left_outer: a rep with no row of its own is a root — keep the
+        // pointer as-is (inner would DROP the row from the closure)
+        val jumped = cur
+          .join(cur.select(col("id").as("rid"), col("rep").as("rrep")),
+            col("rep") === col("rid"), "left_outer")
+          .select(col("id"), coalesce(col("rrep"), col("rep")).as("rep"),
+            (col("rrep").isNotNull && col("rep") =!= col("rrep")).as("moved"))
+          .persist(lvl)
+        jumpedLive = jumped
+        moved = jumped.filter(col("moved")).count()
+        if (moved == 0) {
+          jumped.unpersist(blocking = false)
+          jumpedLive = null
+        } else {
+          curStore.unpersist(blocking = false)
+          curStore = jumped
+          jumpedLive = null
+          cur = jumped.select("id", "rep")
+          rounds += 1
+        }
       }
-    }
-    if (moved > 0) {
-      curStore.unpersist(blocking = false) // don't leak the cache on the failure path
-      throw new IllegalStateException(
-        s"resolveReps: pointers still moving after $maxRounds rounds — " +
-          "the assignment violates rep <= id (cycle) or chains are deeper than 2^maxRounds")
-    }
-    if (cur eq curStore) cur
-    else {
-      // after >=1 round `cur` is a projection over the persisted 3-col
-      // (id, rep, moved) frame: returning it would make the caller's
-      // unpersist() a silent no-op (different plan) and leak the N-row
-      // cache per call. Re-persist the slim 2-col result (one cache-read
-      // pass), release the wide frame, and hand back a releasable handle.
-      val out = cur.persist(lvl)
-      out.count()
-      curStore.unpersist(blocking = false)
-      out
+      if (moved > 0)
+        throw new IllegalStateException(
+          s"resolveReps: pointers still moving after $maxRounds rounds — " +
+            "the assignment violates rep <= id (cycle) or chains are deeper than 2^maxRounds")
+      if (cur eq curStore) cur
+      else {
+        // after >=1 round `cur` is a projection over the persisted 3-col
+        // (id, rep, moved) frame: returning it would make the caller's
+        // unpersist() a silent no-op (different plan) and leak the N-row
+        // cache per call. Re-persist the slim 2-col result (one cache-read
+        // pass), release the wide frame, and hand back a releasable handle.
+        val out = cur.persist(lvl)
+        try out.count()
+        catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+        curStore.unpersist(blocking = false)
+        curStore = out // success: out is the one live frame the caller owns
+        out
+      }
+    } catch {
+      case t: Throwable =>
+        if (jumpedLive != null && !(jumpedLive eq curStore))
+          jumpedLive.unpersist(blocking = false)
+        curStore.unpersist(blocking = false)
+        throw t
     }
   }
 
@@ -440,6 +457,15 @@ object Dedup {
     * twin mirrors the split exactly.
     */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    // pigeonhole bound of the fixed 4 x 15-bit banding: a pair within
+    // hamming d shares a clean band only when d <= 3 (4 bands, one
+    // differing bit each leaves none clean at d = 4). A larger
+    // maxHamming would silently UNDER-report pairs even in exact-recall
+    // mode (maxBucket = MaxValue) — the parameter must not promise a
+    // radius the blocking cannot deliver.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs recall is guaranteed only for maxHamming in [0, 3] " +
+        s"(4-band x 15-bit pigeonhole), got $maxHamming")
     val banded0 = sim.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
     // bucket sizes via map-side partial count + broadcast join back —
@@ -467,6 +493,8 @@ object Dedup {
 
   def simhashPairsSqlDuck(idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucket: Int = 256): String = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs recall is guaranteed only for maxHamming in [0, 3], got $maxHamming")
     val bitSums = (0 until 60).map(j =>
       s"sum(((((h >> $j) & 1) * 2) - 1) * tf) AS b$j").mkString(", ")
     val hashExpr = (0 until 60).map(j =>

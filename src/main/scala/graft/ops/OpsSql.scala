@@ -75,8 +75,16 @@ object OpsSql {
     * SQL expression for the bucket size (a window count or a joined-in
     * size column) so both engines share the exact formula.
     */
-  def subSplit(splitHash: Column, sizeExpr: String, maxBucket: Int): Column =
+  def subSplit(splitHash: Column, sizeExpr: String, maxBucket: Int): Column = {
+    // maxBucket <= 0 would make nSub NULL via div-by-zero (non-ANSI
+    // Spark), NULL `sub` keys would silently match NOTHING in the
+    // candidate equi-join (zero pairs), while the DuckDB twin's `// 0`
+    // errors — fail loud on the Spark side too
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     pmod(splitHash, expr(s"($sizeExpr + ${maxBucket - 1}) div $maxBucket"))
-  def subSplitDuck(hashExpr: String, sizeExpr: String, maxBucket: Int): String =
+  }
+  def subSplitDuck(hashExpr: String, sizeExpr: String, maxBucket: Int): String = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     s"($hashExpr) % ((($sizeExpr) + ${maxBucket - 1}) // $maxBucket)"
+  }
 }

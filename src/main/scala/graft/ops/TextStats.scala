@@ -138,14 +138,19 @@ object TextStats {
     * penalty, stopword presence — the usual cheap pretraining filters.
     */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // materialize the token array in its own projection first (the
+    // langId/hashedShingles pattern): ratio() references the array in
+    // three places (empty guard + filtered size + total size), and an
+    // inlined tokens(t) subtree tokenizes each document up to 3x
+    val staged = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      tokens(col(textCol)).as("__toks"))
+    val t = col("__t")
     val nChars = length(t).cast("double")
-    val alpha = size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]', 0)")).cast("double")
-    val punct = size(expr(s"regexp_extract_all($textCol, '[^a-zA-Z0-9 ]', 0)")).cast("double")
-    val toks = tokens(t)
-    val stopR = ratio(toks, profiles.head._2)
-    df.select(
-        col(idCol).as("doc_id"),
+    val alpha = size(expr("regexp_extract_all(__t, '[a-zA-Z]', 0)")).cast("double")
+    val punct = size(expr("regexp_extract_all(__t, '[^a-zA-Z0-9 ]', 0)")).cast("double")
+    val stopR = ratio(col("__toks"), profiles.head._2)
+    staged.select(
+        col("doc_id"),
         round(
           (least(lit(1.0), length(t).cast("double") / 200.0) +
             when(nChars === 0, 0.0).otherwise(alpha / nChars) +
