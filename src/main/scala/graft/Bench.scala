@@ -113,10 +113,17 @@ object Bench {
     }
   }
 
-  /** Delete first-level children of `dirs` older than `ageMinutes` —
+  /** Delete first-level children of `dirs` that are genuinely DEAD —
     * the leaked-shuffle-dir reaper (tools/scaling.sh:36 ported to the
-    * entry point the driver gate actually invokes). Best-effort: any
-    * IO error is ignored, never fatal to the bench.
+    * entry points the driver gate actually invokes). "No Spark job is
+    * live" (the CLAUDE.md manual rule) is approximated two ways, both
+    * required to purge, because the top-level dir's creation mtime
+    * alone would flag a LIVE multi-hour leg as stale and kill it
+    * mid-job:
+    *  - recency runs two levels deep (an active job keeps writing into
+    *    its blockmgr hash subdirs, refreshing their mtimes);
+    *  - no live process holds an open fd under the dir (/proc scan).
+    * Best-effort: any IO error is ignored, never fatal to the bench.
     */
   def purgeStaleTmp(dirs: Seq[String], ageMinutes: Long): Unit = {
     val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
@@ -126,19 +133,59 @@ object Bench {
         val children = java.nio.file.Files.list(base)
         try children.forEach { p =>
           try {
-            if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-              val walk = java.nio.file.Files.walk(p)
-              try walk.sorted(java.util.Comparator.reverseOrder())
-                .forEach { q =>
-                  try { java.nio.file.Files.deleteIfExists(q); () }
-                  catch { case _: Throwable => () }
-                }
-              finally walk.close()
-            }
+            if (newestMtimeShallow(p) < cutoff && !heldOpenByLiveProcess(p.toString))
+              deleteTreeQuiet(p)
           } catch { case _: Throwable => }
         } finally children.close()
       }
     }
+  }
+
+  /** Newest mtime among the dir, its children, and grandchildren. */
+  private def newestMtimeShallow(p: java.nio.file.Path): Long = {
+    var newest = 0L
+    val walk = java.nio.file.Files.walk(p, 2)
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val q = it.next()
+        try {
+          val t = java.nio.file.Files.getLastModifiedTime(q).toMillis
+          if (t > newest) newest = t
+        } catch { case _: Throwable => }
+      }
+    } finally walk.close()
+    newest
+  }
+
+  /** True if any live process holds an open fd under `prefix`. */
+  private def heldOpenByLiveProcess(prefix: String): Boolean = {
+    val pids = Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.getName.forall(_.isDigit))
+    pids.exists { pd =>
+      val fds = Option(new java.io.File(pd, "fd").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      fds.exists { fd =>
+        try java.nio.file.Files.readSymbolicLink(fd.toPath).toString.startsWith(prefix)
+        catch { case _: Throwable => false }
+      }
+    }
+  }
+
+  /** Best-effort recursive delete, per-entry errors swallowed — the
+    * ONE copy shared by the reaper above and Verify's stale-dump
+    * cleanup (IndexStore.deleteTree stays separate: the store's delete
+    * is fail-loud by contract).
+    */
+  def deleteTreeQuiet(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach { q =>
+        try { java.nio.file.Files.deleteIfExists(q); () }
+        catch { case _: Throwable => () }
+      }
+    finally walk.close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -74,14 +74,17 @@ object OracleSql {
     */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** Exact-term qt CTE from (term, weight, group) triples — deduped:
-    * the engine dedupes (field, term, group) keeping the first
-    * (compileUncached), so a repeated term must not double its BM25
-    * contribution on the oracle side only.
+  /** Exact-term qt CTE from (term, weight, group) triples — deduped on
+    * (term, group) KEEPING THE FIRST, exactly like the engine's
+    * compiled-term dedupe (compileUncached keys (field, term, group)):
+    * a repeated term must not double its BM25 contribution on the
+    * oracle side only, and when the repeats carry different weights the
+    * FIRST weight is the one the engine scored.
     */
   def qtValues(terms: Seq[(String, Double, Int)]): String =
     "qt(term, w, grp) AS (VALUES " +
-      terms.distinct.map { case (t, w, g) => s"(${sqlLit(t)}, ${w}::DOUBLE, $g)" }
+      terms.distinctBy(tw => (tw._1, tw._3))
+        .map { case (t, w, g) => s"(${sqlLit(t)}, ${w}::DOUBLE, $g)" }
         .mkString(", ") + ")"
 
   /** Top-k projection with the engine's total order. */

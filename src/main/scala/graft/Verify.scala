@@ -26,15 +26,7 @@ object Verify {
         // run's dump behind in a reused outDir — check_oracle.py would
         // compare the STALE parquet and report a PASS the current code
         // never produced (it FAILs loudly on a missing dir instead)
-        val p = Paths.get(s"$outDir/$name")
-        if (Files.exists(p)) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach { q =>
-              try { Files.deleteIfExists(q); () } catch { case _: Throwable => () }
-            }
-          finally walk.close()
-        }
+        Bench.deleteTreeQuiet(Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -163,6 +163,7 @@ object VectorOps {
     // loop into a contiguous load + multiply-add. Per-bit accumulation
     // still sees its terms in element order (the f64 exactness
     // contract vs the HOF twin and the DuckDB oracle).
+    if (n > MaxCachedDim) return sigNoTable(xs, nBits)
     val tbl = signTable(nBits, n)
     val stride = tbl.dim
     val s = tbl.signs
@@ -173,6 +174,34 @@ object VectorOps {
       var acc = 0.0d
       var j = 0
       while (j < n) { acc += xs(j) * s(off + j); j += 1 }
+      if (acc > 0.0d) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** The cache is bounded: one outlier mega-row must not permanently
+    * allocate 63 x dim doubles of executor heap (a 1M-element array
+    * would pin ~500 MB for the JVM lifetime). Beyond the cap the sign
+    * mix computes inline per (plane, element) — bit-identical, just
+    * without the table.
+    */
+  private final val MaxCachedDim = 8192
+
+  private def sigNoTable(xs: Array[Double], nBits: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var acc = 0.0d
+      var i = 0
+      while (i < xs.length) {
+        var h = ((p.toLong * 1000003L + i) * 2654435761L) & 0xFFFFFFFFL
+        h ^= h >>> 16
+        h = (h * 40503L) & 0xFFFFFFFFL
+        h ^= h >>> 13
+        acc += xs(i) * (if ((h & 1L) == 0L) 1.0d else -1.0d)
+        i += 1
+      }
       if (acc > 0.0d) sig |= (1L << p)
       p += 1
     }

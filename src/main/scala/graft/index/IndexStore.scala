@@ -76,6 +76,17 @@ object IndexStore {
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
       epochs: Seq[EpochMeta], config: IndexConfig, checkpoints: Seq[CheckpointRow],
       kv: Map[String, String] = Map.empty): Unit = {
+    // CAS BEFORE the content writes, not only at commit: version v may
+    // already be COMMITTED by a concurrent writer, and the Overwrite
+    // writes below would clobber its manifest content before
+    // commitVersion's check ever fires — the losing writer must fail
+    // without touching the winner's committed dir (commitVersion keeps
+    // its own check for the residual window)
+    val cur = currentVersion(dir)
+    if (cur != v - 1)
+      throw new IllegalStateException(
+        s"concurrent manifest writer at $dir: writing v$v but LATEST is v$cur " +
+        s"(expected v${v - 1}); the store supports one writer at a time")
     val md = manifestDir(dir, v)
     spark.createDataset(epochs)(Encoders.product[EpochMeta])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/epochs.parquet")

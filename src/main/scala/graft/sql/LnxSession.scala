@@ -928,15 +928,17 @@ final class LnxSession(val spark: SparkSession) {
       if (df.columns.contains("docId")) Seq(col("docId").asc)
       else t.config.keyCols.filter(df.columns.contains(_)).map(col(_).asc)
     val ordered = resolvedOrder match {
-      case Some(("score", asc)) =>
-        if (asc) filtered.orderBy(col("score").asc +: tieBreak(filtered): _*)
-        else orderByScore(filtered)
-      case Some((c, asc)) =>
-        // unknown column -> the dialect's error contract, not a raw
+      case Some((n, asc)) =>
+        // resolve case-insensitively (Spark's own default resolution,
+        // and 'score' is reserved case-insensitively at CREATE — the
+        // check must not regress previously-working `ORDER BY Score`);
+        // unknown columns are the dialect's error contract, not a raw
         // AnalysisException out of eager Dataset analysis
-        if (!filtered.columns.contains(c))
-          throw ParseException(s"unknown column $c in ORDER BY", -1)
-        val key = if (asc) col(c).asc else col(c).desc
+        val cname =
+          if (n.equalsIgnoreCase("score")) "score"
+          else filtered.columns.find(_.equalsIgnoreCase(n)).getOrElse(
+            throw ParseException(s"unknown column $n in ORDER BY", -1))
+        val key = if (asc) col(cname).asc else col(cname).desc
         filtered.orderBy(key +: tieBreak(filtered): _*)
       case None if searches.nonEmpty => orderByScore(filtered)
       case None => filtered

@@ -58,6 +58,15 @@ object StreamingIndexer {
       val (_, config, _) = IndexStore.readManifest(stream.sparkSession, indexDir)
       config.keyCols
     }
+    // migration: stores written before ids were namespaced hold
+    // 'stream-batch-N' checkpoints. A crash-replayed in-flight batch
+    // from such a stream must stay a no-op under the new ids too, or
+    // the upgrade double-appends it as a redundant epoch. The legacy
+    // set is frozen at upgrade time (old-format ids can never grow),
+    // so one read at start() suffices.
+    val legacyCommitted: Set[String] =
+      IndexStore.checkpoints(stream.sparkSession, indexDir).map(_.snapshotId)
+        .filter(_.matches("stream-batch-\\d+")).toSet
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -67,7 +76,7 @@ object StreamingIndexer {
         val deduped = batch.dropDuplicates(keyCols)
         deduped.persist()
         try {
-          if (!deduped.isEmpty) {
+          if (!deduped.isEmpty && !legacyCommitted.contains(s"stream-batch-$batchId")) {
             val committed =
               IndexStore.appendEpoch(deduped, indexDir, s"stream-$ns-batch-$batchId")
             if (committed && compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
