@@ -65,8 +65,11 @@ object Fieldnorm {
     def shr(a: String, b: String) = if (duck) s"(($a) >> ($b))" else s"shiftright($a, $b)"
     def shl(a: String, b: String) = if (duck) s"(($a) << ($b))" else s"shiftleft($a, $b)"
     val nbits = s"length(bin($v))"
-    s"(CASE WHEN $len < 24 THEN $len ELSE 24 + (CASE WHEN $nbits < 4 THEN $v " +
-      s"ELSE ((${shr(v, s"$nbits - 4")}) & 7) | (${shl(s"$nbits - 3", "3")}) END) END)"
+    // least(255, ...) mirrors encode()'s saturation — without it the
+    // SQL id exceeds 255 for len >= 2^31 + 24 (unreachable for real
+    // documents, but the dual-dialect contract is "the same arithmetic")
+    s"least(255, (CASE WHEN $len < 24 THEN $len ELSE 24 + (CASE WHEN $nbits < 4 THEN $v " +
+      s"ELSE ((${shr(v, s"$nbits - 4")}) & 7) | (${shl(s"$nbits - 3", "3")}) END) END))"
   }
 
   /** SQL expression computing `decode(idExpr)` (same dual-dialect contract). */

@@ -328,11 +328,20 @@ object IndexStore {
       case Some(d) =>
         // the anti-join sits INSIDE the frame persist() may freeze, and
         // a cached plan never gets AQE's runtime broadcast conversion
-        // (CLAUDE.md): make the broadcast decision explicitly, count-
-        // gated — tombstones are slim docId longs, so 4M rows ≈ 32 MB;
-        // above the gate fall back to a plain shuffle join rather than
-        // sort-merging the whole doc store against a tiny delete set
-        val rhs = if (d.count() <= 4000000L) broadcast(d) else d
+        // (CLAUDE.md): make the broadcast decision explicitly, gated —
+        // tombstones are slim docId longs, so 4M rows ≈ 32 MB. The
+        // gate collects ONCE (limit gate+1): a count() + broadcast
+        // would execute the tombstone union+distinct plan twice per
+        // load (the broadcast build re-scans the parquet). Under the
+        // gate the collected ids become a driver-local frame; above it
+        // fall back to a plain shuffle join rather than sort-merging
+        // the whole doc store against the delete set.
+        val gate = 4000000
+        val ids = d.limit(gate + 1).collect().map(_.getLong(0))
+        val rhs =
+          if (ids.length <= gate)
+            broadcast(spark.createDataset(ids.toSeq)(Encoders.scalaLong).toDF("docId"))
+          else d
         docsAll.join(rhs, Seq("docId"), "left_anti")
       case None => docsAll
     }
@@ -446,8 +455,26 @@ object IndexStore {
     */
   def appendEpoch(newDocs: DataFrame, dir: String, snapshotId: String): Boolean = {
     val spark = newDocs.sparkSession
+    // "delete:" is deleteByQuery's checkpoint namespace — an ingest id
+    // inside it would collide with (or be shadowed by) a delete
+    // checkpoint and silently no-op one of the two operations
+    require(!snapshotId.startsWith("delete:"),
+      s"snapshotId '$snapshotId' uses the reserved 'delete:' checkpoint namespace")
     val (basis, epochs, config, cps) = readManifestV(spark, dir)
     if (cps.exists(_.snapshotId == snapshotId)) return false // already committed: resume no-op
+    // schema gate BEFORE any write: a mismatched batch would otherwise
+    // COMMIT a segment the per-segment docs union can never read again
+    // (unionByName AnalysisException on every later load — the store
+    // is bricked until manual surgery). Nullability is not compared;
+    // unionByName doesn't care.
+    val storedDocs = spark.read.parquet(s"$dir/${epochs.map(_.path).head}/docs.parquet").schema
+    val expected = storedDocs.fields.filter(_.name != "docId")
+      .map(f => f.name -> f.dataType).toSet
+    val got = newDocs.schema.fields.map(f => f.name -> f.dataType).toSet
+    if (got != expected)
+      throw new IllegalArgumentException(
+        s"appendEpoch($dir): batch schema ${got.toSeq.sortBy(_._1).mkString(", ")} does not " +
+        s"match the store's ${expected.toSeq.sortBy(_._1).mkString(", ")}")
     val epoch = nextEpoch(epochs, cps)
     val base = epochs.map(_.docIdEnd).max
     val idx = IndexBuilder.build(newDocs, config, base)
@@ -482,7 +509,13 @@ object IndexStore {
     val tombstones = old.docs.select((col("docId") +: keyCols.map(col)): _*)
       .join(rhs, keyCols, "left_semi")
       .select("docId")
-    tombstones.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$epoch")
+    val delDir = s"$dir/_deletes/epoch=$epoch"
+    tombstones.write.mode(SaveMode.Overwrite).parquet(delDir)
+    // pure-insert appends (no key overlap) must not commit an EMPTY
+    // tombstone dir: every later load would pay the tombstone
+    // union+distinct job and install the anti-join for tombstones that
+    // do not exist (deleteByQuery has the same removed==0 guard)
+    if (spark.read.parquet(delDir).count() == 0L) deleteTree(Paths.get(delDir))
     newKeys.unpersist()
     old.unpersist()
     val newEpochs = epochs ++ config.fields.map(f =>
@@ -559,6 +592,11 @@ object IndexStore {
     *   by the merge disappear. Default = full compaction.
     */
   def compact(spark: SparkSession, dir: String, maxSegments: Int = Int.MaxValue): Unit = {
+    // a merge needs >= 2 inputs: silently widening a smaller budget
+    // (the old math.max(2, _) in the selection) would rewrite more
+    // data than the caller's documented per-pass footprint bound
+    require(maxSegments >= 2,
+      s"compact merges at least 2 segments per pass, got maxSegments=$maxSegments")
     val (basis, epochs, config, cps) = readManifestV(spark, dir)
     val kv = configKv(spark, dir)
     val segs = epochs.groupBy(_.epoch).toSeq
@@ -682,5 +720,53 @@ object IndexStore {
         } finally listing.close()
       }
     }
+  }
+
+  /** Explicit storage GC: delete segment dirs the COMMITTED manifest no
+    * longer references (superseded by compaction, or orphaned by a
+    * crashed append before its commit) and tombstone dirs of epochs
+    * that were never committed. Deliberately NOT part of compact():
+    * the store is single-writer / multi-reader, and a reader holding a
+    * lazy plan over pre-compaction segments would lose its files
+    * mid-query — only the operator knows when no such reader is live
+    * (the reference's tablet GC is likewise a maintenance op,
+    * bucket.rs:72-74). _lineage dirs are retained: they are the
+    * provenance record, numbered by nextEpoch over BOTH manifests and
+    * checkpoints so numbers are never reused. Idempotent; returns the
+    * number of directories removed.
+    */
+  def gc(spark: SparkSession, dir: String): Int = {
+    val (epochs, _, cps) = readManifest(spark, dir)
+    val livePaths = epochs.map(_.path).toSet
+    val committed = committedEpochs(epochs, cps)
+    var removed = 0
+    val root = Paths.get(dir)
+    val listing = Files.list(root)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("seg-") && !livePaths.contains(name) && Files.isDirectory(p)) {
+          deleteTree(p); removed += 1
+        }
+      }
+    } finally listing.close()
+    val delRoot2 = root.resolve("_deletes")
+    if (Files.isDirectory(delRoot2)) {
+      val l2 = Files.list(delRoot2)
+      try {
+        val it = l2.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val ep = scala.util.Try(
+            p.getFileName.toString.stripPrefix("epoch=").toInt).toOption
+          if (Files.isDirectory(p) && ep.exists(e => !committed.contains(e))) {
+            deleteTree(p); removed += 1
+          }
+        }
+      } finally l2.close()
+    }
+    removed
   }
 }

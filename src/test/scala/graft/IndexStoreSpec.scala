@@ -458,4 +458,67 @@ class IndexStoreSpec extends AnyFunSuite {
         s"merged [${merged.docIdBase},${merged.docIdEnd}) overlaps " +
           s"unselected epoch ${u.epoch} [${u.docIdBase},${u.docIdEnd})"))
   }
+
+  test("appendEpoch gates the batch schema: a mismatch fails BEFORE anything commits") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 100, 2)
+    IndexStore.create(corpus, config, dir, "snap-0")
+    // an extra column would commit a segment the per-segment docs
+    // union can never read again (unionByName failure on every load)
+    val bad = CodeCorpus.generate(spark, 20, 1)
+      .withColumn("extra", org.apache.spark.sql.functions.lit(1L))
+    val ex = intercept[IllegalArgumentException](
+      IndexStore.appendEpoch(bad, dir, "snap-bad"))
+    assert(ex.getMessage.contains("schema"), ex.getMessage)
+    // nothing committed, store still loads
+    val idx = IndexStore.load(spark, dir)
+    assert(idx.numDocs === 100)
+    assert(IndexStore.checkpoints(spark, dir).map(_.snapshotId) === Seq("snap-0"))
+    // the reserved delete-checkpoint namespace is rejected up front
+    intercept[IllegalArgumentException](
+      IndexStore.appendEpoch(CodeCorpus.generate(spark, 10, 1), dir, "delete:x"))
+  }
+
+  test("a pure-insert append commits NO tombstone dir (later loads skip the anti-join)") {
+    val dir = tmpDir()
+    IndexStore.create(CodeCorpus.generate(spark, 100, 2), config, dir, "snap-0")
+    // disjoint key range: zero upsert overlap
+    val fresh = graft.corpus.CodeCorpus.generateRange(spark, 1000, 1050, 2)
+    assert(IndexStore.appendEpoch(fresh, dir, "snap-1"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_deletes")) ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_deletes")).count() === 0L,
+      "no-overlap append must not leave a tombstone dir")
+    assert(IndexStore.load(spark, dir).numDocs === 150)
+  }
+
+  test("gc() removes superseded segments after compaction; the store is unchanged") {
+    val dir = tmpDir()
+    IndexStore.create(CodeCorpus.generate(spark, 120, 2), config, dir, "snap-0")
+    IndexStore.appendEpoch(graft.corpus.CodeCorpus.generateRange(spark, 500, 560, 2),
+      dir, "snap-1")
+    IndexStore.compact(spark, dir)
+    // pre-merge seg dirs linger on disk until explicit GC (deleting
+    // under live readers is unsafe, so compact never does it)
+    def segDirs() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val b = Seq.newBuilder[String]
+        l.forEach(p => if (p.getFileName.toString.startsWith("seg-"))
+          b += p.getFileName.toString)
+        b.result()
+      } finally l.close()
+    }
+    val before = segDirs()
+    assert(before.size === 3, s"2 originals + 1 merged expected, got $before")
+    val removed = IndexStore.gc(spark, dir)
+    assert(removed === 2, s"both superseded segments should go, removed=$removed")
+    val after = segDirs()
+    assert(after.size === 1)
+    val idx = IndexStore.load(spark, dir)
+    assert(idx.numDocs === 180)
+    // idempotent
+    assert(IndexStore.gc(spark, dir) === 0)
+    // compact's footprint bound is loud, not silently widened
+    intercept[IllegalArgumentException](IndexStore.compact(spark, dir, maxSegments = 1))
+  }
 }
