@@ -71,6 +71,16 @@ object Analyzer {
 
   /** (token -> tf) and total token count, one pass. */
   def tokenCounts(s: String): (collection.Map[String, Int], Int) = {
+    val (m, n) = tokenCountsJava(s)
+    import scala.jdk.CollectionConverters._
+    (m.asScala.map { case (k, v) => (k, v.intValue) }, n)
+  }
+
+  /** The raw java map — the build hot path iterates entrySet directly;
+    * the Scala wrapper above copies the whole map per document, which
+    * is pure per-doc garbage across a corpus-sized build.
+    */
+  private[graft] def tokenCountsJava(s: String): (java.util.HashMap[String, Int], Int) = {
     val toks = tokenize(s)
     val m = new java.util.HashMap[String, Int]()
     var i = 0
@@ -78,8 +88,7 @@ object Analyzer {
       m.merge(toks(i), 1, (a, b) => a + b)
       i += 1
     }
-    import scala.jdk.CollectionConverters._
-    (m.asScala.map { case (k, v) => (k, v.intValue) }, toks.length)
+    (m, toks.length)
   }
 
   /** Column-level tokenizer: array<string> of tokens (codegen'd built-ins). */
@@ -183,14 +192,23 @@ object Tokenizers {
   }
 
   /** (token -> tf) and total token count with the named tokenizer. */
-  def tokenCounts(name: String, s: String): (collection.Map[String, Int], Int) = name match {
-    case "default" | "simple" => Analyzer.tokenCounts(s) // hot path: single-pass scanner
+  def tokenCounts(name: String, s: String): (collection.Map[String, Int], Int) = {
+    val (m, n) = tokenCountsJava(name, s)
+    import scala.jdk.CollectionConverters._
+    (m.asScala.map { case (k, v) => (k, v.intValue) }, n)
+  }
+
+  /** Raw-java-map variant for the build hot path (see
+    * Analyzer.tokenCountsJava).
+    */
+  private[graft] def tokenCountsJava(name: String,
+      s: String): (java.util.HashMap[String, Int], Int) = name match {
+    case "default" | "simple" => Analyzer.tokenCountsJava(s) // hot path: single-pass scanner
     case other =>
       val toks = tokenize(other, s)
       val m = new java.util.HashMap[String, Int]()
       var i = 0
       while (i < toks.length) { m.merge(toks(i), 1, (a, b) => a + b); i += 1 }
-      import scala.jdk.CollectionConverters._
-      (m.asScala.map { case (k, v) => (k, v.intValue) }, toks.length)
+      (m, toks.length)
   }
 }

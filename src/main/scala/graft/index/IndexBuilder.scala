@@ -255,32 +255,55 @@ object IndexBuilder {
       // writer) before the next shard accumulates, so task memory holds
       // one shard's activity — not the whole partition's encoded output
       new Iterator[PartialRow] {
+        // primitive growable buffers + ONE term map per field: the loop
+        // body runs once per (term, doc) occurrence across the whole
+        // corpus, where an ArrayBuffer[Long] append (boxed Long) and a
+        // Tuple2 key per HashMap probe were pure per-occurrence garbage
         final class Buf {
-          val docIds = new scala.collection.mutable.ArrayBuffer[Long](8)
-          val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
-          val norms = new scala.collection.mutable.ArrayBuffer[Int](8)
+          private[this] var docIds = new Array[Long](8)
+          private[this] var tfs = new Array[Int](8)
+          private[this] var norms = new Array[Int](8)
+          private[this] var n = 0
+          def add(d: Long, tf: Int, norm: Int): Unit = {
+            if (n == docIds.length) {
+              docIds = java.util.Arrays.copyOf(docIds, n * 2)
+              tfs = java.util.Arrays.copyOf(tfs, n * 2)
+              norms = java.util.Arrays.copyOf(norms, n * 2)
+            }
+            docIds(n) = d; tfs(n) = tf; norms(n) = norm; n += 1
+          }
+          def docIdArr: Array[Long] = java.util.Arrays.copyOf(docIds, n)
+          def tfArr: Array[Int] = java.util.Arrays.copyOf(tfs, n)
+          def normArr: Array[Int] = java.util.Arrays.copyOf(norms, n)
         }
-        private val acc = new java.util.HashMap[(String, String), Buf]()
+        private val accByField: Array[java.util.HashMap[String, Buf]] =
+          Array.fill(fields.length)(new java.util.HashMap[String, Buf]())
         private val pending = new java.util.ArrayDeque[PartialRow]()
         private var curShard = -1
         private var done = false
         private def flush(): Unit = {
-          if (!acc.isEmpty) {
-            val it = acc.entrySet().iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              val (field, term) = e.getKey
-              val b = e.getValue
-              val docIds = b.docIds.toArray
-              val tfArr = b.tfs.toArray
-              var sumTf = 0L
-              var i = 0
-              while (i < tfArr.length) { sumTf += tfArr(i); i += 1 }
-              val enc = PostingCodec.encode(docIds, tfArr, b.norms.toArray)
-              pending.addLast(PartialRow(field, term, curShard, docIds(0), docIds.length,
-                sumTf, enc.bytes, enc.blockOffset, enc.blockLast))
+          var fi = 0
+          while (fi < accByField.length) {
+            val acc = accByField(fi)
+            if (!acc.isEmpty) {
+              val field = fields(fi)
+              val it = acc.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                val term = e.getKey
+                val b = e.getValue
+                val docIds = b.docIdArr
+                val tfArr = b.tfArr
+                var sumTf = 0L
+                var i = 0
+                while (i < tfArr.length) { sumTf += tfArr(i); i += 1 }
+                val enc = PostingCodec.encode(docIds, tfArr, b.normArr)
+                pending.addLast(PartialRow(field, term, curShard, docIds(0), docIds.length,
+                  sumTf, enc.bytes, enc.blockOffset, enc.blockLast))
+              }
+              acc.clear()
             }
-            acc.clear()
+            fi += 1
           }
         }
         private def advance(): Unit = {
@@ -294,13 +317,17 @@ object IndexBuilder {
               var fi = 0
               while (fi < fields.length) {
                 val text = if (r.isNullAt(fi + 1)) "" else r.getUTF8String(fi + 1).toString
-                val (counts, len) = graft.analyze.Tokenizers.tokenCounts(fieldTokenizers(fi), text)
+                val (counts, len) =
+                  graft.analyze.Tokenizers.tokenCountsJava(fieldTokenizers(fi), text)
                 val norm = Fieldnorm.encode(len.toLong)
-                val field = fields(fi)
-                counts.foreach { case (t, tf) =>
-                  var b = acc.get((field, t))
-                  if (b == null) { b = new Buf; acc.put((field, t), b) }
-                  b.docIds += docId; b.tfs += tf; b.norms += norm
+                val acc = accByField(fi)
+                val eit = counts.entrySet().iterator()
+                while (eit.hasNext) {
+                  val e = eit.next()
+                  val t = e.getKey
+                  var b = acc.get(t)
+                  if (b == null) { b = new Buf; acc.put(t, b) }
+                  b.add(docId, e.getValue, norm)
                 }
                 fi += 1
               }
