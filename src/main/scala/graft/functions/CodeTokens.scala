@@ -19,10 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class CodeTokens(child: Expression)
     extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"code_tokens expects a string column, got ${child.dataType.simpleString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // pattern match, not == StringType: Spark 4 collated strings are
+    // StringType(collationId != 0) and fail singleton equality — the
+    // regexp pipeline this expression replaced accepted them, and
+    // code_tokens lowercases anyway so any collation is safe
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"code_tokens expects a string column, got ${t.sql}")
+  }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "code_tokens"
 
