@@ -378,7 +378,9 @@ object IndexBuilder {
     config.fields.foreach { f =>
       val sf = df.schema.fields.find(_.name == f)
         .getOrElse(throw new IllegalArgumentException(s"indexed field $f not in schema"))
-      require(sf.dataType == org.apache.spark.sql.types.StringType,
+      // pattern match, not singleton ==: Spark 4 collated strings fail
+      // singleton equality but getUTF8String handles them fine
+      require(sf.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
         s"indexed field $f must be a string column, got ${sf.dataType.simpleString}")
     }
     val (withIds, _, numDocs) =

@@ -282,8 +282,20 @@ object IndexStore {
     // _manifest/vNNNNN dirs remain as version numbers the new store
     // will advance THROUGH (adopting e.g. a stale kv.parquet when it
     // commits that version), _lineage keeps the dead store's epochs in
-    // lineage() output, and orphan _deletes/seg-* dirs linger
+    // lineage() output, and orphan _deletes/seg-* dirs linger.
+    //
+    // Ordering is data-then-wipe-then-manifest: the new index is built
+    // and fully WRITTEN to a staging dir BEFORE any old state is
+    // touched, so a failed build (type gate, OOM, any job failure)
+    // leaves the previously committed store intact — wipe-first turned
+    // a transient build failure into permanent loss of the old store.
+    // The staging name deliberately does not match "seg-*" so the wipe
+    // below can't eat it.
     val root = Paths.get(dir)
+    val staging = root.resolve("_staging-seg-00000")
+    if (Files.exists(staging)) deleteTree(staging)
+    val idx = IndexBuilder.build(df, config)
+    writeSegment(idx, staging.toString)
     if (Files.exists(root)) {
       Seq("_manifest", "_lineage", "_deletes").foreach(d => deleteTree(root.resolve(d)))
       val listing = Files.list(root)
@@ -295,8 +307,7 @@ object IndexStore {
         }
       } finally listing.close()
     }
-    val idx = IndexBuilder.build(df, config)
-    writeSegment(idx, s"$dir/seg-00000")
+    Files.move(staging, root.resolve("seg-00000"))
     writeLineage(idx, dir, 0)
     val epochs = config.fields.map(f =>
       EpochMeta(0, "seg-00000", idx.numDocs, 0L, idx.numDocs, f, idx.fieldTokens.getOrElse(f, 0L)))

@@ -313,7 +313,8 @@ final class QueryEngine(val index: BuiltIndex) {
     // (a non-INDEXED text field degrades gracefully to zero terms via
     // dfLookup; only the type case needs the explicit gate)
     val dt = index.docs.schema(field).dataType
-    require(dt == org.apache.spark.sql.types.StringType,
+    // isInstanceOf, not singleton ==: collated StringType still getStrings fine
+    require(dt.isInstanceOf[org.apache.spark.sql.types.StringType],
       s"more_like_this: field '$field' is ${dt.simpleString}, not a text column")
     val rows = index.docs.filter(col("docId") === docId).select(col(field)).collect()
     if (rows.isEmpty) return Nil

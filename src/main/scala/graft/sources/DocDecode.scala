@@ -94,6 +94,50 @@ object DocDecode {
     case other => throw new IllegalArgumentException(s"unknown format $other")
   }
 
+  /** decodeLocal plus per-document field PRESENCE (which keys the wire
+    * document actually carried). Every wire format distinguishes an
+    * explicit null from an absent field, but the parsed rows alone
+    * erase it (from_json yields null for both) — and the DEFAULT-column
+    * contract needs it: only a truly ABSENT field takes the declared
+    * default; an explicit wire null stores NULL, exactly like SQL
+    * INSERT of an explicit NULL (LnxSession.ingest).
+    */
+  def decodeLocalWithPresence(spark: SparkSession, format: String, payload: Array[Byte],
+      schema: StructType): Seq[(Row, Set[String])] = format match {
+    case Msgpack =>
+      MsgPack.decodeDocs(payload).map(d => (coerceRow(d, schema), d.keySet))
+    case Json | NdJson =>
+      val rows = decode(spark, format, payload, schema).collect().toSeq
+      val pres = jsonPresence(format, payload)
+      // both sides walk the records (and top-level arrays) in payload
+      // order; a mismatch means the two parsers disagreed on document
+      // boundaries — fail loudly rather than misalign defaults
+      require(rows.size == pres.size,
+        s"presence/row count mismatch: ${rows.size} rows vs ${pres.size} documents")
+      rows.zip(pres)
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
+  /** Top-level key set per JSON document, in decode-row order (records
+    * in payload order; a top-level array expands element-by-element,
+    * mirroring Spark's JSON reader). Jackson is Spark's own bundled
+    * JSON parser, so boundary behavior matches the row path.
+    */
+  private def jsonPresence(format: String, payload: Array[Byte]): Seq[Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val records =
+      if (format == Json) Seq(new String(payload, UTF_8))
+      else new String(payload, UTF_8).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    records.flatMap { rec =>
+      val node = mapper.readTree(rec)
+      def keys(n: com.fasterxml.jackson.databind.JsonNode): Set[String] =
+        n.fieldNames().asScala.toSet
+      if (node.isArray) node.elements().asScala.map(keys).toSeq
+      else Seq(keys(node))
+    }
+  }
+
   // mirror of the SQL dialect's timestamp range gate
   // (LnxSession.toSqlTimestamp): Timestamp.from does NOT throw on
   // millis overflow, it silently wraps — bound epoch seconds to the

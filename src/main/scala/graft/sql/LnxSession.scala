@@ -617,19 +617,24 @@ final class LnxSession(val spark: SparkSession) {
     val schema = t.rows.schema
     val byName = schema.fields.map(f => f.name -> f).toMap
     val tpeByName = t.columns.map(c => c.name -> c.tpe).toMap
-    // the same DEFAULT semantics as SQL INSERT: a document that omits
-    // (or nulls — wire formats can't distinguish the two) a defaulted
-    // column stores the default, not NULL; ingress paths must agree on
-    // what the same logical document means (DocDecode contract)
+    // the same DEFAULT semantics as SQL INSERT: a document that OMITS a
+    // defaulted column stores the default; an explicit wire null stores
+    // NULL — JSON and msgpack both distinguish null from absent, and
+    // SQL INSERT of an explicit NULL stores NULL (coerceRow at :516),
+    // so ingress paths agree on what the same logical document means
+    // (DocDecode presence contract)
     val defaults: Map[String, Any] = t.columns.flatMap(c =>
       c.default.map(d => c.name -> litValue(d, byName(c.name).dataType))).toMap
-    // decodeLocal: msgpack rows decode on the driver and stay there (no
-    // parallelize -> collect job per request body)
-    val decoded = graft.sources.DocDecode.decodeLocal(spark, format, payload, schema)
+    // decodeLocalWithPresence: msgpack rows decode on the driver and
+    // stay there (no parallelize -> collect job per request body)
+    val decoded =
+      graft.sources.DocDecode.decodeLocalWithPresence(spark, format, payload, schema)
     val required = requiredCols(t)
-    val newRows = decoded.map { r =>
+    val newRows = decoded.map { case (r, present) =>
       Row.fromSeq(schema.fields.toSeq.map { f =>
-        val raw = Option(r.getAs[Any](f.name)).orElse(defaults.get(f.name)).getOrElse(null)
+        val raw =
+          if (present.contains(f.name)) r.getAs[Any](f.name)
+          else defaults.getOrElse(f.name, null)
         checkNotNull(required, f.name, normalize(tpeByName.getOrElse(f.name, ""), raw))
       })
     }

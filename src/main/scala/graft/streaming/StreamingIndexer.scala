@@ -63,9 +63,20 @@ object StreamingIndexer {
     // from such a stream must stay a no-op under the new ids too, or
     // the upgrade double-appends it as a redundant epoch. The legacy
     // set is frozen at upgrade time (old-format ids can never grow),
-    // so one read at start() suffices.
+    // so one read at start() suffices. Crucially the no-op applies ONLY
+    // when this start() RESUMES a pre-upgrade stream — i.e. the
+    // checkpoint dir already holds committed offsets. A NEW stream
+    // (fresh checkpoint, batch ids restarting at 0) against a store
+    // with legacy ids must commit unconditionally under its namespaced
+    // id, or its batches 0..N are silently dropped while the stream
+    // checkpoint advances — permanent data loss.
+    val resumesExistingCheckpoint: Boolean = {
+      val off = new java.io.File(checkpointDir, "offsets")
+      off.isDirectory && off.list() != null && off.list().nonEmpty
+    }
     val legacyCommitted: Set[String] =
-      IndexStore.checkpoints(stream.sparkSession, indexDir).map(_.snapshotId)
+      if (!resumesExistingCheckpoint) Set.empty
+      else IndexStore.checkpoints(stream.sparkSession, indexDir).map(_.snapshotId)
         .filter(_.matches("stream-batch-\\d+")).toSet
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

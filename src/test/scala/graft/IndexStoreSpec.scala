@@ -434,6 +434,25 @@ class IndexStoreSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("a FAILED create() over an existing store leaves the old store intact") {
+    val dir = tmpDir()
+    val c1 = CodeCorpus.generate(spark, 200, 2).cache()
+    IndexStore.create(c1, config, dir)
+    val docsBefore = IndexStore.load(spark, dir).docs.count()
+    // a build that throws (non-string indexed column hits the type
+    // gate) must NOT have wiped the committed store first — the
+    // data-then-wipe-then-manifest ordering means old state survives
+    // any build/write failure
+    val bad = CodeCorpus.generate(spark, 50, 2)
+      .withColumn("content", org.apache.spark.sql.functions.length(col("content")))
+    intercept[IllegalArgumentException](IndexStore.create(bad, config, dir))
+    val reloaded = IndexStore.load(spark, dir)
+    assert(reloaded.docs.count() === docsBefore,
+      "failed create() destroyed the previously committed store")
+    assert(IndexStore.currentVersion(dir) === 1)
+    c1.unpersist()
+  }
+
   test("partial compaction records the merged epoch's true docId window") {
     val dir = tmpDir()
     IndexStore.create(CodeCorpus.generate(spark, 300, 2).cache(), config, dir)

@@ -910,6 +910,19 @@ class LnxSqlSpec extends AnyFunSuite {
       """{"id": 1}""".getBytes("UTF-8"))
     val r = sess.execute("SELECT status, n FROM ind").collect()(0)
     assert(r.getString(0) === "new" && r.getLong(1) === 7L)
+    // explicit wire null is NOT absent: it stores NULL, matching SQL
+    // INSERT of an explicit NULL (presence-aware defaults) — on BOTH
+    // wire formats, which each distinguish null from missing
+    sess.ingest("ind", graft.sources.DocDecode.Json,
+      """{"id": 2, "status": null}""".getBytes("UTF-8"))
+    val r2 = sess.execute("SELECT status, n FROM ind WHERE id = 2").collect()(0)
+    assert(r2.isNullAt(0), "explicit JSON null must store NULL, not the DEFAULT")
+    assert(r2.getLong(1) === 7L, "absent column still takes the DEFAULT")
+    sess.ingest("ind", graft.sources.DocDecode.Msgpack,
+      graft.sources.MsgPack.encode(Map("id" -> 3L, "status" -> null)))
+    val r3 = sess.execute("SELECT status, n FROM ind WHERE id = 3").collect()(0)
+    assert(r3.isNullAt(0) && r3.getLong(1) === 7L,
+      "msgpack nil/absent must agree with the JSON path")
   }
 
   test("register validates key/field columns up front") {

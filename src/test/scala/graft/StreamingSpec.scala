@@ -138,4 +138,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx.docs.groupBy("repo", "path", "commit").count()
       .filter(col("count") > 1).count() === 0L)
   }
+
+  test("a NEW stream against a store holding legacy 'stream-batch-N' ids still commits batch 0") {
+    val base = java.nio.file.Files.createTempDirectory("graftstreamlegacy").toString
+    val config = IndexConfig(Seq("repo", "path", "commit"), Seq("content"), 256, 2)
+    val c0 = CodeCorpus.generate(spark, 40, 2)
+    IndexStore.create(c0, config, s"$base/idx", "snap-0")
+    // simulate a pre-upgrade stream's committed batch: legacy
+    // un-namespaced snapshot id in the store
+    val legacyWave = CodeCorpus.generate(spark, 60, 2).filter(col("path").contains("file_5"))
+      .withColumn("content", lit("legacywave marker"))
+    assert(IndexStore.appendEpoch(legacyWave, s"$base/idx", "stream-batch-0"))
+    // a brand-NEW stream (fresh checkpoint, batch ids restarting at 0)
+    // must commit its batch 0 unconditionally — the legacy no-op only
+    // applies when RESUMING a pre-upgrade checkpoint, otherwise this
+    // wave is silently dropped while the checkpoint advances
+    CodeCorpus.generate(spark, 70, 2).filter(col("path").contains("file_6"))
+      .withColumn("content", lit("freshwave marker"))
+      .write.parquet(s"$base/src")
+    val q = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, s"$base/src", c0.schema),
+      s"$base/idx", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    val e = new QueryEngine(IndexStore.load(spark, s"$base/idx"))
+    assert(e.searchF32(Seq(Fts("content", "freshwave")), 1000).count() > 0L,
+      "new stream's batch 0 was dropped by the legacy-migration guard")
+    assert(e.searchF32(Seq(Fts("content", "legacywave")), 1000).count() > 0L)
+
+    // RESUME of that same (now-existing) checkpoint with a legacy id
+    // matching an upcoming batch id: the no-op applies — batch 1 with a
+    // committed legacy 'stream-batch-1' must not double-append
+    assert(IndexStore.appendEpoch(
+      CodeCorpus.generate(spark, 80, 2).filter(col("path").contains("file_7")),
+      s"$base/idx", "stream-batch-1"))
+    val cpsBefore = IndexStore.checkpoints(spark, s"$base/idx").size
+    CodeCorpus.generate(spark, 90, 2).filter(col("path").contains("file_8"))
+      .write.mode("append").parquet(s"$base/src")
+    val q2 = StreamingIndexer.start(
+      StreamingIndexer.fromParquetDir(spark, s"$base/src", c0.schema),
+      s"$base/idx", s"$base/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    val snaps = IndexStore.checkpoints(spark, s"$base/idx").map(_.snapshotId)
+    assert(snaps.size === cpsBefore,
+      s"legacy-committed batch 1 must stay a no-op on resume, got $snaps")
+  }
 }
