@@ -321,6 +321,13 @@ object Bench {
     val (_, tBatch32) = time2(engine.searchManyF32(batch32, 10).collect())
     results("q_batch32") = tBatch32
     results("batch_qps") = 32.0 / tBatch32
+    // batch block-skip evidence: shared-cache decode/skip partition of
+    // the batch's matched blocks (a block decodes only if some query of
+    // the batch lands on it — Wand.topKMany)
+    val bStats = graft.query.Wand.Stats.register(spark)
+    engine.searchManyF32(batch32, 10, wandStats = Some(bStats)).collect()
+    results("batch_blocks_decoded") = bStats.decodedBlocks.value.toDouble
+    results("batch_blocks_skipped") = bStats.skippedBlocks.value.toDouble
 
     // 3. training-data ops on the driver tables
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -348,6 +355,7 @@ object Bench {
     val total = results // only latencies sum into the headline (not rates/counters/calibration)
       .filterNot { case (k, _) =>
         k == "build_files_per_sec" || k == "batch_qps" || k.startsWith("wand_blocks") ||
+          k.startsWith("batch_blocks") ||
           k.startsWith("calib") || k.startsWith("mem_calib") ||
           k.startsWith("build_shuffle") || k == "build_spill_mb" ||
           k.startsWith("build_pass") }

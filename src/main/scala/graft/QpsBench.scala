@@ -48,6 +48,26 @@ object QpsBench {
     }
   }
 
+  /** Zipf-skewed pool: half the queries pair a RARE corpus term (the
+    * planted needles) with hot terms — the rank-threshold shape where
+    * block-max pruning pays (the rare cursor lifts the top-k threshold
+    * above the hot cursors' block maxima, so their blocks skip).
+    * queryPool's all-hot mix is pruning's worst case (every block has a
+    * subscriber that needs it); real serving loads are Zipf-distributed
+    * and sit between the two.
+    */
+  def queryPoolSkewed(n: Int): Seq[Seq[SearchClause]] = {
+    val hot = Seq("fn", "return", "license", "binary", "merge", "filter",
+      "token", "stream", "plan", "score")
+    val rare = Seq("rareAuditBeacon", "binarySearchNeedle", "prefab0", "prefab1", "prefab2")
+    val rnd = new scala.util.Random(20260820L)
+    (0 until n).map { i =>
+      val h = Seq.fill(1 + rnd.nextInt(2))(hot(rnd.nextInt(hot.size))).distinct
+      if (i % 2 == 0) Seq(Fts("content", (rare(i / 2 % rare.size) +: h).mkString(" ")))
+      else Seq(Fts("content", h.mkString(" ")))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 2000000L
     val nQueries = if (args.length > 1) args(1).toInt else 64
@@ -87,7 +107,36 @@ object QpsBench {
 
     val (_, tSeq) = Bench.time(
       pool.take(seqN).foreach(q => engine.searchF32(q, 10).collect()))
-    val (_, tBatch) = Bench.time(engine.searchManyF32(batch, 10).collect())
+    val bStats = Wand.Stats.register(spark)
+    val (_, tBatch) = Bench.time(
+      engine.searchManyF32(batch, 10, wandStats = Some(bStats)).collect())
+
+    // A/B: the pre-pruning exhaustive batch merge (decode EVERY matched
+    // block once, replay per query — Scorer.scoreManyF32) vs the
+    // shared-cache block-max path the engine now serves (Wand.topKMany):
+    // same plans, same output, the delta is pure block skipping
+    val cqs = batch.map(_._1).zip(engine.compileMany(batch.map(_._2)))
+      .filter(_._2.terms.nonEmpty)
+    def runExhaustive(): Unit = Scorer.topKPerQuery(
+      Scorer.scoreManyF32(idx, cqs, 10).toDF("qid", "docId", "score"),
+      10, org.apache.spark.sql.functions.col("score")).collect()
+    runExhaustive() // warm-up
+    val (_, tBatchEx) = Bench.time(runExhaustive())
+
+    // the same A/B on the Zipf-skewed (rare+hot) mix — the shape where
+    // per-query WAND inside the batch can actually skip shared blocks
+    val skew = queryPoolSkewed(nQueries).zipWithIndex.map { case (q, i) => i -> q }
+    engine.searchManyF32(skew, 10).collect() // warm-up
+    val sStats = Wand.Stats.register(spark)
+    val (_, tSkew) = Bench.time(
+      engine.searchManyF32(skew, 10, wandStats = Some(sStats)).collect())
+    val cqsSkew = skew.map(_._1).zip(engine.compileMany(skew.map(_._2)))
+      .filter(_._2.terms.nonEmpty)
+    def runSkewExhaustive(): Unit = Scorer.topKPerQuery(
+      Scorer.scoreManyF32(idx, cqsSkew, 10).toDF("qid", "docId", "score"),
+      10, org.apache.spark.sql.functions.col("score")).collect()
+    runSkewExhaustive() // warm-up
+    val (_, tSkewEx) = Bench.time(runSkewExhaustive())
 
     val calibEnd = Bench.calibrate()
     val memCalibEnd = Bench.calibrateMem()
@@ -98,6 +147,12 @@ object QpsBench {
       s""""n_queries":$nQueries,"seq_n":$seqN,"build_sec":$tBuild,""" +
       s""""seq_sec":$tSeq,"seq_qps":$seqQps,"batch_sec":$tBatch,""" +
       s""""batch_qps":$batchQps,"batch_speedup_per_query":${batchQps / seqQps},""" +
+      s""""batch_exhaustive_sec":$tBatchEx,""" +
+      s""""batch_blocks_decoded":${bStats.decodedBlocks.value},""" +
+      s""""batch_blocks_skipped":${bStats.skippedBlocks.value},""" +
+      s""""skew_batch_sec":$tSkew,"skew_batch_exhaustive_sec":$tSkewEx,""" +
+      s""""skew_blocks_decoded":${sStats.decodedBlocks.value},""" +
+      s""""skew_blocks_skipped":${sStats.skippedBlocks.value},""" +
       s""""calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,""" +
       s""""mem_calib_start_sec":$memCalibStart,"mem_calib_end_sec":$memCalibEnd}""")
     spark.stop()

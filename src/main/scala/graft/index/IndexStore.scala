@@ -75,7 +75,7 @@ object IndexStore {
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
       epochs: Seq[EpochMeta], config: IndexConfig, checkpoints: Seq[CheckpointRow],
-      kv: Map[String, String] = Map.empty): Unit = {
+      tombstoneEpochs: Seq[Int], kv: Map[String, String] = Map.empty): Unit = {
     // CAS BEFORE the content writes, not only at commit: version v may
     // already be COMMITTED by a concurrent writer, and the Overwrite
     // writes below would clobber its manifest content before
@@ -96,6 +96,13 @@ object IndexStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/config.parquet")
     spark.createDataset(checkpoints)(Encoders.product[CheckpointRow])
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/checkpoints.parquet")
+    // the manifest OWNS its tombstone-dir set (Iceberg-manifest
+    // analogue): readers of THIS version apply exactly these
+    // _deletes/epoch=K dirs, so physical dir deletion can be deferred
+    // to retention-aware gc() without post-compact readers re-reading
+    // absorbed tombstones
+    spark.createDataset(tombstoneEpochs)(Encoders.scalaInt).toDF("epoch")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$md/tombstones.parquet")
     // kv is written even when EMPTY: a crashed updateConfig may have
     // left a stale kv.parquet at this version number, and skipping the
     // write would adopt those never-committed overrides verbatim when
@@ -137,7 +144,8 @@ object IndexStore {
       set: Map[String, String] = Map.empty, unset: Seq[String] = Nil): Map[String, String] = {
     val (basis, epochs, config, cps) = readManifestV(spark, dir)
     val kv = (configKv(spark, dir) ++ set) -- unset
-    writeManifest(spark, dir, basis + 1, epochs, config, cps, kv)
+    writeManifest(spark, dir, basis + 1, epochs, config, cps,
+      manifestTombstones(spark, dir, basis, epochs, cps).toSeq.sorted, kv)
     kv
   }
 
@@ -155,6 +163,22 @@ object IndexStore {
       dir: String): (Int, Seq[EpochMeta], IndexConfig, Seq[CheckpointRow]) = {
     val v = currentVersion(dir)
     require(v > 0, s"no committed manifest at $dir")
+    val (epochs, config, cps) = readManifestAt(spark, dir, v)
+    (v, epochs, config, cps)
+  }
+
+  /** Manifest content at a PINNED version — the reader half of snapshot
+    * retention (the Iceberg time-travel analogue of the reference's
+    * versioned metastore, lnx-fs/src/metastore/mod.rs): a long-running
+    * reader loads at a version and `gc(retention >= R)` keeps every
+    * segment and tombstone dir the last R versions reference, so the
+    * pinned plan keeps collecting correctly across compactions.
+    */
+  def readManifestAt(spark: SparkSession, dir: String,
+      v: Int): (Seq[EpochMeta], IndexConfig, Seq[CheckpointRow]) = {
+    require(v > 0, s"manifest versions start at 1, got v$v")
+    require(Files.isDirectory(Paths.get(manifestDir(dir, v))),
+      s"manifest v$v at $dir does not exist (never committed, or expired by gc retention)")
     val md = manifestDir(dir, v)
     val epochs = spark.read.parquet(s"$md/epochs.parquet")
       .as(Encoders.product[EpochMeta]).collect().toSeq.sortBy(e => (e.epoch, e.field))
@@ -196,7 +220,7 @@ object IndexStore {
       c.tokenizers, c.docIdStrategy)
     val cps = spark.read.parquet(s"$md/checkpoints.parquet")
       .as(Encoders.product[CheckpointRow]).collect().toSeq.sortBy(_.epoch)
-    (v, epochs, config, cps)
+    (epochs, config, cps)
   }
 
   /** Write one epoch's segment data (no manifest commit yet):
@@ -311,7 +335,7 @@ object IndexStore {
     writeLineage(idx, dir, 0)
     val epochs = config.fields.map(f =>
       EpochMeta(0, "seg-00000", idx.numDocs, 0L, idx.numDocs, f, idx.fieldTokens.getOrElse(f, 0L)))
-    writeManifest(idx.spark, dir, 1, epochs, config, Seq(CheckpointRow(0, snapshotId, 0L)))
+    writeManifest(idx.spark, dir, 1, epochs, config, Seq(CheckpointRow(0, snapshotId, 0L)), Nil)
     idx.unpersist()
     load(df.sparkSession, dir)
   }
@@ -326,15 +350,22 @@ object IndexStore {
     *   row groups, QueryEngine.lookupDocs) and only postings/termstats
     *   pin memory. True pins the doc store too — only sane when the
     *   corpus fits executor memory (interactive small-table sessions).
+    * @param atVersion 0 = the committed LATEST; a positive version pins
+    *   the load to that manifest snapshot — combine with
+    *   `gc(retention >= R)` so the pinned version's files survive
+    *   later compactions (snapshot-retention reader contract).
     */
-  def load(spark: SparkSession, dir: String, cacheDocs: Boolean = true): BuiltIndex = {
-    val (epochs, config, cps) = readManifest(spark, dir)
+  def load(spark: SparkSession, dir: String, cacheDocs: Boolean = true,
+      atVersion: Int = 0): BuiltIndex = {
+    val v = if (atVersion > 0) atVersion else currentVersion(dir)
+    require(v > 0, s"no committed manifest at $dir")
+    val (epochs, config, cps) = readManifestAt(spark, dir, v)
     val segPaths = epochs.map(_.path).distinct
     val postings = segPaths.map(p => spark.read.parquet(s"$dir/$p/postings.parquet"))
       .reduce(_ unionByName _).as(Encoders.product[PostingRow])
     val docsAll = segPaths.map(p => spark.read.parquet(s"$dir/$p/docs.parquet"))
       .reduce(_ unionByName _)
-    val deletes = loadDeletes(spark, dir, committedEpochs(epochs, cps))
+    val deletes = loadDeletes(spark, dir, manifestTombstones(spark, dir, v, epochs, cps))
     val docs = deletes match {
       case Some(d) =>
         // the anti-join sits INSIDE the frame persist() may freeze, and
@@ -381,6 +412,19 @@ object IndexStore {
     */
   private def committedEpochs(epochs: Seq[EpochMeta], cps: Seq[CheckpointRow]): Set[Int] =
     epochs.map(_.epoch).toSet ++ cps.map(_.epoch)
+
+  /** Epochs whose _deletes/epoch=K dirs manifest version v READS —
+    * authoritative from the version's tombstones.parquet. Manifests
+    * written before the list existed fall back to the legacy inference
+    * (every committed epoch): a superset, safe because re-applying a
+    * tombstone is idempotent and loadDeletes skips absent dirs.
+    */
+  private def manifestTombstones(spark: SparkSession, dir: String, v: Int,
+      epochs: Seq[EpochMeta], cps: Seq[CheckpointRow]): Set[Int] = {
+    val p = Paths.get(manifestDir(dir, v), "tombstones.parquet")
+    if (!Files.exists(p)) committedEpochs(epochs, cps)
+    else spark.read.parquet(p.toString).collect().map(_.getInt(0)).toSet
+  }
 
   /** Next epoch number, clearing BOTH sets: delete-only epochs exist
     * only as checkpoint rows, so numbering off EpochMeta alone would
@@ -448,11 +492,12 @@ object IndexStore {
     */
   def info(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (epochs, _, cps) = readManifest(spark, dir)
+    val (v, epochs, _, cps) = readManifestV(spark, dir)
     val pendingDeletes =
-      loadDeletes(spark, dir, committedEpochs(epochs, cps)).map(_.count()).getOrElse(0L)
+      loadDeletes(spark, dir, manifestTombstones(spark, dir, v, epochs, cps))
+        .map(_.count()).getOrElse(0L)
     val liveDocs = epochs.groupBy(_.epoch).map(_._2.head.numDocs).sum - pendingDeletes
-    Seq((currentVersion(dir), epochs.map(_.epoch).distinct.size,
+    Seq((v, epochs.map(_.epoch).distinct.size,
       epochs.map(_.path).distinct.size, liveDocs, pendingDeletes, cps.size))
       .toDF("manifestVersion", "epochs", "segments", "liveDocs", "pendingDeletes", "checkpoints")
   }
@@ -526,14 +571,17 @@ object IndexStore {
     // tombstone dir: every later load would pay the tombstone
     // union+distinct job and install the anti-join for tombstones that
     // do not exist (deleteByQuery has the same removed==0 guard)
-    if (spark.read.parquet(delDir).count() == 0L) deleteTree(Paths.get(delDir))
+    val hasTombstones = spark.read.parquet(delDir).count() != 0L
+    if (!hasTombstones) deleteTree(Paths.get(delDir))
     newKeys.unpersist()
     old.unpersist()
     val newEpochs = epochs ++ config.fields.map(f =>
       EpochMeta(epoch, segName, idx.numDocs, base, base + idx.numDocs, f,
         idx.fieldTokens.getOrElse(f, 0L)))
     val newCps = cps :+ CheckpointRow(epoch, snapshotId, 0L)
-    writeManifest(spark, dir, basis + 1, newEpochs, config, newCps,
+    val tombs = manifestTombstones(spark, dir, basis, epochs, cps).toSeq.sorted ++
+      (if (hasTombstones) Seq(epoch) else Nil)
+    writeManifest(spark, dir, basis + 1, newEpochs, config, newCps, tombs,
       configKv(spark, dir))
     idx.unpersist()
     true
@@ -578,7 +626,9 @@ object IndexStore {
     val removed = spark.read.parquet(delDir).count()
     if (removed == 0L) { deleteTree(Paths.get(delDir)); return 0L }
     writeManifest(spark, dir, basis + 1, epochs, config,
-      cps :+ CheckpointRow(epoch, deleteCheckpointId(deleteId), 0L), configKv(spark, dir))
+      cps :+ CheckpointRow(epoch, deleteCheckpointId(deleteId), 0L),
+      manifestTombstones(spark, dir, basis, epochs, cps).toSeq.sorted :+ epoch,
+      configKv(spark, dir))
     removed
   }
 
@@ -621,7 +671,7 @@ object IndexStore {
     val selectedEpochs = selected.map(_._1).toSet
     val unselected = segs.filterNot(s => selectedEpochs(s._1))
 
-    val deletes = loadDeletes(spark, dir, committedEpochs(epochs, cps))
+    val deletes = loadDeletes(spark, dir, manifestTombstones(spark, dir, basis, epochs, cps))
     val postingsSel = selected.map(s => spark.read.parquet(s"$dir/${s._2}/postings.parquet"))
       .reduce(_ unionByName _)
     val docsSelAll = selected.map(s => spark.read.parquet(s"$dir/${s._2}/docs.parquet"))
@@ -712,44 +762,48 @@ object IndexStore {
       config.fields.map(f =>
         EpochMeta(mergedEpoch, segName, liveDocs, mergedDocIdBase, mergedDocIdEnd, f,
           newFieldTokens.getOrElse(f, 0L)))
-    writeManifest(spark, dir, basis + 1, newEpochs, config, cps, kv)
-    // GC the pre-merge tombstone dirs: absorbed (full) or rewritten
-    // under the merged epoch (partial). Re-applying a tombstone is
-    // idempotent, so a crash between the commit above and this sweep
-    // is harmless.
-    val delRoot = Paths.get(dir, "_deletes")
-    if (Files.exists(delRoot)) {
-      if (!retainedTombstones) deleteTree(delRoot)
-      else {
-        val listing = Files.list(delRoot)
-        try {
-          val it = listing.iterator()
-          while (it.hasNext) {
-            val d = it.next()
-            if (d.getFileName.toString != s"epoch=$mergedEpoch") deleteTree(d)
-          }
-        } finally listing.close()
-      }
-    }
+    // the new manifest's tombstone list: pre-merge dirs are absorbed
+    // (full pass) or rewritten under the merged epoch (partial pass), so
+    // readers of THIS version read at most {mergedEpoch}. The physical
+    // dirs are NOT deleted here — a reader pinned at an older manifest
+    // version still needs them; retention-aware gc() owns deletion,
+    // exactly like superseded segment dirs.
+    writeManifest(spark, dir, basis + 1, newEpochs, config, cps,
+      if (retainedTombstones) Seq(mergedEpoch) else Nil, kv)
   }
 
-  /** Explicit storage GC: delete segment dirs the COMMITTED manifest no
-    * longer references (superseded by compaction, or orphaned by a
-    * crashed append before its commit) and tombstone dirs of epochs
-    * that were never committed. Deliberately NOT part of compact():
-    * the store is single-writer / multi-reader, and a reader holding a
-    * lazy plan over pre-compaction segments would lose its files
-    * mid-query — only the operator knows when no such reader is live
-    * (the reference's tablet GC is likewise a maintenance op,
-    * bucket.rs:72-74). _lineage dirs are retained: they are the
-    * provenance record, numbered by nextEpoch over BOTH manifests and
-    * checkpoints so numbers are never reused. Idempotent; returns the
-    * number of directories removed.
+  /** Explicit storage GC with SNAPSHOT RETENTION: delete segment dirs,
+    * tombstone dirs, and manifest-version dirs referenced by NONE of
+    * the last `retention` committed manifest versions (superseded by
+    * compaction, or orphaned by a crashed append before its commit).
+    * Deliberately NOT part of compact(): the store is single-writer /
+    * multi-reader, and a reader holding a lazy plan over pre-compaction
+    * segments would lose its files mid-query — the operator picks a
+    * retention covering the oldest version any live reader is pinned to
+    * (`load(atVersion = vN)`), the Iceberg-snapshot-retention analogue
+    * of the reference's "dead data ... reclaimed by periodic compaction
+    * and GC" (lnx-fs/src/bucket.rs:72-74). retention = 1 keeps only the
+    * LATEST version's files — safe exactly when no pinned reader is
+    * live. _lineage dirs are retained: they are the provenance record,
+    * numbered by nextEpoch over BOTH manifests and checkpoints so
+    * numbers are never reused. Idempotent; returns the number of
+    * directories removed.
     */
-  def gc(spark: SparkSession, dir: String): Int = {
-    val (epochs, _, cps) = readManifest(spark, dir)
-    val livePaths = epochs.map(_.path).toSet
-    val committed = committedEpochs(epochs, cps)
+  def gc(spark: SparkSession, dir: String, retention: Int = 1): Int = {
+    require(retention >= 1, s"gc retention must be >= 1, got $retention")
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no committed manifest at $dir")
+    val floor = math.max(1, cur - retention + 1)
+    // union liveness over the retained manifest window: a file is live
+    // if ANY version in [floor, cur] references it
+    val retained = (floor to cur)
+      .filter(v => Files.isDirectory(Paths.get(manifestDir(dir, v))))
+      .map { v =>
+        val (epochs, _, cps) = readManifestAt(spark, dir, v)
+        (epochs.map(_.path).toSet, manifestTombstones(spark, dir, v, epochs, cps))
+      }
+    val livePaths = retained.flatMap(_._1).toSet
+    val liveTombstones = retained.flatMap(_._2).toSet
     var removed = 0
     val root = Paths.get(dir)
     val listing = Files.list(root)
@@ -772,11 +826,29 @@ object IndexStore {
           val p = it.next()
           val ep = scala.util.Try(
             p.getFileName.toString.stripPrefix("epoch=").toInt).toOption
-          if (Files.isDirectory(p) && ep.exists(e => !committed.contains(e))) {
+          if (Files.isDirectory(p) && ep.exists(e => !liveTombstones.contains(e))) {
             deleteTree(p); removed += 1
           }
         }
       } finally l2.close()
+    }
+    // expire manifest versions below the retention window (the
+    // expire-snapshots half): a later load(atVersion) of an expired
+    // version fails loudly in readManifestAt
+    val mroot = root.resolve("_manifest")
+    if (Files.isDirectory(mroot)) {
+      val l3 = Files.list(mroot)
+      try {
+        val it = l3.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val v = scala.util.Try(p.getFileName.toString.stripPrefix("v").toInt).toOption
+          if (Files.isDirectory(p) && p.getFileName.toString.startsWith("v") &&
+              v.exists(_ < floor)) {
+            deleteTree(p); removed += 1
+          }
+        }
+      } finally l3.close()
     }
     removed
   }

@@ -343,6 +343,280 @@ object Multimodal {
        |  (CASE WHEN width >= height THEN height * $box // width ELSE $box END)::BIGINT AS out_h
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // REAL PNG PIXEL pipeline: from-scratch zlib inflate (Inflate.zlib,
+  // RFC 1950/1951) + scanline unfiltering (all 5 RFC 2083 filters) +
+  // integer box-filter resize. The generator emits real deflate-
+  // compressed, per-row-filtered RGB PNGs whose pixel function is
+  // doc_id arithmetic, so the q55 oracle recomputes the pixel sum AND
+  // the resized checksum in DuckDB — any inflate/unfilter/resize bug
+  // breaks hash parity. This closes the former pixel-kernel stub:
+  // resizePlan's arithmetic now has the matching pixel pass.
+  // ---------------------------------------------------------------
+
+  final case class PixelStats(doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, px_sum: Long, resized_sum: Long)
+
+  /** RFC 2083 Paeth predictor (shared by the encoder and decoder). */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** The deterministic pixel function: channel c of pixel (x, y) of doc
+    * id — pure doc_id arithmetic so DuckDB recomputes it exactly.
+    */
+  def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+
+  def pixelDims(id: Long): (Int, Int) = ((4 + id % 13).toInt, (3 + (id * 5) % 11).toInt)
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, tpe: String,
+      data: Array[Byte]): Unit = {
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    out.write(be32(data.length), 0, 4)
+    val body = tpe.getBytes("US-ASCII") ++ data
+    out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    out.write(be32(crc.getValue.toInt), 0, 4)
+  }
+
+  /** A REAL 8-bit RGB PNG with pixel data: rows filtered with type
+    * (id + y) % 5 (all five filters exercised), scanlines
+    * deflate-compressed, IDAT split in two chunks (multi-IDAT
+    * concatenation is part of the spec). The COMPRESSOR may use the
+    * JVM's Deflater — the engine's decode direction is the from-scratch
+    * half, and MultimodalSpec cross-checks Inflate against Deflater
+    * output at every level.
+    */
+  def pngBytesWithPixels(id: Long): Array[Byte] = {
+    val (w, h) = pixelDims(id)
+    val stride = w * 3
+    val raw = Array.tabulate(h, stride)((y, i) => pixelValue(id, i / 3, y, i % 3))
+    val scan = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = ((id + y) % 5).toInt
+      scan(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) raw(y)(i - 3) else 0
+        val b = if (y > 0) raw(y - 1)(i) else 0
+        val cc = if (y > 0 && i >= 3) raw(y - 1)(i - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, cc)
+        }
+        scan(y * (stride + 1) + 1 + i) = ((raw(y)(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(6)
+    defl.setInput(scan); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream(scan.length / 2 + 32)
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(tmp); zout.write(tmp, 0, n) }
+    defl.end()
+    val idat = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream(idat.length + 128)
+    out.write(PngSig, 0, 8)
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    writeChunk(out, "IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    val half = idat.length / 2
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(idat, 0, half))
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(idat, half, idat.length))
+    writeChunk(out, "IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  def syntheticPixelPayload(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val ds = src.as[Long](Encoders.scalaLong)
+    ds.mapPartitions(ids => ids.map(id => (id, pngBytesWithPixels(id))))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
+  }
+
+  /** Decode a full 8-bit RGB PNG to raw pixels: chunk walk with per-
+    * chunk CRC32 verification, multi-IDAT concatenation, from-scratch
+    * zlib inflate, scanline unfiltering. Fails with
+    * IllegalArgumentException on any structural or deflate corruption.
+    */
+  def decodePngPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "not a PNG payload")
+    var off = 8
+    var w = -1
+    var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    while (!end) {
+      require(off + 8 <= bytes.length, "PNG chunk header truncated")
+      val len = be32At(bytes, off)
+      require(len >= 0 && off + 12 + len <= bytes.length,
+        s"PNG chunk length $len overflows payload")
+      val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32At(bytes, off + 8 + len), s"PNG $tpe CRC mismatch")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, "malformed IHDR")
+          w = be32At(bytes, off + 8); h = be32At(bytes, off + 12)
+          require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+          require((bytes(off + 16) & 0xff) == 8 && (bytes(off + 17) & 0xff) == 2,
+            "pixel decode supports 8-bit RGB (depth 8, color type 2)")
+          require((bytes(off + 20) & 0xff) == 0, "interlaced PNGs unsupported")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => end = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    require(w > 0, "PNG without IHDR")
+    val scan = Inflate.zlib(idat.toByteArray)
+    val stride = w * 3
+    require(scan.length == (stride + 1) * h,
+      s"decompressed scanlines ${scan.length}B != expected ${(stride + 1) * h}B")
+    val px = new Array[Int](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = scan(y * (stride + 1)) & 0xff
+      require(ft <= 4, s"unknown PNG filter type $ft")
+      var i = 0
+      while (i < stride) {
+        val f = scan(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= 3) px(y * stride + i - 3) else 0
+        val b = if (y > 0) px((y - 1) * stride + i) else 0
+        val cc = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, cc)
+        }
+        px(y * stride + i) = (f + pred) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Integer box-filter resize: out(ox, oy, c) = floor-mean of the
+    * source box [ox*w/ow, (ox+1)*w/ow) x [oy*h/oh, (oy+1)*h/oh), with
+    * degenerate boxes clamped to one pixel (upscale case) — the pixel
+    * kernel resizePlan's aspect-fit arithmetic plans for.
+    */
+  def boxResize(px: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Int] = {
+    val out = new Array[Int](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      val y0 = oy * h / oh
+      val y1 = math.max((oy + 1) * h / oh, y0 + 1)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = ox * w / ow
+        val x1 = math.max((ox + 1) * w / ow, x0 + 1)
+        var c = 0
+        while (c < 3) {
+          var s = 0L
+          var n = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) { s += px(yy * w * 3 + xx * 3 + c); n += 1; xx += 1 }
+            yy += 1
+          }
+          out((oy * ow + ox) * 3 + c) = (s / n).toInt
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Batched pixel pass over a PNG binary column: decode (inflate +
+    * unfilter), aspect-fit box-resize into `box`, and emit integer
+    * invariants of BOTH images (pixel sum of the original, value sum of
+    * the resized) — hash-exact against the q55 DuckDB oracle. Corrupt
+    * payloads yield no rows (lenient, like decodeMedia).
+    */
+  def pixelStats(df: DataFrame, idCol: String, payloadCol: String,
+      box: Int = 8): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    val ds = src.as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        try {
+          val (w, h, px) = decodePngPixels(bytes)
+          val (ow, oh) =
+            if (w >= h) (box, math.max(1, h * box / w)) else (math.max(1, w * box / h), box)
+          val r = boxResize(px, w, h, ow, oh)
+          var ps = 0L
+          px.foreach(ps += _)
+          var rs = 0L
+          r.foreach(rs += _)
+          // materialized single row: errors must surface INSIDE this
+          // try (same lazy-iterator trap sampleFrames documents)
+          Iterator.single(PixelStats(id, w.toLong, h.toLong, ow.toLong, oh.toLong, ps, rs))
+        } catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException => Iterator.empty
+        }
+      }
+    }(Encoders.product[PixelStats]).toDF().orderBy("doc_id")
+  }
+
+  /** q55 oracle: pixel sum and resized checksum recomputed from doc_id
+    * arithmetic alone in DuckDB — mirrors pixelValue/pixelDims, the
+    * aspect-fit dims, and boxResize's floor-mean boxes exactly.
+    */
+  def pixelStatsSqlDuck(idCol: String, box: Int = 8): String =
+    s"""WITH d AS (SELECT $idCol AS doc_id,
+       |    (4 + $idCol % 13)::BIGINT AS w, (3 + ($idCol * 5) % 11)::BIGINT AS h
+       |  FROM documents),
+       |dims AS (SELECT doc_id, w, h,
+       |    CASE WHEN w >= h THEN $box ELSE greatest(1, w * $box // h) END AS ow,
+       |    CASE WHEN w >= h THEN greatest(1, h * $box // w) ELSE $box END AS oh
+       |  FROM d),
+       |xs AS (SELECT unnest(range(16)) AS x), ys AS (SELECT unnest(range(13)) AS y),
+       |cs AS (SELECT unnest(range(3)) AS c),
+       |px AS (SELECT d.doc_id,
+       |    sum((d.doc_id * 31 + xs.x * 7 + ys.y * 13 + cs.c * 5) % 256) AS px_sum
+       |  FROM d JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h CROSS JOIN cs
+       |  GROUP BY d.doc_id),
+       |boxes AS (SELECT dims.doc_id, dims.w, dims.h, ox.x AS ox, oy.y AS oy,
+       |    (ox.x * dims.w) // dims.ow AS x0,
+       |    greatest(((ox.x + 1) * dims.w) // dims.ow, (ox.x * dims.w) // dims.ow + 1) AS x1,
+       |    (oy.y * dims.h) // dims.oh AS y0,
+       |    greatest(((oy.y + 1) * dims.h) // dims.oh, (oy.y * dims.h) // dims.oh + 1) AS y1
+       |  FROM dims JOIN xs ox ON ox.x < dims.ow JOIN ys oy ON oy.y < dims.oh),
+       |bavg AS (SELECT b.doc_id, b.ox, b.oy, cs.c,
+       |    sum((b.doc_id * 31 + xs.x * 7 + ys.y * 13 + cs.c * 5) % 256) // count(*) AS v
+       |  FROM boxes b
+       |  JOIN xs ON xs.x >= b.x0 AND xs.x < b.x1
+       |  JOIN ys ON ys.y >= b.y0 AND ys.y < b.y1
+       |  CROSS JOIN cs
+       |  GROUP BY b.doc_id, b.ox, b.oy, cs.c),
+       |rs AS (SELECT doc_id, sum(v) AS resized_sum FROM bavg GROUP BY doc_id)
+       |SELECT dims.doc_id, dims.w AS width, dims.h AS height,
+       |  dims.ow::BIGINT AS out_w, dims.oh::BIGINT AS out_h,
+       |  px.px_sum::BIGINT AS px_sum, rs.resized_sum::BIGINT AS resized_sum
+       |FROM dims JOIN px USING (doc_id) JOIN rs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle: the same arithmetic in DuckDB over the text payload
     * (payload = utf-8 bytes of `textCol`; ASCII corpus keeps char and
     * byte offsets aligned for the quarter split).

@@ -630,21 +630,25 @@ final class QueryEngine(val index: BuiltIndex) {
     * bit-identical to searchF32 (BatchSearchSpec). Shard-local
     * per-query heaps bound the exchange at (#shards x #queries x k)
     * rows, and compileMany coalesces the dictionary jobs, so total job
-    * count is O(1) in batch width. WAND remains the single-query
-    * LATENCY path — at batch widths, decode-once amortization dominates
-    * block skipping (the union of many queries' terms leaves few blocks
-    * skippable anyway).
+    * count is O(1) in batch width. Block-max pruning applies PER QUERY
+    * on top of the shared decode (Wand.topKMany): every query runs the
+    * algorithm the single-query path would pick for it, all queries of
+    * a shard draw blocks from one lazy cache, and a block decodes only
+    * if ANY query of the batch actually lands on it.
     */
-  def searchManyF32(queries: Seq[(Int, Seq[SearchClause])], k: Int = DefaultLimit): DataFrame = {
+  def searchManyF32(queries: Seq[(Int, Seq[SearchClause])], k: Int = DefaultLimit,
+      wandStats: Option[Wand.Stats] = None): DataFrame = {
     require(queries.map(_._1).distinct.size == queries.size, "qids must be unique")
     // every scoring task carries every query's compiled plan in its
     // closure — bounded here so a runaway batch degrades loudly into
     // "chunk your batch", not into silent multi-MB task binaries
     require(queries.size <= MaxBatchWidth, s"batch wider than $MaxBatchWidth: chunk it")
+    if (k <= 0) return emptyResultQF32
     val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
     val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
     if (nonEmpty.isEmpty) return emptyResultQF32
-    val scored = Scorer.scoreManyF32(index, nonEmpty, k, deletesDs).toDF("qid", "docId", "score")
+    val scored = Wand.topKMany(index, nonEmpty, k, deletesDs, wandStats)
+      .toDF("qid", "docId", "score")
     Scorer.topKPerQuery(scored, k, col("score"))
   }
 

@@ -258,7 +258,7 @@ object Scorer {
     * kept candidate. `raw` carries the unrounded score when the sort
     * key is a rounded form of it (f64 oracle order).
     */
-  private final class TopKHeap(k: Int) {
+  private[query] final class TopKHeap(k: Int) {
     private val ks = new Array[Double](k)
     private val ds = new Array[Long](k)
     private val raw = new Array[Double](k)

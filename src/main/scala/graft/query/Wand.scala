@@ -34,13 +34,53 @@ object Wand {
       spark.sparkContext.longAccumulator("wandSkippedBlocks"))
   }
 
-  /** Streaming block-decoding cursor over one term's posting row. */
+  /** Shard-scoped lazy block store shared by every query of a batch:
+    * each posting block decodes AT MOST once per shard, and only when
+    * some query's execution actually lands on it — the batched analogue
+    * of single-query block-max skipping (a block is decoded only if ANY
+    * query of the batch could admit it). Blocks no query ever touched
+    * are the batch's skip count.
+    */
+  private final class BlockCache(stats: Option[Stats]) {
+    private val map = new java.util.IdentityHashMap[PostingRow, Array[DecodedBlock]]()
+    private var decoded = 0L
+    private var total = 0L
+    def register(p: PostingRow): Unit =
+      if (!map.containsKey(p)) {
+        map.put(p, new Array[DecodedBlock](p.blockOffset.length))
+        total += p.blockOffset.length
+      }
+    def block(p: PostingRow, b: Int): DecodedBlock = {
+      val arr = map.get(p)
+      var d = arr(b)
+      if (d == null) {
+        d = PostingCodec.decodeBlock(p.bytes, p.blockOffset(b),
+          if (b == 0) -1L else p.blockLast(b - 1))
+        arr(b) = d
+        decoded += 1
+        stats.foreach(_.decodedBlocks.add(1L))
+      }
+      d
+    }
+    /** Whole-row decode for the exhaustive-replay route. */
+    def decodeRow(p: PostingRow): Array[DecodedBlock] =
+      Array.tabulate(p.blockOffset.length)(b => block(p, b))
+    /** Account the blocks NO query of the batch ever decoded. */
+    def finish(): Unit = stats.foreach(_.skippedBlocks.add(total - decoded))
+  }
+
+  /** Streaming block-decoding cursor over one term's posting row. When
+    * `shared` is set (batched path), decodes go through the batch's
+    * BlockCache — a block another query already pulled is free, and the
+    * cache owns decode/skip accounting (per-cursor stats stay None).
+    */
   private final class Cursor(
       val p: PostingRow,
       val weight: Float,
       val cache: Array[Float],
       val ord: Int,
-      val stats: Option[Stats] = None) {
+      val stats: Option[Stats] = None,
+      val shared: BlockCache = null) {
     private var blockIdx = 0
     private var dec: DecodedBlock = _
     private var pos = 0
@@ -82,11 +122,13 @@ object Wand {
     def currentBlockLast: Long = p.blockLast(blockIdx)
 
     private def decodeCurrent(): Unit = {
-      dec = PostingCodec.decodeBlock(
-        p.bytes, p.blockOffset(blockIdx),
-        if (blockIdx == 0) -1L else p.blockLast(blockIdx - 1))
+      dec =
+        if (shared != null) shared.block(p, blockIdx)
+        else PostingCodec.decodeBlock(
+          p.bytes, p.blockOffset(blockIdx),
+          if (blockIdx == 0) -1L else p.blockLast(blockIdx - 1))
       pos = 0
-      stats.foreach(_.decodedBlocks.add(1L))
+      if (shared == null) stats.foreach(_.decodedBlocks.add(1L))
     }
 
     def done: Boolean = exhausted
@@ -143,11 +185,12 @@ object Wand {
   /** Exact per-shard top-k via WAND with block-max skipping. */
   private def wandShard(rows: Array[PostingRow], weights: Map[(String, String), Float],
       caches: Map[String, Array[Float]], k: Int, deleted: Set[Long],
-      stats: Option[Stats] = None): Iterator[ScoredDocF32] = {
+      stats: Option[Stats] = None, shared: BlockCache = null): Iterator[ScoredDocF32] = {
     // scoring order must match the exhaustive scorer: (field, term) sorted
     val sortedRows = rows.sortBy(p => (p.field, p.term))
     val cursors = sortedRows.zipWithIndex.map { case (p, i) =>
-      new Cursor(p, weights((p.field, p.term)), caches(p.field), i, stats)
+      new Cursor(p, weights((p.field, p.term)), caches(p.field), i,
+        if (shared == null) stats else None, shared)
     }
     val heap = new java.util.PriorityQueue[Hit](k, (a: Hit, b: Hit) =>
       if (worseThan(a.score, a.docId, b.score, b.docId)) -1
@@ -266,7 +309,8 @@ object Wand {
       nGroups: Int,
       k: Int,
       deleted: Set[Long],
-      stats: Option[Stats]): Iterator[ScoredDocF32] = {
+      stats: Option[Stats],
+      shared: BlockCache = null): Iterator[ScoredDocF32] = {
     val sortedRows = rows.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
     if (sortedRows.isEmpty) return Iterator.empty
     val rowGroups: Array[Array[Int]] =
@@ -284,7 +328,8 @@ object Wand {
       val wSum = groupOf((p.field, p.term)).iterator
         .filter(g => (constMask & (1 << g)) == 0)
         .map(g => weights((p.field, p.term, g)).toDouble).sum
-      new Cursor(p, (wSum * (1.0 + 1e-6)).toFloat, caches(p.field), i, stats)
+      new Cursor(p, (wSum * (1.0 + 1e-6)).toFloat, caches(p.field), i,
+        if (shared == null) stats else None, shared)
     }
     val cursorsOfGroup: Array[Array[Int]] =
       Array.tabulate(nGroups)(g => cursors.indices.filter(i => rowGroups(i).contains(g)).toArray)
@@ -444,6 +489,166 @@ object Wand {
             Set.empty, stats)
         }
     }
+  }
+
+  /** Driver-compiled routing + replay data for ONE query of a batch.
+    * Route mirrors searchF32's cost gates exactly, so a query runs the
+    * same algorithm batched as it would alone: 0 = single-group
+    * sum-scored WAND, 1 = all-required conjunction WAND, 2 = exhaustive
+    * replay (dense or irregular shapes, where block skipping loses to
+    * the hash scorer).
+    */
+  private final case class BatchPlan(
+      qid: Int,
+      route: Int,
+      order: Array[(String, String)], // (minGroup, field, term) replay order
+      weightsFT: Map[(String, String), Float], // route 0
+      weights: Map[(String, String, Int), Float],
+      groupOf: Map[(String, String), Seq[Int]],
+      constMask: Int,
+      reqMask: Int,
+      nGroups: Int)
+
+  /** Batched multi-query top-k with SHARED lazy block decoding — the
+    * serving-throughput path with single-query WAND's pruning grafted
+    * on. Each query replays via the exact algorithm the single-query
+    * path would pick for it (same cost gates), but all queries of a
+    * shard draw decoded blocks from one BlockCache: a block decodes at
+    * most once per shard, and ONLY if some query's WAND walk (or an
+    * exhaustive-shape query subscribed to its term) actually needs it —
+    * blocks beyond every subscribing query's threshold horizon are
+    * never touched. Per-query results stay bit-identical to searchF32
+    * (BatchSearchSpec): WAND routes are exact by the WandSpec
+    * invariant, and the exhaustive route accumulates in the
+    * single-query order. Reference semantics: tantivy BlockWAND
+    * (Cargo.lock:242) applied per query of lnx's concurrent search
+    * load.
+    */
+  def topKMany(index: BuiltIndex, queries: Seq[(Int, CompiledQuery)], k: Int,
+      deletes: Option[Dataset[Long]] = None,
+      stats: Option[Stats] = None): Dataset[ScoredQDocF32] = {
+    val spark = index.spark
+    import spark.implicits._
+    val numDocs = index.numDocs
+    val plans = queries.map { case (qid, cq) =>
+      val groupOf: Map[(String, String), Seq[Int]] = cq.terms
+        .groupBy(t => (t.field, t.term)).map { case (kk, v) => kk -> v.map(_.group).distinct.sorted }
+      val order = groupOf.keys.toArray.sortBy(kk => (groupOf(kk).min, kk._1, kk._2))
+      val constMask = cq.groups.filter(_.constScore).map(g => 1 << g.id).sum
+      val groupsWithTerms = cq.terms.map(_.group).toSet
+      // the same selectivity gates as searchF32: dense shapes skip
+      // nothing and lose to the hash scorer on bookkeeping
+      val disjOk = cq.groups.size == 1 && !cq.groups.head.constScore &&
+        cq.terms.map(_.df).min * 4 <= numDocs
+      val conjOk = cq.groups.size > 1 && cq.groups.forall(_.required) &&
+        cq.groups.forall(g => groupsWithTerms.contains(g.id)) && {
+          val minGroupDf =
+            cq.groups.map(g => cq.terms.filter(_.group == g.id).map(_.df).sum).min
+          minGroupDf * 4 <= numDocs
+        }
+      BatchPlan(qid, if (disjOk) 0 else if (conjOk) 1 else 2, order,
+        cq.terms.map(t => (t.field, t.term) -> t.weightF32).toMap,
+        cq.terms.map(t => (t.field, t.term, t.group) -> t.weightF32).toMap,
+        groupOf, constMask, cq.requiredMask, cq.groups.size)
+    }.toArray
+    val allTerms = queries.flatMap(_._2.terms)
+    val caches: Map[String, Array[Float]] =
+      allTerms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
+    val shardDocs = index.config.shardDocs
+    val kk = k
+    val grouped = Scorer.matchedPostings(index, allTerms).groupByKey(_.shard)
+    deletes match {
+      case Some(d) =>
+        grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
+          batchShard(rows.toArray, plans, caches, shardDocs, kk, dels.toSet, stats)
+        }
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          batchShard(rows.toArray, plans, caches, shardDocs, kk, Set.empty, stats)
+        }
+    }
+  }
+
+  private def batchShard(rows: Array[PostingRow], plans: Array[BatchPlan],
+      caches: Map[String, Array[Float]], shardDocs: Int, k: Int,
+      deleted: Set[Long], stats: Option[Stats]): Iterator[ScoredQDocF32] = {
+    if (rows.isEmpty || k <= 0) return Iterator.empty
+    val cache = new BlockCache(stats)
+    rows.foreach(cache.register)
+    // arrival-order rows per key (one row per epoch segment): replay
+    // order within a key is arrival order, matching the single-query
+    // merge's STABLE sort over equal keys
+    val rowsOfKey = new scala.collection.mutable.LinkedHashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[PostingRow]]
+    rows.foreach(p => rowsOfKey.getOrElseUpdate((p.field, p.term),
+      scala.collection.mutable.ArrayBuffer.empty) += p)
+    val base = rows(0).shard.toLong * shardDocs
+    // scratch arrays shared by every exhaustive-replay query of the shard
+    var score: Array[Float] = null
+    var mask: Array[Int] = null
+    val out = Seq.newBuilder[ScoredQDocF32]
+    plans.foreach { q =>
+      val qRows = q.order.iterator.flatMap(rowsOfKey.getOrElse(_, Nil)).toArray
+      if (qRows.nonEmpty) q.route match {
+        case 0 =>
+          wandShard(qRows, q.weightsFT, caches, k, deleted, stats, cache)
+            .foreach(h => out += ScoredQDocF32(q.qid, h.docId, h.score))
+        case 1 =>
+          wandShardConj(qRows, q.weights, q.groupOf, caches, q.constMask, q.nGroups,
+            k, deleted, stats, cache)
+            .foreach(h => out += ScoredQDocF32(q.qid, h.docId, h.score))
+        case _ =>
+          // exhaustive replay, bit-identical accumulation order to
+          // Scorer.mergeShardF32: keys (minGroup, field, term) sorted,
+          // rows within a key in arrival order, groups ascending,
+          // docIds ascending — every decode through the shared cache
+          if (score == null) {
+            score = new Array[Float](shardDocs); mask = new Array[Int](shardDocs)
+          } else {
+            java.util.Arrays.fill(score, 0.0f); java.util.Arrays.fill(mask, 0)
+          }
+          q.order.foreach { key =>
+            rowsOfKey.get(key).foreach { prs =>
+              val fcache = caches(key._1)
+              prs.foreach { p =>
+                val blocks = cache.decodeRow(p)
+                q.groupOf(key).foreach { g =>
+                  val gBit = 1 << g
+                  val isConst = (q.constMask & gBit) != 0
+                  val w = q.weights((key._1, key._2, g))
+                  var bi = 0
+                  while (bi < blocks.length) {
+                    val dec = blocks(bi)
+                    var i = 0
+                    while (i < dec.docIds.length) {
+                      val o = (dec.docIds(i) - base).toInt
+                      if (isConst) {
+                        if ((mask(o) & gBit) == 0) score(o) += 1.0f
+                      } else {
+                        score(o) += Bm25.tfScoreF32(w, dec.tfs(i), fcache(dec.norms(i)))
+                      }
+                      mask(o) |= gBit
+                      i += 1
+                    }
+                    bi += 1
+                  }
+                }
+              }
+            }
+          }
+          val heap = new Scorer.TopKHeap(math.max(1, math.min(k, shardDocs)))
+          var o = 0
+          while (o < shardDocs) {
+            if ((mask(o) & q.reqMask) == q.reqMask && mask(o) != 0 &&
+                !deleted.contains(base + o))
+              heap.offer(score(o).toDouble, base + o, score(o).toDouble)
+            o += 1
+          }
+          heap.foreachKept((d, s) => out += ScoredQDocF32(q.qid, d, s.toFloat))
+      }
+    }
+    cache.finish()
+    out.result().iterator
   }
 
   /** Top-k for a single-group disjunction; exact w.r.t. the exhaustive

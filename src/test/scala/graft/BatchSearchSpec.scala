@@ -111,6 +111,24 @@ class BatchSearchSpec extends AnyFunSuite {
     first.zip(second).foreach { case (a, b) => assert(a eq b, "repeat must return the cached object") }
   }
 
+  test("batched path accounts every matched block exactly once (decoded + skipped = total)") {
+    val stats = Wand.Stats.register(spark)
+    val e = new QueryEngine(index)
+    e.searchManyF32(batch, 10, wandStats = Some(stats)).collect()
+    val decoded = stats.decodedBlocks.value
+    val skipped = stats.skippedBlocks.value
+    assert(decoded > 0L, "the batch must decode something")
+    assert(skipped >= 0L)
+    // the shared BlockCache decodes each block at most once per shard
+    // and accounts the never-touched rest at shard close: the two
+    // counters partition the matched posting blocks exactly
+    val cqs = new QueryEngine(index).compileMany(batch.map(_._2))
+    val total = Scorer.matchedPostings(index, cqs.flatMap(_.terms))
+      .collect().map(_.blockOffset.length.toLong).sum
+    assert(decoded + skipped === total,
+      s"decoded=$decoded skipped=$skipped total=$total must partition the matched blocks")
+  }
+
   test("a no-match query yields no rows for its qid and leaves the rest intact") {
     val withEmpty = batch :+ (99 -> Seq(Fts("content", "zzqqxxnomatchtoken")))
     val got = engine.searchManyF32(withEmpty, 5).collect()

@@ -529,8 +529,11 @@ class IndexStoreSpec extends AnyFunSuite {
     }
     val before = segDirs()
     assert(before.size === 3, s"2 originals + 1 merged expected, got $before")
+    // default retention = 1: only the LATEST version's files survive.
+    // removed = 2 superseded segments + the 2 expired manifest versions
+    // (v1 create, v2 append) below the retention window
     val removed = IndexStore.gc(spark, dir)
-    assert(removed === 2, s"both superseded segments should go, removed=$removed")
+    assert(removed === 4, s"2 segments + 2 expired manifests should go, removed=$removed")
     val after = segDirs()
     assert(after.size === 1)
     val idx = IndexStore.load(spark, dir)
@@ -539,5 +542,53 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.gc(spark, dir) === 0)
     // compact's footprint bound is loud, not silently widened
     intercept[IllegalArgumentException](IndexStore.compact(spark, dir, maxSegments = 1))
+  }
+
+  test("snapshot retention: a reader pinned at vN survives compact+gc(retention=2)") {
+    val dir = tmpDir()
+    val corpus = CodeCorpus.generate(spark, 300, 2).cache()
+    IndexStore.create(corpus, config, dir, "snap-0")
+    // an UPSERT append so the pinned version carries live tombstones —
+    // the retention contract must protect _deletes dirs too, not just
+    // segments (compact no longer sweeps them; gc owns deletion)
+    val modified = corpus.filter(col("path").contains("file_1"))
+      .withColumn("content", concat(col("content"), lit(" pinmarker")))
+    IndexStore.appendEpoch(modified, dir, "snap-1")
+    val vN = IndexStore.currentVersion(dir)
+    val pinned = IndexStore.load(spark, dir, atVersion = vN)
+    val ePinned = new QueryEngine(pinned)
+    val docsAtVn = pinned.docs.count()
+    val hitsAtVn = ePinned.searchF32(Seq(graft.query.Fts("content", "pinmarker")), 100).count()
+    assert(hitsAtVn > 0L)
+
+    IndexStore.compact(spark, dir)
+    // retention=2 keeps every DATA dir vN or vN+1 references; the only
+    // removable dir is the v1 manifest below the window (create-time,
+    // whose segment vN still references and therefore survives)
+    assert(IndexStore.gc(spark, dir, retention = 2) === 1,
+      "retention=2 must keep every file vN or vN+1 references")
+    // the PINNED plan (lazy over vN's segments + tombstone dirs) still
+    // collects correctly after compact+gc
+    assert(pinned.docs.count() === docsAtVn)
+    assert(ePinned.searchF32(Seq(graft.query.Fts("content", "pinmarker")), 100).count()
+      === hitsAtVn)
+    // and a pinned RE-load of vN agrees
+    val reload = IndexStore.load(spark, dir, atVersion = vN)
+    assert(reload.docs.count() === docsAtVn)
+    reload.unpersist()
+
+    // retention=1 expires vN: its superseded segments + tombstone dirs
+    // + manifest dirs go, and a fresh load sees only the compacted view
+    assert(IndexStore.gc(spark, dir, retention = 1) > 0)
+    intercept[IllegalArgumentException](IndexStore.load(spark, dir, atVersion = vN))
+    val latest = IndexStore.load(spark, dir)
+    assert(latest.docs.count() === docsAtVn)
+    assert(latest.deletes.isEmpty || latest.deletes.get.count() === 0L,
+      "compacted view has no pending tombstones")
+    val e = new QueryEngine(latest)
+    assert(e.searchF32(Seq(graft.query.Fts("content", "pinmarker")), 100).count() === hitsAtVn)
+    ePinned.release()
+    latest.unpersist()
+    corpus.unpersist()
   }
 }

@@ -199,4 +199,113 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.sampleFrames(rows.toDF("doc_id", "payload"), "doc_id", "payload")
     assert(out.count() >= 0) // completion IS the assertion (no throw, no hang)
   }
+
+  // ---- real PNG pixel pipeline (from-scratch inflate + unfilter + resize)
+
+  test("from-scratch inflate matches JVM Deflater output at every level") {
+    import graft.ops.Inflate
+    val rnd = new scala.util.Random(0x1F1A7EL)
+    def deflate(data: Array[Byte], level: Int): Array[Byte] = {
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) { val n = d.deflate(tmp); out.write(tmp, 0, n) }
+      d.end()
+      out.toByteArray
+    }
+    // level 0 = stored blocks, 1 = fast/fixed-leaning, 6/9 = dynamic
+    // Huffman; sizes cover empty, tiny, block-boundary, and multi-block
+    for (level <- Seq(0, 1, 6, 9); size <- Seq(0, 1, 100, 65535, 200000)) {
+      val random = Array.fill[Byte](size)(rnd.nextInt().toByte)
+      assert(Inflate.zlib(deflate(random, level)).sameElements(random),
+        s"random data level=$level size=$size")
+      // repetitive data exercises long back-references (incl. overlap)
+      val rep = Array.tabulate[Byte](size)(i => ((i / 7) % 11).toByte)
+      assert(Inflate.zlib(deflate(rep, level)).sameElements(rep),
+        s"repetitive data level=$level size=$size")
+    }
+  }
+
+  test("inflate rejects corrupt streams loudly (truncation, bit flips, bad header)") {
+    import graft.ops.Inflate
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val data = Array.fill[Byte](5000)(rnd.nextInt(8).toByte)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!d.finished()) { val n = d.deflate(tmp); out.write(tmp, 0, n) }
+    d.end()
+    val z = out.toByteArray
+    intercept[IllegalArgumentException](Inflate.zlib(java.util.Arrays.copyOf(z, z.length / 2)))
+    intercept[IllegalArgumentException](Inflate.zlib(Array[Byte](0x79, 0x9c.toByte, 0, 0, 0, 0)))
+    // a bit flip anywhere must yield IAE or a changed-output Adler
+    // failure — NEVER a hang or an uncaught array crash
+    for (i <- 2 until z.length) {
+      val bad = z.clone(); bad(i) = (bad(i) ^ 0x10).toByte
+      try { Inflate.zlib(bad); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("PNG pixel roundtrip: inflate + unfilter recover the exact pixel function") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 1997L, 123456L)) {
+      val (w, h) = Multimodal.pixelDims(id)
+      val (dw, dh, px) = Multimodal.decodePngPixels(Multimodal.pngBytesWithPixels(id))
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px(y * w * 3 + x * 3 + c) === Multimodal.pixelValue(id, x, y, c),
+          s"id=$id pixel ($x,$y,$c)")
+    }
+  }
+
+  test("box resize: uniform image stays uniform; 2x2 mean is exact") {
+    val uni = Array.fill(10 * 6 * 3)(77)
+    assert(Multimodal.boxResize(uni, 10, 6, 5, 3).forall(_ === 77))
+    // 2x2 -> 1x1: floor-mean of the four pixels per channel
+    val px = Array(
+      10, 0, 0, 20, 0, 0,
+      31, 0, 0, 40, 0, 0)
+    assert(Multimodal.boxResize(px, 2, 2, 1, 1)(0) === (10 + 20 + 31 + 40) / 4)
+  }
+
+  test("corrupt deflate payload is rejected strictly and skipped leniently") {
+    import spark.implicits._
+    val good = Multimodal.pngBytesWithPixels(5L)
+    // flip a byte INSIDE the first IDAT body and re-stamp that chunk's
+    // CRC32, so the corruption reaches the inflate/Adler layer (a stale
+    // chunk CRC would be caught earlier and not exercise the decoder)
+    val bad = good.clone()
+    val ihdrEnd = 8 + 12 + 13
+    val idatLen = ((bad(ihdrEnd) & 0xff) << 24) | ((bad(ihdrEnd + 1) & 0xff) << 16) |
+      ((bad(ihdrEnd + 2) & 0xff) << 8) | (bad(ihdrEnd + 3) & 0xff)
+    assert(new String(bad, ihdrEnd + 4, 4, "US-ASCII") === "IDAT" && idatLen > 2)
+    bad(ihdrEnd + 8 + idatLen / 2) = (bad(ihdrEnd + 8 + idatLen / 2) ^ 0x55).toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(bad, ihdrEnd + 4, 4 + idatLen)
+    val cv = crc.getValue.toInt
+    bad(ihdrEnd + 8 + idatLen) = ((cv >> 24) & 0xff).toByte
+    bad(ihdrEnd + 9 + idatLen) = ((cv >> 16) & 0xff).toByte
+    bad(ihdrEnd + 10 + idatLen) = ((cv >> 8) & 0xff).toByte
+    bad(ihdrEnd + 11 + idatLen) = (cv & 0xff).toByte
+    intercept[IllegalArgumentException](Multimodal.decodePngPixels(bad))
+    // lenient distributed pass: the corrupt row vanishes, good rows stay
+    val df = Seq((5L, good), (6L, Multimodal.pngBytesWithPixels(6L)), (7L, bad))
+      .toDF("doc_id", "payload")
+    val stats = Multimodal.pixelStats(df, "doc_id", "payload").collect()
+    assert(stats.map(_.getLong(0)).toSeq === Seq(5L, 6L))
+  }
+
+  test("fuzz: pixelStats leniency is total over mutated PNG payloads (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xB0B1E5L)
+    val rows = (0L until 150L).map { id =>
+      val m = Multimodal.pngBytesWithPixels(id).clone()
+      (0 to rnd.nextInt(6)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt().toByte)
+      (id, m)
+    }
+    val out = Multimodal.pixelStats(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    assert(out.count() >= 0) // completion IS the assertion
+  }
 }
