@@ -198,6 +198,41 @@ object OpsBench {
     results("ivf_probe_sec") = tIvf
     legTraffic("ivf")
 
+    // persisted-IVF A/B (r04 verdict task #4): the direct path pays
+    // centroid recompute + N x K assignment on EVERY call; against the
+    // built artifact a repeated query is a probe-sized pushed-down read
+    val ivfDir = Bench.benchLocalDir() + "/ivf-idx"
+    val (_, tIvfBuild) = Bench.time(
+      graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding", ivfDir))
+    val (_, tIvfDirect) = Bench.time(
+      graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding").collect())
+    graft.ops.Similarity.ivfTopKIndexed(spark, ivfDir).collect() // warm-up
+    val (_, tIvfStore) = Bench.time(
+      graft.ops.Similarity.ivfTopKIndexed(spark, ivfDir).collect())
+    results("ivf_build_sec") = tIvfBuild
+    results("ivf_query_direct_sec") = tIvfDirect
+    results("ivf_query_store_sec") = tIvfStore
+    legTraffic("ivf_store")
+
+    // IVF recall-vs-brute across the nProbe dial (r04 verdict task #7):
+    // the evidence behind the nProbe=2 default. Brute = exact top-k
+    // cosine; recall@k = per-query overlap fraction, averaged.
+    val recallQ = 50
+    val recallK = 10
+    val brute = graft.ops.Similarity.bruteTopK(emb, "vec_id", "embedding",
+      nQueries = recallQ, k = recallK).collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(2)).toSet }
+    for (nProbe <- Seq(1, 2, 4)) {
+      val (ivf, tR) = Bench.time(graft.ops.Similarity.ivfTopKIndexed(spark, ivfDir,
+        nProbe = nProbe, nQueries = recallQ, k = recallK).collect())
+      val byQ = ivf.groupBy(_.getLong(0))
+        .map { case (qq, rs) => qq -> rs.map(_.getLong(2)).toSet }
+      val recalls = brute.map { case (qq, bs) =>
+        byQ.getOrElse(qq, Set.empty[Long]).intersect(bs).size.toDouble / bs.size }
+      results(s"ivf_recall_at${recallK}_probe$nProbe") = recalls.sum / recalls.size
+      results(s"ivf_recall_probe${nProbe}_sec") = tR
+    }
+
     // closing markers (cross-leg comparisons need BOTH matched at BOTH
     // ends — CLAUDE.md: cpu steal AND memory-fabric state)
     results("calib_sec") = Bench.calibrate()

@@ -106,18 +106,26 @@ object Similarity {
     * Tie-break (max cc, then min cid, via the (cc, -cid) struct order)
     * equals the oracle's ORDER BY cc DESC, cid ASC exactly.
     */
-  private def assignClusters(e: DataFrame, cents: DataFrame): DataFrame =
-    e.join(broadcast(cents), lit(true))
-      .withColumn("cc", cosine(col("cv"), col("v")))
+  private def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
+    // SLIM N x K argmax: the vector is projected AWAY before the
+    // aggregate. Any vector-carrying argmax has a var-length agg
+    // buffer, which disqualifies the UnsafeRow hash aggregate —
+    // max_by/any_value are ObjectHashAggregate (sort fallback after
+    // 128 keys per task) and max(struct(.., v)) plans SortAggregate —
+    // so all N x K VECTOR-WIDE rows get sorted (measured 37-78 GB
+    // spill on the 200k x 448 assignment). The slim (vid, cid, cc)
+    // argmax is a codegen'd HashAggregate whose partial collapses
+    // map-side (fixed-width (double, long) buffer, ~24 B rows), and
+    // the vector joins back ONCE — a linear vid-keyed exchange of N
+    // rows, nothing scaling with K. Tie-break (max cc, then min cid
+    // via negCid) equals the oracle's ORDER BY cc DESC, cid ASC.
+    val best = e.join(broadcast(cents), lit(true))
+      .select(col("vid"), col("cid"), cosine(col("cv"), col("v")).as("cc"))
       .groupBy("vid")
-      // every row of a vid-group carries the SAME v (the group is one
-      // input row x K broadcast centroids), so any_value rides the
-      // vector through the aggregate — no join-back of (vid, cluster)
-      // to e, which would cost two more vid-keyed exchanges
-      .agg(
-        any_value(col("v")).as("v"),
-        max_by(col("cid"), struct(col("cc"), col("cid") * lit(-1L))).as("cluster"))
-      .select(col("vid"), col("v"), col("cluster"))
+      .agg(max(struct(col("cc"), (col("cid") * lit(-1L)).as("negCid"))).as("m"))
+      .select(col("vid"), (col("m.negCid") * lit(-1L)).as("cluster"))
+    e.join(best, "vid").select(col("vid"), col("v"), col("cluster"))
+  }
 
   /** (qid, qv, vid, v, cluster) candidate frame shared by ivfTopK and
     * the candidate-count observability leg: deterministic hash-ranked
@@ -159,6 +167,82 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
         col("vid").as("neighbor_id"), round(col("c"), 4).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Build-time IVF index artifact (the fast-fuzzy persisted-dictionary
+    * pattern applied to ANN): centroids + nearest-centroid assignments
+    * written once, assignments RANGE-PARTITIONED AND SORTED BY CLUSTER
+    * so a query-time probe is a pushed-down parquet read of the probed
+    * clusters' row groups only. ivfTopK recomputes centroids and
+    * re-runs the N x K assignment on EVERY call — a serving workload
+    * paid a corpus scan per query batch (r04 verdict); against this
+    * artifact the repeated-query cost is probe-sized. Returns the
+    * centroid count K (auto = max(8, ceil(sqrt(N))) when
+    * numCentroids <= 0).
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+      numCentroids: Int = 0, parts: Int = 8): Int = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val kCent = if (numCentroids > 0) numCentroids else autoCentroids(e.count())
+    centroidFrame(e, kCent).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    // assignment runs against the WRITTEN centroids (one source of
+    // truth; doubles roundtrip parquet exactly, so assignment equals
+    // the in-memory path bit-for-bit)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    assignClusters(e, cents)
+      .repartitionByRange(math.max(1, parts), col("cluster"))
+      .sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+    kCent
+  }
+
+  /** Query the persisted IVF index with an arbitrary (qid, qv) frame:
+    * probe selection against the tiny broadcast centroid file, then a
+    * LITERAL pushed-down cluster filter on the assignment store — the
+    * probed cluster ids are collected driver-side (<= queries x nProbe
+    * longs) precisely so the filter reaches the parquet scan and prunes
+    * to the probed clusters' row groups; a join alone would scan the
+    * full corpus-sized assignment store per call.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val qScored = queries.select(col("qid"), col("qv"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("cc", cosine(col("cv"), col("qv")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cc").desc, col("cid").asc)
+    val qProbe = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("cluster"))
+    val probed = qProbe.select("cluster").distinct().collect().map(_.getLong(0))
+    if (probed.isEmpty) return spark.emptyDataFrame
+      .withColumn("query_id", lit(0L)).withColumn("rank", lit(0L))
+      .withColumn("neighbor_id", lit(0L)).withColumn("cosine", lit(0.0d)).limit(0)
+    val cand = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("cluster").isin(probed: _*))
+      .join(broadcast(qProbe), Seq("cluster"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("c", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("neighbor_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ivfTopK's exact query set (stored vectors with vid < nQueries) run
+    * against the PERSISTED index — output identical to ivfTopK over the
+    * same corpus, so the q19 oracle gates this path too (q56).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nProbe: Int = 2, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val q = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("vid") < nQueries)
+      .select(col("vid").as("qid"), col("v").as("qv"))
+    ivfTopKFromIndex(spark, dir, q, nProbe, k)
   }
 
   /** Per-query candidate-set sizes for the IVF path — the scale
@@ -346,7 +430,8 @@ object Similarity {
   /** Shared LSH banding pipeline: (vid, band, key, sub) with bounded,
     * per-band-salted sub-buckets. `e` must be (vid, v: array<double>).
     */
-  private def lshBanded(e: DataFrame, nBits: Int, bandBits: Int, maxBucket: Int): DataFrame = {
+  private def lshBanded(e: DataFrame, nBits: Int, bandBits: Int, maxBucket: Int,
+      carryV: Boolean = false): DataFrame = {
     val nBands = nBits / bandBits
     // fail loud on nBands = 0: sequence(0, -1) is DESCENDING in Spark
     // (CLAUDE.md trap), so band -1 would shiftright by a negative
@@ -354,8 +439,10 @@ object Similarity {
     // while the DuckDB twin's range(0, 0) is empty — silent divergence
     require(bandBits >= 1 && bandBits <= nBits,
       s"bandBits must be in [1, nBits=$nBits], got $bandBits (nBands would be $nBands)")
+    // carryV: the vector rides through the banding (nBands copies, a
+    // LINEAR blow-up) so in-bucket verifiers need no wide join-back
     val sigs = e.withColumn("sig", lshSignature(col("v"), nBits))
-      .select("vid", "sig")
+      .select(Seq(col("vid"), col("sig")) ++ (if (carryV) Seq(col("v")) else Nil): _*)
     val mask = (1L << bandBits) - 1
     val keyed = sigs.withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("key", expr(s"shiftright(sig, band * $bandBits) & $mask"))
@@ -374,29 +461,37 @@ object Similarity {
       Seq("band", "key"))
       .withColumn("sub",
         OpsSql.subSplit(OpsSql.saltedHash60(col("vid"), col("band")), "bsize", maxBucket))
-      .select("vid", "band", "key", "sub")
+      .select((Seq("vid", "band", "key", "sub") ++
+        (if (carryV) Seq("v") else Nil)).map(col): _*)
   }
 
   def lshCosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 56, bandBits: Int = 8, threshold: Double = 0.45,
       maxBucket: Int = 256): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val banded = lshBanded(e, nBits, bandBits, maxBucket)
-    // deliberately NOT persisted: the a/b sides of the candidate join
-    // canonicalize to the same exchange, which Spark reuses (verified:
-    // 2 ReusedExchange nodes in the final adaptive plan), while a
-    // persist would freeze the plan and disable the runtime broadcast
-    // decisions downstream (CLAUDE.md persist/AQE trap)
-    val a = banded.select(col("vid").as("a"), col("band"), col("key"), col("sub"))
-    val b = banded.select(col("vid").as("b"), col("band"), col("key"), col("sub"))
-    val cand = a.join(b, Seq("band", "key", "sub")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    cand
-      .join(e.select(col("vid").as("a"), col("v").as("va")), "a")
-      .join(e.select(col("vid").as("b"), col("v").as("vb")), "b")
+    // vectors ride INTO the bucket join (carryV: a LINEAR nBands x N
+    // wide exchange) so the cosine verify runs inside the bucket task
+    // and only slim verified (a, b, cosine) rows ever exchange again.
+    // The previous shape deduped slim candidate ids FIRST and joined
+    // both vectors back per candidate — the candidate set is
+    // O(N x maxBucket x nBands), so that join-back exchanged
+    // candidate x vector-width WIDE rows and spilled 153 GB at 200k
+    // vectors (BENCH.md r4). Cosine is a deterministic function of the
+    // two vectors, so evaluating it per band-collision BEFORE the
+    // global distinct is bit-identical output; the extra per-collision
+    // cosine CPU is orders of magnitude cheaper than the wide exchange.
+    // (Deliberately NOT persisted: the a/b sides canonicalize to the
+    // same exchange, which Spark reuses — CLAUDE.md persist/AQE trap.)
+    val banded = lshBanded(e, nBits, bandBits, maxBucket, carryV = true)
+    val a = banded.select(col("vid").as("a"), col("v").as("va"),
+      col("band"), col("key"), col("sub"))
+    val b = banded.select(col("vid").as("b"), col("v").as("vb"),
+      col("band"), col("key"), col("sub"))
+    a.join(b, Seq("band", "key", "sub")).filter(col("a") < col("b"))
       .withColumn("c", cosine(col("va"), col("vb")))
       .filter(col("c") >= threshold)
       .select(col("a"), col("b"), round(col("c"), 4).as("cosine"))
+      .distinct()
       .orderBy("a", "b")
   }
 

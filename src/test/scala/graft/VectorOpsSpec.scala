@@ -148,6 +148,37 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("candidates") == 0L)
   }
 
+  test("persisted IVF index: identical results to the direct path, probe-pruned scan") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map(i => (i, randVec(rnd, 16), randVec(rnd, 16)))
+    val df = vecDf(rows).select(col("id").as("vec_id"), col("a").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+    val kCent = Similarity.buildIvfIndex(df, "vec_id", "embedding", dir)
+    assert(kCent === 20) // ceil(sqrt(400))
+    val direct = Similarity.ivfTopK(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val stored = Similarity.ivfTopKIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stored.toSeq === direct.toSeq,
+      "persisted-index results must equal the per-call recompute path")
+    // scale contract: the probe filter reaches the assignment-store
+    // parquet scan (pushed-down literal In on cluster), so repeated
+    // queries read probed row groups, not the corpus
+    val qs = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("vid") < 5).select(col("vid").as("qid"), col("v").as("qv"))
+    val plan = Similarity.ivfTopKFromIndex(spark, dir, qs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cluster"),
+      s"cluster probe filter must push down to the parquet scan:\n$plan")
+    // arbitrary external queries work too (a held-out vector)
+    val ext = vecDf(Seq((999L, randVec(rnd, 16), randVec(rnd, 16))))
+      .select(col("id").as("qid"), org.apache.spark.sql.functions.transform(
+        col("a"), x => x.cast("double")).as("qv"))
+    val extOut = Similarity.ivfTopKFromIndex(spark, dir, ext, nProbe = 3, k = 5).collect()
+    assert(extOut.length === 5)
+    assert(extOut.map(_.getLong(0)).forall(_ === 999L))
+  }
+
   test("interpreted eval matches codegen (nullSafeEval path)") {
     // driving the expression through a literal-free filter on a tiny
     // frame with codegen disabled exercises nullSafeEval
