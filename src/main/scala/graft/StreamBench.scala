@@ -56,6 +56,9 @@ object StreamBench {
     val c0 = CodeCorpus.generateRange(spark, 0L, baseDocs, parts)
     val (_, tCreate) = Bench.time(IndexStore.create(c0, config, idxDir, "snap-0").unpersist())
     results("create_base_sec") = tCreate
+    // the file-stream source analyzes the dir at start(): it must exist
+    // (empty is fine) before the first wave is staged
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
 
     val q = StreamingIndexer.start(
       StreamingIndexer.fromParquetDir(spark, srcDir, c0.schema), idxDir, cpDir)

@@ -647,9 +647,23 @@ final class QueryEngine(val index: BuiltIndex) {
     val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
     val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
     if (nonEmpty.isEmpty) return emptyResultQF32
-    val scored = Wand.topKMany(index, nonEmpty, k, deletesDs, wandStats)
-      .toDF("qid", "docId", "score")
-    Scorer.topKPerQuery(scored, k, col("score"))
+    // partition the batch by WAND routability: sparse queries take the
+    // shared-cache pruned pass (Wand.topKMany), dense ones the
+    // exhaustive hash replay (Scorer.scoreManyF32) — per-query WAND
+    // bookkeeping at batch-width x shard-count scale only pays on
+    // sparse match sets (Wand.batchWandRoutable). Terms shared across
+    // the two subsets decode once per pass; the split is driver-side
+    // and deterministic, and per-query results are bit-identical on
+    // either path (BatchSearchSpec).
+    val (sparse, dense) = nonEmpty.partition(q => Wand.batchWandRoutable(q._2, index.numDocs))
+    val frames = Seq(
+      if (sparse.nonEmpty)
+        Some(Wand.topKMany(index, sparse, k, deletesDs, wandStats).toDF("qid", "docId", "score"))
+      else None,
+      if (dense.nonEmpty)
+        Some(Scorer.scoreManyF32(index, dense, k, deletesDs).toDF("qid", "docId", "score"))
+      else None).flatten
+    Scorer.topKPerQuery(frames.reduce(_ unionByName _), k, col("score"))
   }
 
   /** f64 batched path (oracle parity): (qid, docId, score double),

@@ -509,6 +509,30 @@ object Wand {
       reqMask: Int,
       nGroups: Int)
 
+  /** Is `cq` a shape the batched WAND path should take? The single-
+    * query gates (selective disjunction / all-required selective
+    * conjunction) PLUS the batch density bound on disjunctions (see
+    * topKMany). The batch caller (searchManyF32) partitions on this:
+    * routable queries run here with shared-cache pruning, everything
+    * else runs the exhaustive Scorer batch pass — per-query
+    * WAND bookkeeping at batch-width x shard-count scale only pays on
+    * sparse match sets (27M skew leg: dense queries through per-query
+    * walks ran 3x slower than the hash replay).
+    */
+  def batchWandRoutable(cq: CompiledQuery, numDocs: Long): Boolean = {
+    val groupsWithTerms = cq.terms.map(_.group).toSet
+    val disjOk = cq.groups.size == 1 && !cq.groups.head.constScore &&
+      cq.terms.map(_.df).min * 4 <= numDocs &&
+      cq.terms.map(_.df).sum * 2 <= numDocs
+    val conjOk = cq.groups.size > 1 && cq.groups.forall(_.required) &&
+      cq.groups.forall(g => groupsWithTerms.contains(g.id)) && {
+        val minGroupDf =
+          cq.groups.map(g => cq.terms.filter(_.group == g.id).map(_.df).sum).min
+        minGroupDf * 4 <= numDocs
+      }
+    disjOk || conjOk
+  }
+
   /** Batched multi-query top-k with SHARED lazy block decoding — the
     * serving-throughput path with single-query WAND's pruning grafted
     * on. Each query replays via the exact algorithm the single-query
@@ -536,10 +560,19 @@ object Wand {
       val order = groupOf.keys.toArray.sortBy(kk => (groupOf(kk).min, kk._1, kk._2))
       val constMask = cq.groups.filter(_.constScore).map(g => 1 << g.id).sum
       val groupsWithTerms = cq.terms.map(_.group).toSet
-      // the same selectivity gates as searchF32: dense shapes skip
-      // nothing and lose to the hash scorer on bookkeeping
+      // the same selectivity gates as searchF32, PLUS a batch-specific
+      // density bound on the total match set: per-(query, shard) WAND
+      // setup + per-doc bookkeeping is paid once in the single-query
+      // path but multiplied by batch width x shard count here, while
+      // the exhaustive replay's extra cost is one shardDocs array scan
+      // per (query, shard). A query whose terms match a large fraction
+      // of the corpus walks nearly every posting WITH bookkeeping and
+      // skips almost nothing (27M skew leg: WAND 3.1x SLOWER than
+      // exhaustive at sum-df ~ 0.6N, while sparse mixes run 1.8x
+      // FASTER) — route dense queries to the replay.
       val disjOk = cq.groups.size == 1 && !cq.groups.head.constScore &&
-        cq.terms.map(_.df).min * 4 <= numDocs
+        cq.terms.map(_.df).min * 4 <= numDocs &&
+        cq.terms.map(_.df).sum * 2 <= numDocs
       val conjOk = cq.groups.size > 1 && cq.groups.forall(_.required) &&
         cq.groups.forall(g => groupsWithTerms.contains(g.id)) && {
           val minGroupDf =

@@ -117,14 +117,19 @@ class BatchSearchSpec extends AnyFunSuite {
     e.searchManyF32(batch, 10, wandStats = Some(stats)).collect()
     val decoded = stats.decodedBlocks.value
     val skipped = stats.skippedBlocks.value
-    assert(decoded > 0L, "the batch must decode something")
     assert(skipped >= 0L)
     // the shared BlockCache decodes each block at most once per shard
     // and accounts the never-touched rest at shard close: the two
-    // counters partition the matched posting blocks exactly
+    // counters partition the matched posting blocks of the
+    // WAND-ROUTABLE subset exactly (dense queries take the exhaustive
+    // Scorer pass, outside the cache's accounting)
     val cqs = new QueryEngine(index).compileMany(batch.map(_._2))
-    val total = Scorer.matchedPostings(index, cqs.flatMap(_.terms))
+    val routable = cqs.filter(cq =>
+      cq.terms.nonEmpty && Wand.batchWandRoutable(cq, index.numDocs))
+    assert(routable.nonEmpty, "test premise: some batch queries route to the WAND pass")
+    val total = Scorer.matchedPostings(index, routable.flatMap(_.terms))
       .collect().map(_.blockOffset.length.toLong).sum
+    assert(decoded > 0L, "the routable subset must decode something")
     assert(decoded + skipped === total,
       s"decoded=$decoded skipped=$skipped total=$total must partition the matched blocks")
   }
