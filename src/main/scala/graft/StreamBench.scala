@@ -22,7 +22,10 @@ import graft.streaming.StreamingIndexer
   * fsync engine does not pay.
   *
   * Usage: runMain graft.StreamBench [baseDocs] [batchDocs] [nBatches]
-  * — prints one JSON line with p50/p95/min/max and the idle floor.
+  * [compactEvery] — prints one JSON line with p50/p95/min/max and the
+  * idle floor. compactEvery > 0 folds segments back every N batches
+  * (the growth bound: un-compacted commit latency rises with segment
+  * count because the tombstone pass unions per-segment doc stores).
   */
 object StreamBench {
 
@@ -30,6 +33,7 @@ object StreamBench {
     val baseDocs = if (args.length > 0) args(0).toLong else 100000L
     val batchDocs = if (args.length > 1) args(1).toLong else 10000L
     val nBatches = if (args.length > 2) args(2).toInt else 20
+    val compactEvery = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val localDir = Bench.benchLocalDir()
     val spark = SparkSession.builder()
@@ -61,7 +65,8 @@ object StreamBench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
 
     val q = StreamingIndexer.start(
-      StreamingIndexer.fromParquetDir(spark, srcDir, c0.schema), idxDir, cpDir)
+      StreamingIndexer.fromParquetDir(spark, srcDir, c0.schema), idxDir, cpDir,
+      compactEvery = compactEvery)
     val latencies =
       try {
         val lats = (0 until nBatches).map { i =>
@@ -100,7 +105,7 @@ object StreamBench {
     results("mem_calib_sec") = Bench.calibrateMem()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_bench","baseDocs":$baseDocs,"batchDocs":$batchDocs,""" +
-      s""""nBatches":$nBatches,"cpus":$cpus,"queries":$qs}""")
+      s""""nBatches":$nBatches,"compactEvery":$compactEvery,"cpus":$cpus,"queries":$qs}""")
     IndexStore.drop(base)
     spark.stop()
   }
