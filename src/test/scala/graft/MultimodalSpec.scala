@@ -249,6 +249,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: inflate is total over pure noise (IAE or success, never hang/crash)") {
+    import graft.ops.Inflate
+    val rnd = new scala.util.Random(0xD1CEL)
+    for (i <- 1 to 4000) {
+      val noise = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      try { Inflate.zlib(noise); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"noise $i threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("PNG pixel roundtrip: inflate + unfilter recover the exact pixel function") {
     for (id <- Seq(0L, 1L, 7L, 42L, 1997L, 123456L)) {
       val (w, h) = Multimodal.pixelDims(id)
