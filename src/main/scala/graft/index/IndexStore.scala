@@ -121,8 +121,8 @@ object IndexStore {
     * tri-state config store, lnx-fs/src/config.rs:44-148): explicit
     * overrides live here; an absent key reads as its default.
     */
-  def configKv(spark: SparkSession, dir: String): Map[String, String] = {
-    val v = currentVersion(dir)
+  def configKv(spark: SparkSession, dir: String, atVersion: Int = 0): Map[String, String] = {
+    val v = if (atVersion > 0) atVersion else currentVersion(dir)
     require(v > 0, s"no committed manifest at $dir")
     val p = Paths.get(manifestDir(dir, v), "kv.parquet")
     if (!Files.exists(p)) Map.empty

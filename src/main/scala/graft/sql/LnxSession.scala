@@ -187,8 +187,16 @@ final class LnxSession(val spark: SparkSession) {
     * through this session falls back to the in-memory path on a
     * session-local copy (the store itself is never modified).
     */
-  def attach(name: String, dir: String): Unit = {
-    val idx = graft.index.IndexStore.load(spark, dir, cacheDocs = false)
+  /** @param atVersion 0 = the committed LATEST; a positive version pins
+    *   the attached table to that manifest snapshot (time travel over
+    *   the versioned metastore) — pair with `IndexStore.gc(retention)`
+    *   so the pinned version's files survive later compactions. Column
+    *   defs restore from the PINNED version's config KV, so even a
+    *   since-changed schema reads with its own types.
+    */
+  def attach(name: String, dir: String, atVersion: Int = 0): Unit = {
+    val idx = graft.index.IndexStore.load(spark, dir, cacheDocs = false,
+      atVersion = atVersion)
     // lnx logical types (ip, facet, unsigned ranges) are NOT derivable
     // from the Spark schema — an ip column reads back as plain
     // "string", so predicates would skip canonicalization and compare
@@ -196,7 +204,7 @@ final class LnxSession(val spark: SparkSession) {
     // Stores written by persist() carry the session ColumnDefs in the
     // config KV; restore them, falling back to schema-derived defs for
     // stores created outside a session (their columns had no lnx types).
-    val defs = graft.index.IndexStore.configValue(spark, dir, ColumnsKvKey) match {
+    val defs = graft.index.IndexStore.configKv(spark, dir, atVersion).get(ColumnsKvKey) match {
       case Some(enc) => decodeDefs(enc, idx.config.keyCols)
       case None => idx.docs.schema.fields.filterNot(_.name == "docId").toSeq.map(f =>
         ColumnDef(f.name, f.dataType.simpleString, idx.config.keyCols.contains(f.name),

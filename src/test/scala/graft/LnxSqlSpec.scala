@@ -519,6 +519,30 @@ class LnxSqlSpec extends AnyFunSuite {
     IndexStore.drop(dir)
   }
 
+  test("attach(atVersion): time travel over the versioned metastore") {
+    import graft.index.{IndexConfig, IndexStore}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graftattachpin").toString
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    IndexStore.create(docs, IndexConfig(Seq("doc_id"), Seq("text"), 1024, 4), dir)
+      .unpersist()
+    val v1 = IndexStore.currentVersion(dir)
+    // a later epoch adds marker docs the PINNED view must not see
+    IndexStore.appendEpoch(
+      docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" pinnedattachmarker"))),
+      dir, "snap-late")
+    val sess = new LnxSession(spark)
+    sess.attach("latest", dir)
+    sess.attach("pinned", dir, atVersion = v1)
+    val q = "SELECT doc_id FROM %s WHERE fts(text, 'pinnedattachmarker') LIMIT 100"
+    assert(sess.execute(q.format("latest")).collect().length === 5)
+    assert(sess.execute(q.format("pinned")).collect().length === 0,
+      "the vN-pinned table must not see the later epoch")
+    IndexStore.drop(dir)
+  }
+
   test("facet_counts() in the dialect: hierarchical drill-down over the match set") {
     val sess = new LnxSession(spark)
     sess.execute("CREATE TABLE fc (id bigint PRIMARY KEY, t text, cat facet)")
