@@ -212,4 +212,108 @@ object TextStats {
        |SELECT id AS doc_id, min(md5(sh)) AS fp_min, max(md5(sh)) AS fp_max,
        |       count(*)::BIGINT AS n_shingles
        |FROM sh GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Context-window CHUNKING — the training-data primitive that turns
+    * documents into model-context-sized token windows (window W tokens,
+    * stride S, overlap W-S). Fully declarative: token array once per
+    * doc, chunk starts exploded from a sequence, slices verified by a
+    * CONTENT fingerprint (md5 over the chunk's tokens) so the oracle
+    * gates the actual window text, not just counts. Empty docs yield no
+    * chunks. Scales: per-doc arithmetic inside whole-stage codegen, no
+    * shuffle at all until the terminal presentation sort.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1, got $window/$stride")
+    // nChunks = 1 + max(0, ceil((n - W) / S)); greatest(0, ..) also
+    // absorbs the trunc-vs-floor division divergence on the negative
+    // numerator (Spark `div` truncates, DuckDB `//` floors — both land
+    // at 0 after the clamp)
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(lit(0L), expr(s"(n - $window + $stride - 1) div $stride")))))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_tokens", least(lit(window.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), col("n_tokens").cast("int"))))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkSqlDuck(idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
+       |nz AS (SELECT id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT id, toks, n,
+       |        unnest(range(0, 1 + greatest(0, (n - $window + $stride - 1) // $stride))) AS cid
+       |      FROM nz)
+       |SELECT id AS doc_id, cid::BIGINT AS chunk_id, (cid * $stride)::BIGINT AS start_tok,
+       |  least($window, n - cid * $stride)::BIGINT AS n_tokens,
+       |  md5(array_to_string(
+       |    toks[cid * $stride + 1 : cid * $stride + least($window, n - cid * $stride)],
+       |    ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Token-budget SEQUENCE PACKING — greedy first-fit in doc_id order:
+    * a doc joins the current bin unless that would exceed `budget`
+    * tokens (a doc larger than the budget gets a bin of its own).
+    * Packing is a sequential fold, so the distributed form resets at
+    * fixed doc_id RANGE boundaries (`rangeWidth` ids per range): ranges
+    * pack independently and deterministically in parallel — the result
+    * is independent of input partitioning, and each task holds at most
+    * one range. The genuine-sequential-state case for typed mapGroups
+    * (the brief's last-resort tier, used exactly where declarative ops
+    * cannot express the running reset).
+    */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 512, rangeWidth: Int = 100): DataFrame = {
+    require(budget >= 1 && rangeWidth >= 1,
+      s"budget/rangeWidth must be >= 1, got $budget/$rangeWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("range_id", expr(s"doc_id div $rangeWidth"))
+      .as[(Long, Long, Long)]
+    slim.groupByKey(_._3)
+      .flatMapGroups { (rangeId, rows) =>
+        // group iterator order is not defined: pin doc_id order first
+        val sorted = rows.toArray.sortBy(_._1)
+        var bin = 0L
+        var fill = 0L
+        sorted.iterator.map { case (id, n, _) =>
+          if (fill > 0L && fill + n > budget) { bin += 1L; fill = n }
+          else fill += n
+          (id, n, rangeId, bin)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "range_id", "bin")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same greedy fold as a DuckDB recursive CTE walking
+    * each range's docs in doc_id order (all ranges advance in lockstep
+    * per recursion depth).
+    */
+  def packBinsSqlDuck(idCol: String, textCol: String,
+      budget: Int = 512, rangeWidth: Int = 100): String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT $idCol AS id, len(${tokensDuck(textCol)})::BIGINT AS n,
+       |         ($idCol // $rangeWidth)::BIGINT AS range_id,
+       |         row_number() OVER (PARTITION BY $idCol // $rangeWidth
+       |                            ORDER BY $idCol) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT id, n, range_id, rn, 0::BIGINT AS bin, n AS fill
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.id, t.n, t.range_id, t.rn,
+       |    CASE WHEN p.fill > 0 AND p.fill + t.n > $budget THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill > 0 AND p.fill + t.n > $budget THEN t.n ELSE p.fill + t.n END
+       |  FROM p JOIN t ON t.range_id = p.range_id AND t.rn = p.rn + 1)
+       |SELECT id AS doc_id, n AS n_tokens, range_id, bin
+       |FROM p ORDER BY doc_id""".stripMargin
 }
