@@ -233,6 +233,23 @@ object OpsBench {
       results(s"ivf_recall_probe${nProbe}_sec") = tR
     }
 
+    // chunking + sequence packing over the same corpus: chunk is
+    // shuffle-free until the presentation sort; packBins exchanges one
+    // slim (id, n, range) row per doc
+    val (nChunks, tChunk) = Bench.time(
+      graft.ops.TextStats.chunk(docs, "doc_id", "text").count())
+    results("chunk_rows") = nChunks.toDouble
+    results("chunk_sec") = tChunk
+    results("chunk_docs_per_sec") = nDocs.toDouble / tChunk
+    legTraffic("chunk")
+    val (nBins, tPack) = Bench.time(
+      graft.ops.TextStats.packBins(docs, "doc_id", "text")
+        .select("range_id", "bin").distinct().count())
+    results("pack_bins") = nBins.toDouble
+    results("pack_sec") = tPack
+    results("pack_docs_per_sec") = nDocs.toDouble / tPack
+    legTraffic("pack")
+
     // closing markers (cross-leg comparisons need BOTH matched at BOTH
     // ends — CLAUDE.md: cpu steal AND memory-fabric state)
     results("calib_sec") = Bench.calibrate()
