@@ -754,8 +754,18 @@ object IndexStore {
       val docsUnsel = unselected.map(s => spark.read.parquet(s"$dir/${s._2}/docs.parquet"))
         .reduce(_ unionByName _)
       val retained = deletes.get.join(docsUnsel.select("docId"), Seq("docId"), "left_semi")
-      retained.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$mergedEpoch")
-      true
+        .persist()
+      // only write the dir / list the epoch when rows actually survive:
+      // an empty _deletes/epoch=N would make every later load pay the
+      // tombstone union + anti-join for ZERO rows — the exact cost
+      // appendEpoch/deleteByQuery guard against with removed == 0 checks
+      val nRetained =
+        try retained.count()
+        catch { case t: Throwable => retained.unpersist(blocking = false); throw t }
+      if (nRetained > 0)
+        retained.write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/epoch=$mergedEpoch")
+      retained.unpersist(blocking = false)
+      nRetained > 0
     }
     // the merged epoch keeps the id-space window of what it merged
     // (ids are never renumbered); unmerged epochs keep their rows — a

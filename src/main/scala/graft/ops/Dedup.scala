@@ -27,9 +27,9 @@ object Dedup {
        |FROM $rel GROUP BY sha256($textCol)
        |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
 
-  /** (id, distinct 60-bit shingle hash) pairs — the SLIM shingle set
-    * every minhash/jaccard stage shares. Shingles hash to a long HERE,
-    * before any shuffle: carrying ~16-byte shingle strings through the
+  /** (id, 60-bit shingle hash) pairs — the SLIM shingle set every
+    * minhash/jaccard stage shares. Shingles hash to a long HERE, before
+    * any shuffle: carrying ~16-byte shingle strings through the
     * candidate/verify self-joins multiplied the verify shuffle bytes
     * severalfold at corpus scale for no information (the signature,
     * blocking and common-count stages are all hash-keyed anyway; the
@@ -38,17 +38,78 @@ object Dedup {
     * own projection first: inlining `tokens(text)` into the shingle
     * lambda would re-tokenize the text per element_at call (measured
     * ~20x slowdown).
+    *
+    * NOT (id, h)-deduplicated: per-doc shingle STRINGS are already
+    * distinct (array_distinct), so duplicate (id, h) rows exist only
+    * under a within-doc 60-bit hash collision. The minhash signature
+    * path is duplicate-insensitive (MIN over a multiset == MIN over its
+    * set), so the corpus-wide distinct exchange this used to pay was
+    * pure overhead there (guide §2.4: remove shuffles outright);
+    * consumers whose COUNTS must match the oracle's `SELECT DISTINCT
+    * id, hash` (verify sizes/common counts, ngram df blocking) apply
+    * `.distinct()` themselves — on the candidate-restricted sliver, not
+    * the corpus.
     */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), tokens(col("text")).as("toks"))
       .select(col("id"), explode(array_distinct(shingles3(col("toks")))).as("sh"))
       .select(col("id"), hash60(col("sh")).as("h"))
-      .distinct()
 
   private def hashedShinglesDuck(idCol: String, textCol: String): String =
     s"""t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
        |sh0 AS (SELECT id, unnest(${shingles3Duck("toks")}) AS s FROM t),
        |sh AS (SELECT DISTINCT id, ${hash60Duck("s")} AS h FROM sh0)""".stripMargin
+
+  /** Run an EAGER, persist-heavy op body with AQE off and the
+    * plan-description string capped, restoring both confs after. Every
+    * exchange of these ops sits inside a statically-compiled cached
+    * plan (the `scoped`/persist design), where AQE can neither coalesce
+    * partitions (canChangeCachedPlanOutputPartitioning) nor convert
+    * join strategies (the CLAUDE.md persist trap, measured r4) — it
+    * only adds one scheduling round-trip PLUS one plan-description
+    * event per query stage, and those event strings re-inline every
+    * nested InMemoryRelation subtree (~10 MB per event on the minhash
+    * pipeline; driver thread dumps showed generateTreeString dominating
+    * the inter-job gaps). Same-session A/B at sf0.1: minhash pass 2.24 s
+    * -> 1.38 s (13 Spark jobs -> 4). The reasoning is scale-independent
+    * — the win is per-action driver overhead, not a data-size effect.
+    * Conf mutation is visible to concurrent queries on the same session
+    * for the op's duration (restored verbatim after) — the same
+    * trade-off any session-level tuning makes.
+    */
+  private def withEagerOpConfs[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val pins = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.maxPlanStringLength" -> "8192")
+    val saved = pins.map { case (k, v) =>
+      val old = try spark.conf.getOption(k) catch { case _: Throwable => None }
+      spark.conf.set(k, v)
+      k -> old
+    }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Spread a COLLAPSED source across the session's parallelism before
+    * CPU-heavy per-row work (tokenize + shingle + md5): a small parquet
+    * table arrives as ONE split (openCost packing), so the whole
+    * analysis chain would run serially on one core no matter how wide
+    * the cluster is — measured 0.65 s of a 2.5 s minhash pass on one
+    * task at sf0.1 (guide §2.5 input skew). Only fires on a clear
+    * collapse (parts * 4 <= defaultParallelism): a corpus-scale scan
+    * keeps its own split layout and never pays a gratuitous full-text
+    * exchange. Round-robin repartition is deterministic under retries
+    * (sortBeforeRepartition, on by default).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions * 4 > target) df
+    else df.repartition(target)
+  }
 
   /** Materialize `out` once (persisted — the caller's own action then
     * reads the cached result) and RELEASE the corpus-sized shingle /
@@ -104,14 +165,25 @@ object Dedup {
     * DuckDB twins (sz/cm/final-select CTEs) mirror this one block.
     */
   private def jaccardVerified(edges: DataFrame, shc: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, nEdges: Long, broadcastIdLimit: Long): DataFrame = {
+    // count-gated broadcasts (the candidateShingles pattern): the edge
+    // set (nEdges rows, known driver-side) and the per-doc size frame
+    // (<= 2 x nEdges rows) are dup-density-bounded, so when they fit,
+    // three of the four verify joins run map-side with ZERO exchange —
+    // and this must be explicit, not left to AQE: the scoped() persist
+    // compiles the verify plan statically, where AQE never converts a
+    // join (the CLAUDE.md persist trap, measured 4x on the minhash
+    // verify). Above the gate every join degrades to the old slim
+    // long-keyed shuffle with identical output.
+    val eB = if (nEdges <= broadcastIdLimit) broadcast(edges) else edges
     val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
-    edges
+    val szB = if (2 * nEdges <= broadcastIdLimit) broadcast(sz) else sz
+    eB
       .join(shc.select(col("id").as("a"), col("h")), "a")
       .join(shc.select(col("id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-      .join(sz.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sz.select(col("id").as("b"), col("n").as("nb")), "b")
+      .join(szB.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(szB.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard",
         col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
       .filter(col("jaccard") >= threshold)
@@ -156,7 +228,7 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5,
-      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = withEagerOpConfs(df) {
     val sh = hashedShingles(df, idCol, textCol).persist()
     val (sig0, sig) = minhashBands(sh, numPerm, rowsPerBand)
     val a = sig.select(col("id").as("a"), col("band"), col("s"))
@@ -165,15 +237,18 @@ object Dedup {
       .select("a", "b").distinct().persist()
     val nCand = cand.count()
     // verify stage over CANDIDATE shingles only (see candidateShingles):
-    // the pair set itself is never broadcast (unbounded at corpus scale
-    // — it grows with near-dup density); the id semi-join bounds every
-    // downstream join input by candidate size, and sizes (na/nb) come
-    // from the restricted set too (a candidate doc's shingle rows are
-    // all retained, so the counts equal the full-corpus sizes).
-    val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
-    scoped(sh, sig0, cand, shc)(jaccardVerified(cand, shc, threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a", "b"))
+    // the (id, h) dedup the oracle's DISTINCT implies runs HERE, on the
+    // candidate-restricted sliver, instead of as a corpus-wide exchange
+    // in hashedShingles (sizes na/nb and common counts still equal the
+    // full-corpus distinct values — a candidate doc's shingle rows are
+    // all retained). jaccardVerified broadcasts the edge and size
+    // frames when nCand fits the same count gate (never unconditionally:
+    // the pair set grows with near-dup density at corpus scale).
+    val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).distinct().persist()
+    scoped(sh, sig0, cand, shc)(
+      jaccardVerified(cand, shc, threshold, nCand, broadcastIdLimit)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b"))
   }
 
   /** Oracle twin of minhashPairs. The perm range is capped at FULL
@@ -219,7 +294,7 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 32, rowsPerBand: Int = 4, threshold: Double = 0.5,
-      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = withEagerOpConfs(df) {
     val sh = hashedShingles(df, idCol, textCol).persist()
     val (sig0, sig) = minhashBands(sh, numPerm, rowsPerBand)
     val reps = sig.groupBy("band", "s").agg(min(col("id")).as("rep"))
@@ -230,8 +305,9 @@ object Dedup {
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("a"), col("rep").as("b")).distinct().persist()
     val nCand = edges.count()
-    val shc = candidateShingles(sh, edges, nCand, broadcastIdLimit).persist()
-    val verified = jaccardVerified(edges, shc, threshold)
+    // distinct on the candidate-restricted sliver (see minhashPairs)
+    val shc = candidateShingles(sh, edges, nCand, broadcastIdLimit).distinct().persist()
+    val verified = jaccardVerified(edges, shc, threshold, nCand, broadcastIdLimit)
       .groupBy("a").agg(min(col("b")).as("rep"))
     // output is UNORDERED (one row per input doc): a global sort here
     // would be a wasted corpus-wide range exchange for the composing
@@ -369,8 +445,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       maxShingleDf: Int = 20, threshold: Double = 0.4,
-      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol).persist()
+      broadcastIdLimit: Long = 2L * 1000 * 1000): DataFrame = withEagerOpConfs(df) {
+    // distinct HERE (unlike the minhash ops): the rare-shingle df
+    // counts below are per-(id, h)-distinct counts in the oracle
+    val sh = hashedShingles(df, idCol, textCol).distinct().persist()
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("h")
     val rsh = sh.join(rare, "h")
@@ -380,11 +458,13 @@ object Dedup {
       .select("a", "b").distinct().persist()
     val nCand = cand.count()
     // candidate-bounded verify, same shape as minhashPairs (see
-    // candidateShingles for the no-AQE-reliance rationale)
+    // candidateShingles for the no-AQE-reliance rationale); sh is
+    // already distinct, so no re-dedup of shc
     val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
-    scoped(sh, cand, shc)(jaccardVerified(cand, shc, threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a", "b"))
+    scoped(sh, cand, shc)(
+      jaccardVerified(cand, shc, threshold, nCand, broadcastIdLimit)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b"))
   }
 
   def ngramJaccardPairsSqlDuck(idCol: String, textCol: String,
@@ -407,6 +487,17 @@ object Dedup {
   /** 60-bit SimHash per doc: tf-weighted sum of hash bit contributions.
     * Pure integer arithmetic (no float tie ambiguity); 60 codegen'd sum
     * aggregates in one pass.
+    *
+    * Measured and deliberately KEPT this round (r6): folding the tf
+    * weighting into per-occurrence +-1 sums (one aggregation, no
+    * (id, term) exchange) is exactly equal in integer arithmetic and
+    * shuffles ~occurrences/numDocs x fewer rows — but same-session A/B
+    * at sf0.1 lost 1.7x (0.24 s -> 0.43 s): the variant needs a spread
+    * repartition to parallelize the per-occurrence md5 and trades the
+    * AQE-coalesced tiny exchanges (this frame is NOT persisted, so AQE
+    * does coalesce) for an extra exchange + stage. The two-phase shape
+    * also partial-aggregates (id, term) map-side, so the first exchange
+    * is already bounded by distinct pairs, not occurrences, at scale.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))

@@ -13,15 +13,22 @@ package graft.ops
   */
 object Inflate {
 
-  /** Inflate a full zlib stream (RFC 1950 wrapper around RFC 1951). */
-  def zlib(data: Array[Byte]): Array[Byte] = {
+  /** Inflate a full zlib stream (RFC 1950 wrapper around RFC 1951).
+    * `maxOut` bounds the DECOMPRESSED size: deflate expands up to
+    * ~1000x, so a caller that knows the expected plaintext size (e.g.
+    * PNG scanlines from IHDR) must cap it or a crafted payload can
+    * balloon into heap before any structural check fires; exceeding the
+    * cap fails with IllegalArgumentException like every other
+    * malformed-input path.
+    */
+  def zlib(data: Array[Byte], maxOut: Int = Int.MaxValue): Array[Byte] = {
     require(data.length >= 6, s"zlib stream truncated: ${data.length} bytes")
     val cmf = data(0) & 0xff
     val flg = data(1) & 0xff
     require((cmf & 0x0f) == 8, s"zlib CM ${cmf & 0x0f} is not deflate")
     require((cmf * 256 + flg) % 31 == 0, "zlib header check failed")
     require((flg & 0x20) == 0, "zlib FDICT preset dictionaries unsupported")
-    val (out, next) = raw(data, 2)
+    val (out, next) = raw(data, 2, maxOut)
     require(next + 4 <= data.length, "zlib stream truncated before Adler-32")
     val adler = ((data(next) & 0xffL) << 24) | ((data(next + 1) & 0xffL) << 16) |
       ((data(next + 2) & 0xffL) << 8) | (data(next + 3) & 0xffL)
@@ -150,15 +157,20 @@ object Inflate {
     * already-written output (RFC 1951: a distance may overlap the
     * current position — the run-length idiom).
     */
-  private final class Out(hint: Int) {
-    private var buf = new Array[Byte](math.max(64, hint))
+  private final class Out(hint: Int, maxOut: Int) {
+    private var buf = new Array[Byte](math.max(64, math.min(hint, maxOut)))
     var n: Int = 0
-    private def ensure(extra: Int): Unit =
+    private def ensure(extra: Int): Unit = {
+      // the cap check runs BEFORE any allocation: a crafted stream must
+      // fail at the declared bound, not after ballooning into heap
+      require(extra <= maxOut - n,
+        s"decompressed output exceeds the caller's $maxOut-byte bound")
       if (n + extra > buf.length) {
         var cap = buf.length * 2
         while (cap < n + extra) cap *= 2
-        buf = java.util.Arrays.copyOf(buf, cap)
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, maxOut))
       }
+    }
     def add(b: Byte): Unit = { ensure(1); buf(n) = b; n += 1 }
     def addAll(src: Array[Byte], off: Int, len: Int): Unit = {
       ensure(len); System.arraycopy(src, off, buf, n, len); n += len
@@ -177,10 +189,11 @@ object Inflate {
 
   /** Inflate a bare deflate stream starting at byte offset `start`;
     * returns (decoded bytes, offset of the first byte after the stream).
+    * `maxOut` bounds the decompressed size (see zlib).
     */
-  def raw(data: Array[Byte], start: Int): (Array[Byte], Int) = {
+  def raw(data: Array[Byte], start: Int, maxOut: Int = Int.MaxValue): (Array[Byte], Int) = {
     val br = new BitReader(data, start)
-    val out = new Out(data.length * 4)
+    val out = new Out(data.length * 4, maxOut)
     var fin = false
     while (!fin) {
       fin = br.bits(1) == 1

@@ -483,8 +483,14 @@ object Multimodal {
       off += 12 + len
     }
     require(w > 0, "PNG without IHDR")
-    val scan = Inflate.zlib(idat.toByteArray)
     val stride = w * 3
+    // IHDR-derived output bound INTO the inflate: without it a corrupt
+    // or crafted payload could expand ~1000x into heap before the
+    // length check below ever ran (the per-row catch handles IAE, not
+    // allocation pressure)
+    val expected = (stride + 1).toLong * h
+    require(expected <= Int.MaxValue, s"PNG ${w}x$h scanline volume overflows")
+    val scan = Inflate.zlib(idat.toByteArray, maxOut = expected.toInt)
     require(scan.length == (stride + 1) * h,
       s"decompressed scanlines ${scan.length}B != expected ${(stride + 1) * h}B")
     val px = new Array[Int](stride * h)

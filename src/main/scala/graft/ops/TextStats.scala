@@ -225,6 +225,12 @@ object TextStats {
   def chunk(df: DataFrame, idCol: String, textCol: String,
       window: Int = 64, stride: Int = 48): DataFrame = {
     require(window >= 1 && stride >= 1, s"window/stride must be >= 1, got $window/$stride")
+    // stride > window would make the chunk-count formula emit starts
+    // past the end of the doc (negative n_tokens -> runtime error or
+    // oracle divergence out of slice()); gapped sampling is not a shape
+    // this operator promises — fail loud at the API edge
+    require(stride <= window,
+      s"stride must be <= window (overlapping or adjacent chunks), got $window/$stride")
     // nChunks = 1 + max(0, ceil((n - W) / S)); greatest(0, ..) also
     // absorbs the trunc-vs-floor division divergence on the negative
     // numerator (Spark `div` truncates, DuckDB `//` floors — both land
@@ -244,7 +250,9 @@ object TextStats {
   }
 
   def chunkSqlDuck(idCol: String, textCol: String,
-      window: Int = 64, stride: Int = 48): String =
+      window: Int = 64, stride: Int = 48): String = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"window/stride must satisfy 1 <= stride <= window, got $window/$stride")
     s"""WITH t AS (SELECT $idCol AS id, ${tokensDuck(textCol)} AS toks FROM documents),
        |nz AS (SELECT id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
        |c AS (SELECT id, toks, n,
@@ -256,6 +264,7 @@ object TextStats {
        |    toks[cid * $stride + 1 : cid * $stride + least($window, n - cid * $stride)],
        |    ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
 
   /** Token-budget SEQUENCE PACKING — greedy first-fit in doc_id order:
     * a doc joins the current bin unless that would exceed `budget`

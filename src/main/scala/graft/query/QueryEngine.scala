@@ -655,7 +655,22 @@ final class QueryEngine(val index: BuiltIndex) {
     // the two subsets decode once per pass; the split is driver-side
     // and deterministic, and per-query results are bit-identical on
     // either path (BatchSearchSpec).
-    val (sparse, dense) = nonEmpty.partition(q => Wand.batchWandRoutable(q._2, index.numDocs))
+    //
+    // Corpus-size floor on the split: a mixed batch pays a SECOND tiny
+    // Spark job (WAND pass unioned with the exhaustive pass), which at
+    // small corpora is pure scheduler overhead against near-zero
+    // skippable blocks — q_batch32 regressed 125 -> 104 qps at 50k docs
+    // when the split landed, while the same split wins 1.38x on the 27M
+    // Zipf mix (BENCH.md). Below the floor the whole batch takes the
+    // exhaustive replay (the r4-proven single-job path, bit-identical
+    // per BatchSearchSpec). Scale-adaptive (derived from the corpus,
+    // not local core count) and conf-overridable for tests/tuning.
+    val splitMinDocs = index.spark.conf
+      .get("graft.batch.splitMinDocs", SearchDefaults.BatchSplitMinDocs.toString).toLong
+    val (sparse, dense) =
+      if (index.numDocs >= splitMinDocs)
+        nonEmpty.partition(q => Wand.batchWandRoutable(q._2, index.numDocs))
+      else (Nil, nonEmpty)
     val frames = Seq(
       if (sparse.nonEmpty)
         Some(Wand.topKMany(index, sparse, k, deletesDs, wandStats).toDF("qid", "docId", "score"))
@@ -863,6 +878,14 @@ object SearchDefaults {
   /** cap on searchMany batch width (every task closure carries every
     * query's compiled plan; wider workloads chunk into several passes). */
   final val MaxBatchWidth = 4096
+  /** Corpus-size floor below which searchManyF32 skips the sparse/dense
+    * split and routes the WHOLE batch through the exhaustive replay (one
+    * Spark job instead of two). At 50k docs the split's second job cost
+    * ~35% of batch latency for nothing to skip; at 27M the split wins
+    * 1.38x — 1M docs sits comfortably between the two measured regimes
+    * (~128 shards x 8192, enough blocks for per-query pruning to beat
+    * its bookkeeping). Override with spark conf graft.batch.splitMinDocs. */
+  final val BatchSplitMinDocs = 1000000L
   /** Largest scored-side cap the engine FORCE-broadcasts in the
     * docId->stored-fields join. A capped scored side is slim
     * (docId, score) rows (~12 B each), so 1M rows ~ 12 MB — around

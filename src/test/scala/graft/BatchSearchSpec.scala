@@ -40,19 +40,48 @@ class BatchSearchSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
       .sortBy { case (d, s) => (-s, d) }
 
-  test("batched f32 results are bit-identical to per-query searchF32") {
+  /** Run `body` with the sparse/dense split floor forced OFF, so the
+    * batch genuinely splits (WAND pass + exhaustive pass) at this
+    * suite's tiny test corpus — below graft.batch.splitMinDocs the
+    * engine routes the whole batch exhaustive in one job.
+    */
+  private def withSplit[T](body: => T): T = {
+    spark.conf.set("graft.batch.splitMinDocs", "0")
+    try body finally spark.conf.unset("graft.batch.splitMinDocs")
+  }
+
+  test("batched f32 results are bit-identical to per-query searchF32 (both split regimes)") {
     val k = 10
-    val got = engine.searchManyF32(batch, k).collect()
+    // the two gate regimes must agree with the single-query paths AND
+    // with each other: all-exhaustive (the small-corpus default) vs the
+    // genuine sparse/dense split
+    val gotDefault = engine.searchManyF32(batch, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
+        .sortBy { case (d, s) => (-s, d) }).toMap
+    val gotSplit = withSplit(engine.searchManyF32(batch, k).collect())
       .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
         .sortBy { case (d, s) => (-s, d) }).toMap
     batch.foreach { case (qid, clauses) =>
       val solo = rowsF32(engine.searchF32(clauses, k, useWand = false))
-      assert(got.getOrElse(qid, Nil) === solo, s"qid=$qid diverged from single-query path")
+      assert(gotDefault.getOrElse(qid, Nil) === solo, s"qid=$qid diverged from single-query path")
+      assert(gotSplit.getOrElse(qid, Nil) === solo, s"qid=$qid split regime diverged")
       // and exact equality with the WAND-gated default path too
       val wand = rowsF32(engine.searchF32(clauses, k))
-      assert(got.getOrElse(qid, Nil) === wand, s"qid=$qid diverged from WAND path")
+      assert(gotDefault.getOrElse(qid, Nil) === wand, s"qid=$qid diverged from WAND path")
     }
+  }
+
+  test("below the split floor the whole batch runs exhaustive: no WAND pass, no block cache") {
+    // this suite's corpus (1500 docs) is far below the default floor
+    // (BatchSplitMinDocs = 1M), so the accounting counters must stay
+    // untouched — the single-job exhaustive replay never registers
+    // blocks with a shared cache
+    val stats = Wand.Stats.register(spark)
+    engine.searchManyF32(batch, 10, wandStats = Some(stats)).collect()
+    assert(stats.decodedBlocks.value === 0L, "no WAND pass expected below the split floor")
+    assert(stats.skippedBlocks.value === 0L)
   }
 
   test("batched f64 results match per-query presentation order exactly") {
@@ -114,7 +143,7 @@ class BatchSearchSpec extends AnyFunSuite {
   test("batched path accounts every matched block exactly once (decoded + skipped = total)") {
     val stats = Wand.Stats.register(spark)
     val e = new QueryEngine(index)
-    e.searchManyF32(batch, 10, wandStats = Some(stats)).collect()
+    withSplit(e.searchManyF32(batch, 10, wandStats = Some(stats)).collect())
     val decoded = stats.decodedBlocks.value
     val skipped = stats.skippedBlocks.value
     assert(skipped >= 0L)
@@ -191,7 +220,9 @@ class BatchSearchSpec extends AnyFunSuite {
       0 -> Seq(Fts("content", "fn return")),
       1 -> Seq(Fts("content", "freshterm")),
       2 -> Seq(Fts("content", "binary"), Fts("content", "search")))
-    val got = e.searchManyF32(b, 10).collect()
+    // split forced on: the multi-epoch replay-order invariant must hold
+    // on the WAND-routed pass too, not just the small-corpus default
+    val got = withSplit(e.searchManyF32(b, 10).collect())
       .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
         .sortBy { case (d, s) => (-s, d) }).toMap

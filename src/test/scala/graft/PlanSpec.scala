@@ -277,19 +277,23 @@ class PlanSpec extends AnyFunSuite {
     out.unpersist(blocking = true)
   }
 
-  test("minhash verify broadcasts only the gated candidate-ID set, never the pair set") {
+  test("minhash verify broadcasts only count-gated slim frames, nothing unconditionally") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
-    // default gate: the (count-verified tiny) candidate-doc ID frame is
-    // broadcast so the verify semi-join never shuffles the corpus-sized
-    // shingle set — and the hint must cover ONLY an ids projection
+    // default gate: the count-verified tiny frames — candidate-doc IDs
+    // (id), the edge set (a, b) and the per-doc size frame (id, n) —
+    // are broadcast so the verify joins run map-side; each hint must
+    // cover one of exactly those slim projections, never a
+    // shingle-carrying frame
     val df = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text")
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.nonEmpty, "expected the candidate-ID semi-join side to carry a broadcast hint")
-    assert(hints.forall(_.child.output.map(_.name) == Seq("id")),
-      s"only the ids-only frame may be broadcast: ${hints.map(_.child.output.map(_.name))}")
-    // gate closed (limit 0): no broadcast anywhere — the unbounded-pair
-    // fallback is a plain shuffle join
+    assert(hints.nonEmpty, "expected the gated verify-side frames to carry broadcast hints")
+    val allowed = Set(Seq("id"), Seq("a", "b"), Seq("id", "n"))
+    assert(hints.forall(h => allowed(h.child.output.map(_.name))),
+      s"only slim gated frames may be broadcast: ${hints.map(_.child.output.map(_.name))}")
+    // gate closed (limit 0): no broadcast anywhere — every fallback is
+    // a plain slim-keyed shuffle join (the pair set is unbounded at
+    // corpus scale and must never broadcast ungated)
     val gated = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text", broadcastIdLimit = 0L)
     val gh = gated.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(gh.isEmpty, s"gate closed must not broadcast: $gh")
