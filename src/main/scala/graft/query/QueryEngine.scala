@@ -880,12 +880,16 @@ object SearchDefaults {
   final val MaxBatchWidth = 4096
   /** Corpus-size floor below which searchManyF32 skips the sparse/dense
     * split and routes the WHOLE batch through the exhaustive replay (one
-    * Spark job instead of two). At 50k docs the split's second job cost
-    * ~35% of batch latency for nothing to skip; at 27M the split wins
-    * 1.38x — 1M docs sits comfortably between the two measured regimes
-    * (~128 shards x 8192, enough blocks for per-query pruning to beat
-    * its bookkeeping). Override with spark conf graft.batch.splitMinDocs. */
-  final val BatchSplitMinDocs = 1000000L
+    * Spark job instead of two). Measured (same methodology, local[32]):
+    * at 50k docs the split's second job cost ~35% of batch latency for
+    * nothing to skip; at 2M x 64-query Zipf the split still LOSES 13%
+    * (0.98 s vs 0.86 s, zero blocks skipped — the exhaustive-routed
+    * half of the batch subscribes to the same hot blocks, so the shared
+    * cache decodes them anyway); at 27M x 512 the split wins 1.38x
+    * (BENCH.md r5). 4M sits above the measured-negative regime and well
+    * below the measured-positive one. Override with spark conf
+    * graft.batch.splitMinDocs. */
+  final val BatchSplitMinDocs = 4000000L
   /** Largest scored-side cap the engine FORCE-broadcasts in the
     * docId->stored-fields join. A capped scored side is slim
     * (docId, score) rows (~12 B each), so 1M rows ~ 12 MB — around
