@@ -94,6 +94,19 @@ object Dedup {
     }
   }
 
+  /** Terminal (a, b) presentation sort. When the candidate count is
+    * known small (the same broadcast gate), a global range sort is
+    * replaced by ONE partition sorted in-task: identical row order on
+    * read-back, minus the RangePartitioner's sampling pass — which
+    * re-executes the verify join tree's reduce stages once per call
+    * just to pick bounds for a handful of rows. Above the gate the
+    * range sort stands (a single partition would serialize a large
+    * result).
+    */
+  private def sortedPairs(df: DataFrame, small: Boolean): DataFrame =
+    if (small) df.repartition(1).sortWithinPartitions("a", "b")
+    else df.orderBy("a", "b")
+
   /** Spread a COLLAPSED source across the session's parallelism before
     * CPU-heavy per-row work (tokenize + shingle + md5): a small parquet
     * table arrives as ONE split (openCost packing), so the whole
@@ -245,10 +258,10 @@ object Dedup {
     // frames when nCand fits the same count gate (never unconditionally:
     // the pair set grows with near-dup density at corpus scale).
     val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).distinct().persist()
-    scoped(sh, sig0, cand, shc)(
+    scoped(sh, sig0, cand, shc)(sortedPairs(
       jaccardVerified(cand, shc, threshold, nCand, broadcastIdLimit)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("a", "b"))
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard")),
+      small = nCand <= broadcastIdLimit))
   }
 
   /** Oracle twin of minhashPairs. The perm range is capped at FULL
@@ -461,10 +474,10 @@ object Dedup {
     // candidateShingles for the no-AQE-reliance rationale); sh is
     // already distinct, so no re-dedup of shc
     val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
-    scoped(sh, cand, shc)(
+    scoped(sh, cand, shc)(sortedPairs(
       jaccardVerified(cand, shc, threshold, nCand, broadcastIdLimit)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("a", "b"))
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard")),
+      small = nCand <= broadcastIdLimit))
   }
 
   def ngramJaccardPairsSqlDuck(idCol: String, textCol: String,
