@@ -109,7 +109,16 @@ final class BuiltIndex(
     val deletes: Option[DataFrame] = None, // upsert tombstones (docId)
     /** build-time SymSpell dictionary (field, variant, term, df) when
       * the segment was written in fast-fuzzy mode. */
-    val symspell: Option[DataFrame] = None) {
+    val symspell: Option[DataFrame] = None,
+    /** True iff `postings` is physically co-partitioned by docId shard
+      * with EXACTLY ONE PostingRow per (field, term, shard) — the
+      * in-memory single-segment build guarantees both by hashing the
+      * merged postings on `shard` before the persist. Scorers then take
+      * the exchange-free mapPartitions path (every cursor of a shard is
+      * already in one task). Store-loaded indexes stay `false`: their
+      * per-epoch segment reads are unioned with no co-location, and the
+      * multi-epoch replay-order contract lives on the cogroup path. */
+    val postingsShardLocal: Boolean = false) {
 
   def spark: SparkSession = docs.sparkSession
 
@@ -395,6 +404,14 @@ object IndexBuilder {
       .groupByKey(p => (p.field, p.term, p.shard))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaInt))
       .mapGroups { (key, parts) => mergePartials(key, parts) }(Encoders.product[PostingRow])
+      // co-partition the FINAL compact postings by shard before the
+      // persist: one extra exchange of the encoded index per build (the
+      // §2.4 bucketing trade — pay the shuffle once at write time) buys
+      // every subsequent query an exchange-free shard-local scoring
+      // pass (Scorer.shardGrouped fast path). The merge shuffle above
+      // stays keyed on (field, term, shard) so merge parallelism never
+      // collapses to the shard count (7 shards at sf0.1).
+      .repartition(col("shard"))
     val pPersisted = postings.persist(StorageLevel.MEMORY_AND_DISK)
     val termStats = pPersisted.groupBy(col("field"), col("term"))
       .agg(sum(col("numDocs")).as("df"))
@@ -403,6 +420,7 @@ object IndexBuilder {
     val fieldTokens = pPersisted
       .groupBy(col("field")).agg(sum(col("sumTf")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    new BuiltIndex(docs, pPersisted, termStats, numDocs, fieldTokens, config).persist()
+    new BuiltIndex(docs, pPersisted, termStats, numDocs, fieldTokens, config,
+      postingsShardLocal = true).persist()
   }
 }

@@ -78,6 +78,68 @@ object Scorer {
     deletes.groupByKey(id => (id / width).toInt)
   }
 
+  /** Run a per-shard scoring function over the query's matched posting
+    * rows — the ONE place that decides between the two physical shapes:
+    *
+    * FAST PATH (exchange-free): when the index's postings cache is
+    * co-partitioned by shard (`BuiltIndex.postingsShardLocal`, set by
+    * the in-memory single-segment build) and there are no tombstones,
+    * every cursor of a shard is already in one cache partition, so the
+    * scorers run as a mapPartitions directly over the pruned cache scan
+    * — a single-stage Spark job with NO exchange at all (guide §2.4:
+    * the bucketing pattern — the build paid one shard-keyed shuffle so
+    * that every query afterwards skips its groupByKey exchange; before
+    * this, every top-k call paid one 32-partition exchange + an AQE
+    * stage boundary to move a handful of slim posting rows).
+    *
+    * FALLBACK (the r5 shape, bit-identical output): groupByKey(shard)
+    * [+ cogrouped tombstones]. Store-loaded indexes keep it — their
+    * per-segment parquet unions are not co-located and the multi-epoch
+    * replay-order contract is tied to the cogroup path — as does any
+    * index carrying deletes (tombstones arrive as a separate frame and
+    * must meet their shard's rows in one task).
+    *
+    * Exactness: `f` receives exactly the matched rows of one shard in
+    * both shapes, and every scorer sorts its rows internally before
+    * accumulating, so per-query results are bit-identical (gated by
+    * the fast-vs-fallback spec in SearchSpec/BatchSearchSpec and by
+    * every oracle row, which runs through the in-memory fast path).
+    */
+  def shardGrouped[T](index: BuiltIndex, terms: Seq[CompiledTerm],
+      deletes: Option[Dataset[Long]])(
+      f: (Array[PostingRow], Set[Long]) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val matched = matchedPostings(index, terms)
+    if (index.postingsShardLocal && deletes.isEmpty) {
+      matched.mapPartitions { it =>
+        // TreeMap: deterministic shard iteration order within a task
+        // (output ROW order feeds only order-insensitive consumers —
+        // topK / aggregates — but determinism costs nothing here)
+        val byShard = new java.util.TreeMap[Int, scala.collection.mutable.ArrayBuffer[PostingRow]]()
+        it.foreach { p =>
+          var b = byShard.get(p.shard)
+          if (b == null) {
+            b = new scala.collection.mutable.ArrayBuffer[PostingRow]()
+            byShard.put(p.shard, b)
+          }
+          b += p
+        }
+        import scala.jdk.CollectionConverters._
+        byShard.values().iterator().asScala.flatMap(rows => f(rows.toArray, Set.empty))
+      }
+    } else {
+      val grouped = matched.groupByKey(_.shard)(Encoders.scalaInt)
+      deletes match {
+        case Some(d) =>
+          grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
+            f(rows.toArray, dels.toSet)
+          }
+        case None =>
+          grouped.flatMapGroups { (_, rows) => f(rows.toArray, Set.empty) }
+      }
+    }
+  }
+
   /** Exhaustive f32 path: tantivy-arithmetic scores, deterministic
     * accumulation order (groups/terms sorted), exact conjunction masks.
     */
@@ -94,21 +156,13 @@ object Scorer {
     val caches: Map[String, Array[Float]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
     val shardDocs = index.config.shardDocs // capture: closures must not drag BuiltIndex in
-    val grouped = matchedPostings(index, cq.terms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
-          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet, shardDocs)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, Set.empty, shardDocs)
-        }
+    shardGrouped(index, cq.terms, deletes) { (rows, dels) =>
+      mergeShardF32(rows, weights, groupOf, caches, constMask, reqMask, dels, shardDocs)
     }
   }
 
   private def mergeShardF32(
-      rows: Iterator[PostingRow],
+      rows: Array[PostingRow],
       weights: Map[(String, String, Int), Float],
       groupOf: Map[(String, String), Seq[Int]],
       caches: Map[String, Array[Float]],
@@ -117,7 +171,7 @@ object Scorer {
       deleted: Set[Long],
       shardDocs: Int): Iterator[ScoredDocF32] = {
     // deterministic accumulation order: (minGroup, field, term)
-    val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
+    val sorted = rows.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
     if (sorted.isEmpty) return Iterator.empty
     // a shard is a contiguous docId range of width shardDocs: dense
     // flat arrays indexed by (docId - base) beat a boxing HashMap by
@@ -166,21 +220,13 @@ object Scorer {
     val caches: Map[String, Array[Double]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF64(index.avgFieldnormF64(f))).toMap
     val shardDocs = index.config.shardDocs
-    val grouped = matchedPostings(index, cq.terms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
-          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, dels.toSet, shardDocs)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, Set.empty, shardDocs)
-        }
+    shardGrouped(index, cq.terms, deletes) { (rows, dels) =>
+      mergeShardF64(rows, weights, groupOf, caches, constMask, reqMask, dels, shardDocs)
     }
   }
 
   private def mergeShardF64(
-      rows: Iterator[PostingRow],
+      rows: Array[PostingRow],
       weights: Map[(String, String, Int), Double],
       groupOf: Map[(String, String), Seq[Int]],
       caches: Map[String, Array[Double]],
@@ -188,7 +234,7 @@ object Scorer {
       reqMask: Int,
       deleted: Set[Long],
       shardDocs: Int): Iterator[ScoredDocF64] = {
-    val sorted = rows.toArray.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
+    val sorted = rows.sortBy(p => (groupOf((p.field, p.term)).min, p.field, p.term))
     if (sorted.isEmpty) return Iterator.empty
     val base = sorted(0).shard.toLong * shardDocs
     val score = new Array[Double](shardDocs)
@@ -317,21 +363,13 @@ object Scorer {
     val caches: Map[String, Array[Float]] =
       allTerms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
     val shardDocs = index.config.shardDocs
-    val grouped = matchedPostings(index, allTerms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
-          mergeShardManyF32(rows, plans, caches, dels.toSet, shardDocs, k)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          mergeShardManyF32(rows, plans, caches, Set.empty, shardDocs, k)
-        }
+    shardGrouped(index, allTerms, deletes) { (rows, dels) =>
+      mergeShardManyF32(rows, plans, caches, dels, shardDocs, k)
     }
   }
 
   private def mergeShardManyF32(
-      rows: Iterator[PostingRow],
+      rows: Array[PostingRow],
       plans: Array[QueryPlan[Float]],
       caches: Map[String, Array[Float]],
       deleted: Set[Long],
@@ -407,21 +445,13 @@ object Scorer {
     val caches: Map[String, Array[Double]] =
       allTerms.map(_.field).distinct.map(f => f -> Bm25.normCacheF64(index.avgFieldnormF64(f))).toMap
     val shardDocs = index.config.shardDocs
-    val grouped = matchedPostings(index, allTerms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        grouped.cogroup(deletesByShard(index, d)) { (_, rows, dels) =>
-          mergeShardManyF64(rows, plans, caches, dels.toSet, shardDocs, k)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          mergeShardManyF64(rows, plans, caches, Set.empty, shardDocs, k)
-        }
+    shardGrouped(index, allTerms, deletes) { (rows, dels) =>
+      mergeShardManyF64(rows, plans, caches, dels, shardDocs, k)
     }
   }
 
   private def mergeShardManyF64(
-      rows: Iterator[PostingRow],
+      rows: Array[PostingRow],
       plans: Array[QueryPlan[Double]],
       caches: Map[String, Array[Double]],
       deleted: Set[Long],

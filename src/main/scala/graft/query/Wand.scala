@@ -476,18 +476,8 @@ object Wand {
     val groupsWithTerms = cq.terms.map(_.group).toSet
     if ((0 until nGroups).exists(g => !groupsWithTerms.contains(g)))
       return spark.emptyDataset[ScoredDocF32]
-    val grouped = Scorer.matchedPostings(index, cq.terms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
-          wandShardConj(rows.toArray, weights, groupOf, caches, constMask, nGroups, kk,
-            dels.toSet, stats)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          wandShardConj(rows.toArray, weights, groupOf, caches, constMask, nGroups, kk,
-            Set.empty, stats)
-        }
+    Scorer.shardGrouped(index, cq.terms, deletes) { (rows, dels) =>
+      wandShardConj(rows, weights, groupOf, caches, constMask, nGroups, kk, dels, stats)
     }
   }
 
@@ -589,16 +579,8 @@ object Wand {
       allTerms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
     val shardDocs = index.config.shardDocs
     val kk = k
-    val grouped = Scorer.matchedPostings(index, allTerms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
-          batchShard(rows.toArray, plans, caches, shardDocs, kk, dels.toSet, stats)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          batchShard(rows.toArray, plans, caches, shardDocs, kk, Set.empty, stats)
-        }
+    Scorer.shardGrouped(index, allTerms, deletes) { (rows, dels) =>
+      batchShard(rows, plans, caches, shardDocs, kk, dels, stats)
     }
   }
 
@@ -699,19 +681,12 @@ object Wand {
     val caches: Map[String, Array[Float]] =
       cq.terms.map(_.field).distinct.map(f => f -> Bm25.normCacheF32(index.avgFieldnormF32(f))).toMap
     val kk = k
-    val grouped = Scorer.matchedPostings(index, cq.terms).groupByKey(_.shard)
-    deletes match {
-      case Some(d) =>
-        // tombstones cogrouped per shard (bounded by the shard width):
-        // WAND must exclude them DURING scoring so the heap fills with
-        // live docs — a post-hoc anti-join would under-fill the top-k
-        grouped.cogroup(Scorer.deletesByShard(index, d)) { (_, rows, dels) =>
-          wandShard(rows.toArray, weights, caches, kk, dels.toSet, stats)
-        }
-      case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          wandShard(rows.toArray, weights, caches, kk, Set.empty, stats)
-        }
+    // tombstones (when present) stay cogrouped per shard inside
+    // shardGrouped's fallback: WAND must exclude them DURING scoring so
+    // the heap fills with live docs — a post-hoc anti-join would
+    // under-fill the top-k
+    Scorer.shardGrouped(index, cq.terms, deletes) { (rows, dels) =>
+      wandShard(rows, weights, caches, kk, dels, stats)
     }
   }
 }

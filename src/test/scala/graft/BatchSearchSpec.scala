@@ -163,6 +163,31 @@ class BatchSearchSpec extends AnyFunSuite {
       s"decoded=$decoded skipped=$skipped total=$total must partition the matched blocks")
   }
 
+  test("shard-local fast path == cogroup fallback, bit-identical per clause shape") {
+    // the in-memory build sets postingsShardLocal (exchange-free
+    // mapPartitions scoring); the same frames with the flag OFF run the
+    // r5 groupByKey shape — every scorer must agree bit-for-bit
+    val flagOff = new BuiltIndex(index.docs, index.postings, index.termStats,
+      index.numDocs, index.fieldTokens, index.config)
+    assert(index.postingsShardLocal && !flagOff.postingsShardLocal, "test premise")
+    val eOff = new QueryEngine(flagOff)
+    batch.foreach { case (_, clauses) =>
+      assert(rowsF32(engine.searchF32(clauses, 10)) === rowsF32(eOff.searchF32(clauses, 10)),
+        s"$clauses diverged on the WAND-gated path")
+      assert(rowsF32(engine.searchF32(clauses, 10, useWand = false)) ===
+        rowsF32(eOff.searchF32(clauses, 10, useWand = false)),
+        s"$clauses diverged on the exhaustive path")
+    }
+    // batched, both routes
+    def perQid(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getInt(0), r.getLong(1), r.getFloat(2))).groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq.sortBy { case (d, s) => (-s, d) }).toMap
+    assert(perQid(engine.searchManyF32(batch, 10).collect()) ===
+      perQid(eOff.searchManyF32(batch, 10).collect()))
+    assert(withSplit(perQid(engine.searchManyF32(batch, 10).collect())) ===
+      withSplit(perQid(eOff.searchManyF32(batch, 10).collect())))
+  }
+
   test("a no-match query yields no rows for its qid and leaves the rest intact") {
     val withEmpty = batch :+ (99 -> Seq(Fts("content", "zzqqxxnomatchtoken")))
     val got = engine.searchManyF32(withEmpty, 5).collect()
