@@ -411,7 +411,21 @@ object IndexBuilder {
       // pass (Scorer.shardGrouped fast path). The merge shuffle above
       // stays keyed on (field, term, shard) so merge parallelism never
       // collapses to the shard count (7 shards at sf0.1).
-      .repartition(col("shard"))
+      //
+      // Partition count = min(buildPartitions, shard count), derived
+      // from the corpus (numDocs is already known driver-side): a
+      // 7-shard corpus in 32+ partitions would leave every query's
+      // scan stage launching mostly-empty tasks. Rows sort by
+      // (field, term) within each partition so the columnar cache's
+      // per-batch min/max stats can prune term-filtered scans once
+      // partitions span many batches (order within a (field, term,
+      // shard) key is irrelevant: single segment = one row per key,
+      // and every scorer re-sorts its shard's rows).
+      .repartition(
+        math.min(config.buildPartitions.toLong,
+          math.max(1L, (numDocs + config.shardDocs - 1) / config.shardDocs)).toInt,
+        col("shard"))
+      .sortWithinPartitions(col("field"), col("term"))
     val pPersisted = postings.persist(StorageLevel.MEMORY_AND_DISK)
     val termStats = pPersisted.groupBy(col("field"), col("term"))
       .agg(sum(col("numDocs")).as("df"))
