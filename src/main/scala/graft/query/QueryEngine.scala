@@ -350,6 +350,40 @@ final class QueryEngine(val index: BuiltIndex) {
   /** Observability: compile calls served from the LRU. */
   @volatile var compileCacheHits: Long = 0L
 
+  /** Planned-DataFrame LRU for the f32 serving paths: a repeated query
+    * re-pays Catalyst analysis/optimization/physical planning (~40-50 ms
+    * per call — measured as the dominant slice of the exchange-free
+    * top-k latency) even though the plan is identical. Caching the LAZY
+    * frame reuses the planned QueryExecution while every collect()
+    * still re-executes it against the cached index — results are
+    * recomputed per call, never stored (the frames carry no persist).
+    * This extends the compiled-query LRU above one level up, the same
+    * reference semantics (compiled query parts cached across requests,
+    * apis/mod.rs:68-69); like it, the cache dies with the engine, which
+    * mutations invalidate. Only stats-free calls are cacheable: a
+    * wandStats accumulator is captured in task closures, so those
+    * frames are per-caller.
+    */
+  private val planCache =
+    new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
+        size() > SearchDefaults.MaxBatchWidth
+    }
+
+  /** Observability: searches served a memoized planned frame. */
+  @volatile var planCacheHits: Long = 0L
+
+  private def cachedPlan(key: AnyRef)(build: => DataFrame): DataFrame = {
+    planCache.synchronized {
+      val hit = planCache.get(key)
+      if (hit != null) { planCacheHits += 1; return hit }
+    }
+    // build OUTSIDE the lock: compile() inside may run dictionary jobs
+    val df = build
+    planCache.synchronized { planCache.put(key, df) }
+    df
+  }
+
   def compile(clauses: Seq[SearchClause]): CompiledQuery = {
     compileCache.synchronized {
       val hit = compileCache.get(clauses)
@@ -572,15 +606,18 @@ final class QueryEngine(val index: BuiltIndex) {
     // LIMIT 0 is legal SQL and must return zero rows, not crash the
     // WAND tasks (PriorityQueue rejects initialCapacity < 1)
     if (k <= 0) return emptyResultF32
-    val cq = compile(clauses)
-    if (cq.terms.isEmpty) return emptyResultF32
-    val scored =
-      if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore && disjSelective(cq))
-        Wand.topK(index, cq, k, deletesDs, wandStats)
-      else if (useWand && cq.groups.size > 1 && cq.groups.forall(_.required) && conjSelective(cq))
-        Wand.topKConj(index, cq, k, deletesDs, wandStats)
-      else Scorer.scoreF32(index, cq, deletesDs)
-    Scorer.topK(scored.toDF("docId", "score"), k)
+    def build: DataFrame = {
+      val cq = compile(clauses)
+      if (cq.terms.isEmpty) return emptyResultF32
+      val scored =
+        if (useWand && cq.groups.size == 1 && !cq.groups.head.constScore && disjSelective(cq))
+          Wand.topK(index, cq, k, deletesDs, wandStats)
+        else if (useWand && cq.groups.size > 1 && cq.groups.forall(_.required) && conjSelective(cq))
+          Wand.topKConj(index, cq, k, deletesDs, wandStats)
+        else Scorer.scoreF32(index, cq, deletesDs)
+      Scorer.topK(scored.toDF("docId", "score"), k)
+    }
+    if (wandStats.isEmpty) cachedPlan((clauses, k, useWand))(build) else build
   }
 
   /** Cost gate for single-group (disjunction) WAND, mirroring
@@ -644,6 +681,17 @@ final class QueryEngine(val index: BuiltIndex) {
     // "chunk your batch", not into silent multi-MB task binaries
     require(queries.size <= MaxBatchWidth, s"batch wider than $MaxBatchWidth: chunk it")
     if (k <= 0) return emptyResultQF32
+    // the split-floor conf resolves BEFORE the plan-cache lookup and
+    // rides the key: a conf flip between identical batches must
+    // re-plan, not serve the other regime's routing
+    val splitMinDocs = index.spark.conf
+      .get("graft.batch.splitMinDocs", SearchDefaults.BatchSplitMinDocs.toString).toLong
+    def build: DataFrame = searchManyF32Build(queries, k, wandStats, splitMinDocs)
+    if (wandStats.isEmpty) cachedPlan((queries, k, splitMinDocs))(build) else build
+  }
+
+  private def searchManyF32Build(queries: Seq[(Int, Seq[SearchClause])], k: Int,
+      wandStats: Option[Wand.Stats], splitMinDocs: Long): DataFrame = {
     val cqs = queries.map(_._1).zip(compileMany(queries.map(_._2)))
     val nonEmpty = cqs.filter(_._2.terms.nonEmpty)
     if (nonEmpty.isEmpty) return emptyResultQF32
@@ -665,8 +713,6 @@ final class QueryEngine(val index: BuiltIndex) {
     // exhaustive replay (the r4-proven single-job path, bit-identical
     // per BatchSearchSpec). Scale-adaptive (derived from the corpus,
     // not local core count) and conf-overridable for tests/tuning.
-    val splitMinDocs = index.spark.conf
-      .get("graft.batch.splitMinDocs", SearchDefaults.BatchSplitMinDocs.toString).toLong
     val (sparse, dense) =
       if (index.numDocs >= splitMinDocs)
         nonEmpty.partition(q => Wand.batchWandRoutable(q._2, index.numDocs))

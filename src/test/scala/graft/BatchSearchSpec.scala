@@ -188,6 +188,32 @@ class BatchSearchSpec extends AnyFunSuite {
       withSplit(perQid(eOff.searchManyF32(batch, 10).collect())))
   }
 
+  test("plan LRU: repeated stats-free searches reuse the planned frame, results recompute") {
+    val e = new QueryEngine(index)
+    val q = Seq(Fts("content", "fn return"))
+    val a = e.searchF32(q, 5)
+    val b = e.searchF32(q, 5)
+    assert(a eq b, "repeat must reuse the memoized planned frame")
+    assert(e.planCacheHits >= 1L)
+    // every collect re-executes the lazy plan — content equals a fresh
+    // engine's un-memoized run (no result caching anywhere)
+    assert(rowsF32(a) === rowsF32(new QueryEngine(index).searchF32(q, 5)))
+    // a wandStats call bypasses the cache (accumulators live in task
+    // closures, so those frames are per-caller) and must not poison it
+    val stats = Wand.Stats.register(spark)
+    val sq = Seq(Fts("content", "binarySearchNeedle license"))
+    val c = e.searchF32(sq, 5, wandStats = Some(stats))
+    val d = e.searchF32(sq, 5, wandStats = Some(stats))
+    assert(!(c eq d), "stats-carrying frames must not be memoized")
+    assert(rowsF32(c) === rowsF32(e.searchF32(sq, 5)))
+    // batched path: repeat reuses; the split-floor conf rides the key
+    val m1 = e.searchManyF32(batch, 5)
+    val m2 = e.searchManyF32(batch, 5)
+    assert(m1 eq m2)
+    val m3 = withSplit(e.searchManyF32(batch, 5))
+    assert(!(m1 eq m3), "a conf flip must re-plan, not serve the other regime")
+  }
+
   test("a no-match query yields no rows for its qid and leaves the rest intact") {
     val withEmpty = batch :+ (99 -> Seq(Fts("content", "zzqqxxnomatchtoken")))
     val got = engine.searchManyF32(withEmpty, 5).collect()

@@ -666,9 +666,14 @@ class LnxSqlSpec extends AnyFunSuite {
     val hits0 = sess.parseCacheHits
     val eng = sess.table("documents").engine.get
     val cHits0 = eng.compileCacheHits
+    val pHits0 = eng.planCacheHits
     sess.execute(sql, Seq(SLit("mrege"))).collect()
     assert(sess.parseCacheHits > hits0, "second execute should hit the parse LRU")
-    assert(eng.compileCacheHits > cHits0, "identical clauses should hit the compile LRU")
+    // the repeat is served without re-running dictionary jobs: either
+    // the compile LRU fires, or the stronger planned-frame LRU serves
+    // the whole query before compile() is even reached
+    assert(eng.compileCacheHits > cHits0 || eng.planCacheHits > pHits0,
+      "identical clauses should hit the compile or plan LRU")
   }
 
   test("many mutations stay queryable (lineage truncation, no plan blow-up)") {
