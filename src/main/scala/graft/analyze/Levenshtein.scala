@@ -140,11 +140,21 @@ object SymSpell {
   /** Deterministic best correction among verified candidates:
     * min distance, then max df, then lexicographic term.
     */
-  def pickBest(query: String, cands: Seq[(String, Long)]): Option[String] = {
+  def pickBest(query: String, cands: Seq[(String, Long)]): Option[String] =
+    pickBestDf(query, cands).map(_._1)
+
+  /** As pickBest, also returning the winner's dictionary df — the
+    * correction candidates carry it already, so callers need no
+    * second dictionary lookup for the corrected term's weight.
+    */
+  def pickBestDf(query: String, cands: Seq[(String, Long)]): Option[(String, Long)] = {
     val verified = cands.flatMap { case (term, df) =>
       val d = Levenshtein.distance(query, term, MaxDistance)
       if (d <= MaxDistance) Some((d, -df, term)) else None
     }
-    if (verified.isEmpty) None else Some(verified.min._3)
+    if (verified.isEmpty) None else {
+      val best = verified.min
+      Some((best._3, -best._2))
+    }
   }
 }

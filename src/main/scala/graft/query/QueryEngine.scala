@@ -285,7 +285,18 @@ final class QueryEngine(val index: BuiltIndex) {
     * down filter; best-per-token (min distance, max df, lexicographic)
     * is picked driver-side from the one collected candidate batch.
     */
-  def correctAll(field: String, toks: Seq[String]): Map[String, String] = {
+  def correctAll(field: String, toks: Seq[String]): Map[String, String] =
+    correctAllDf(field, toks).map { case (tok, r) => tok -> r.map(_._1).getOrElse(tok) }
+
+  /** As correctAll, also returning the corrected term's dictionary df
+    * (the candidates carry it) — None when the token has no in-dict
+    * candidate at all, which implies the token itself is not a
+    * dictionary term (a term's own 0-delete variant always matches
+    * itself). The single-query fast-fuzzy compile path consumes this
+    * directly, skipping the separate df-lookup Spark job it used to
+    * run for the corrected terms.
+    */
+  def correctAllDf(field: String, toks: Seq[String]): Map[String, Option[(String, Long)]] = {
     if (toks.isEmpty) return Map.empty
     val variantsByTok: Map[String, Set[String]] =
       toks.distinct.map(t => t -> SymSpell.deletes(t)).toMap
@@ -299,7 +310,7 @@ final class QueryEngine(val index: BuiltIndex) {
       val cands = vars.iterator
         .flatMap(v => byVariant.getOrElse(v, Array.empty[(String, String, Long)]))
         .map(h => (h._2, h._3)).toSeq.distinct
-      tok -> SymSpell.pickBest(tok, cands).getOrElse(tok)
+      tok -> SymSpell.pickBestDf(tok, cands)
     }
   }
 
@@ -540,17 +551,23 @@ final class QueryEngine(val index: BuiltIndex) {
           regexExpand(field, pattern).map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
         case FastFuzzy(field, query, _) =>
           val raw = tokenizeQuery(field, query)
-          val corrected = ctx.corrections match {
-            case Some(m) => raw.map(t => t -> m.getOrElse((field, t), t)).toMap
-            case None => correctAll(field, raw)
-          }
-          val toks = raw.map(t => corrected.getOrElse(t, t)).distinct
-          ctx.dfs match {
+          ctx.corrections match {
             case Some(m) =>
-              toks.flatMap(t => m.get((field, t)).map(df => mkTerm(field, t, df, 1.0, g, n)))
+              // batch path: corrections pre-fetched; corrected terms'
+              // dfs ride the batch's ONE coalesced df-lookup job
+              val toks = raw.map(t => m.getOrElse((field, t), t)).distinct
+              val dfs = ctx.dfs.getOrElse(Map.empty)
+              toks.flatMap(t => dfs.get((field, t)).map(df => mkTerm(field, t, df, 1.0, g, n)))
             case None =>
-              dfLookup(toks.map(t => (field, t)))
-                .map { case ((f, t), df) => mkTerm(f, t, df, 1.0, g, n) }.toSeq
+              // single-query path: the correction candidates already
+              // carry each term's df — one dictionary job total (a
+              // second dfLookup job per query was pure overhead). A
+              // None result means the token is not a dictionary term
+              // (its own 0-delete variant would have matched), i.e.
+              // exactly the tokens the old df lookup found nothing for.
+              val byTok = correctAllDf(field, raw)
+              raw.flatMap(t => byTok.getOrElse(t, None)).distinct
+                .map { case (t, df) => mkTerm(field, t, df, 1.0, g, n) }
           }
         case MoreLikeThis(field, docId, topTerms, _) =>
           val toks = seedTerms(field, docId, topTerms)
