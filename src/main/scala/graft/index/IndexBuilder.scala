@@ -378,7 +378,13 @@ object IndexBuilder {
     * shuffle on (field, term, shard) -> concat-merge -> postings +
     * term dictionary + stats.
     */
-  def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex = {
+  def build(df: DataFrame, config: IndexConfig, docIdBase: Long = 0L): BuiltIndex =
+    // eager persist-heavy span (see EagerPlanConfs): the postings
+    // merge + caches compile statically under the persist, where AQE
+    // only adds per-stage jobs and plan-description events
+    graft.EagerPlanConfs.scoped(df.sparkSession)(buildBody(df, config, docIdBase))
+
+  private def buildBody(df: DataFrame, config: IndexConfig, docIdBase: Long): BuiltIndex = {
     val spark = df.sparkSession
     // fail loud HERE, naming the column: partialPostings reads fields
     // via getUTF8String, which on a non-string column misreads the

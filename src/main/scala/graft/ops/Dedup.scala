@@ -78,21 +78,8 @@ object Dedup {
     * for the op's duration (restored verbatim after) — the same
     * trade-off any session-level tuning makes.
     */
-  private def withEagerOpConfs[T](df: DataFrame)(body: => T): T = {
-    val spark = df.sparkSession
-    val pins = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.maxPlanStringLength" -> "8192")
-    val saved = pins.map { case (k, v) =>
-      val old = try spark.conf.getOption(k) catch { case _: Throwable => None }
-      spark.conf.set(k, v)
-      k -> old
-    }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withEagerOpConfs[T](df: DataFrame)(body: => T): T =
+    graft.EagerPlanConfs.scoped(df.sparkSession)(body)
 
   /** Terminal (a, b) presentation sort. When the candidate count is
     * known small (the same broadcast gate), a global range sort is
