@@ -500,7 +500,12 @@ object Dedup {
     * is already bounded by distinct pairs, not occurrences, at scale.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    // spread: the tokenize+explode+partial-count chain otherwise runs
+    // serially on a one-split source (same §2.5 collapse the minhash
+    // ops fixed in r6; no-op on real multi-split inputs). Results are
+    // partitioning-independent (aggregates + terminal sort).
+    val tf = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), explode(tokens(col("text"))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", hash60(col("term")))
     val bitSums = (0 until 60).map(j =>

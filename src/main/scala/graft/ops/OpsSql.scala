@@ -13,9 +13,12 @@ import graft.analyze.Analyzer
   */
 object OpsSql {
 
-  /** 60-bit non-negative hash of a string column. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** 60-bit non-negative hash of a string column — the native digest
+    * expression (one MessageDigest pass, no hex/conv string round-trip;
+    * bit-identical to `conv(substring(md5(c),1,15),16,10)::LONG`,
+    * Hash60Spec + every shingle/simhash oracle).
+    */
+  def hash60(c: Column): Column = graft.functions.Md5Hash60(c)
 
   def hash60Duck(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"

@@ -74,9 +74,42 @@ final class QueryEngine(val index: BuiltIndex) {
       d.select(col("docId")).as[Long]
     }
 
+  /** Driver-side term-dictionary snapshot (the tantivy-FST analogue —
+    * see LocalTermDict). Probed ONCE per engine with a capped collect
+    * (`limit(cap+1)` — bounded at any corpus scale): when the whole
+    * dictionary fits under `graft.dict.localMaxTerms`, every dictionary
+    * lookup below answers driver-side with zero Spark jobs; otherwise
+    * None and the distributed lookup jobs run unchanged (the 100 TB
+    * path). Lazy: engines that never consult the dictionary never pay
+    * the probe. The conf resolves at first use and is pinned for the
+    * engine's lifetime (mutations invalidate by engine replacement,
+    * like both LRUs above).
+    */
+  private lazy val localDict: Option[LocalTermDict] = {
+    val cap = index.spark.conf
+      .get("graft.dict.localMaxTerms", SearchDefaults.LocalDictMaxTerms.toString).toInt
+    if (cap <= 0) None
+    else {
+      val rows = index.termStats.select(col("field"), col("term"), col("df"))
+        .limit(cap + 1).collect()
+      if (rows.length > cap) None
+      else Some(LocalTermDict.fromRows(
+        rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))))
+    }
+  }
+
+  /** Observability: whether this engine serves dictionary lookups from
+    * the driver-side snapshot (forces the probe). */
+  private[graft] def localDictActive: Boolean = localDict.nonEmpty
+
   /** field -> (term -> df) for an exact term batch. */
   private def dfLookup(keys: Seq[(String, String)]): Map[(String, String), Long] = {
     if (keys.isEmpty) return Map.empty
+    localDict match {
+      case Some(d) =>
+        return keys.distinct.flatMap(k => d.df(k._1, k._2).map(df => k -> df)).toMap
+      case None =>
+    }
     val fields = keys.map(_._1).distinct
     val terms = keys.map(_._2).distinct
     // Set membership, not Seq.contains: compileMany feeds this the
@@ -99,6 +132,17 @@ final class QueryEngine(val index: BuiltIndex) {
   private def prefixExpandAll(field: String,
       prefixes: Seq[String]): Map[String, Seq[(String, Long)]] = {
     if (prefixes.isEmpty) return Map.empty
+    localDict match {
+      case Some(d) =>
+        // same shape as the collected-row path below: capped per prefix
+        // in UTF8-binary term order (the in-plan TakeOrdered/window
+        // order), empty prefixes absent from the map, final per-prefix
+        // sort by Java string order mirroring the sortBy on collect
+        return prefixes.distinct
+          .map(p => p -> d.prefixCapped(field, p, MaxExpansions).sortBy(_._1))
+          .filter(_._2.nonEmpty).toMap
+      case None =>
+    }
     val rows = prefixCandidates(field, prefixes).collect()
     rows.groupBy(_.getString(0)).map { case (pfx, rs) =>
       pfx -> rs.map(r => (r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
@@ -168,6 +212,16 @@ final class QueryEngine(val index: BuiltIndex) {
   private def fuzzyExpandAll(field: String, toks: Seq[String],
       maxDist: Int): Map[String, Seq[(String, Long, Int)]] = {
     if (toks.isEmpty) return Map.empty
+    localDict match {
+      case Some(d) =>
+        // admitted set, cap and both sort orders mirror the in-plan
+        // window + driver re-verify exactly (LocalTermDict.fuzzyCapped);
+        // tokens with no candidates absent, like the groupBy below
+        return toks.distinct
+          .map(t => t -> d.fuzzyCapped(field, t, maxDist, MaxExpansions))
+          .filter(_._2.nonEmpty).toMap
+      case None =>
+    }
     val spark = index.spark
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -233,10 +287,14 @@ final class QueryEngine(val index: BuiltIndex) {
   }
 
   private def regexExpand(field: String, pattern: String): Seq[(String, Long)] =
-    regexCandidates(field, pattern)
-      .orderBy(col("term"))
-      .limit(MaxExpansions)
-      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    localDict match {
+      case Some(d) => d.regexCapped(field, pattern, MaxExpansions)
+      case None =>
+        regexCandidates(field, pattern)
+          .orderBy(col("term"))
+          .limit(MaxExpansions)
+          .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    }
 
   /** Regex candidate frame — package-visible so PlanSpec can assert
     * the pruned scan shape. `rlike` can never push to parquet, but a
@@ -298,6 +356,18 @@ final class QueryEngine(val index: BuiltIndex) {
     */
   def correctAllDf(field: String, toks: Seq[String]): Map[String, Option[(String, Long)]] = {
     if (toks.isEmpty) return Map.empty
+    localDict match {
+      case Some(d) =>
+        // the variant prefilter is COMPLETE for d <= MaxDistance and
+        // pickBestDf discards everything beyond it (SymSpellSpec), so
+        // the verified candidate set is exactly {terms : dist <= 2} —
+        // which the local length-banded scan produces directly
+        return toks.distinct.map { tok =>
+          tok -> graft.analyze.SymSpell.pickBestDf(
+            tok, d.fuzzyAll(field, tok, SymSpell.MaxDistance))
+        }.toMap
+      case None =>
+    }
     val variantsByTok: Map[String, Set[String]] =
       toks.distinct.map(t => t -> SymSpell.deletes(t)).toMap
     val allVariants = variantsByTok.values.flatten.toSeq.distinct
@@ -953,6 +1023,14 @@ object SearchDefaults {
     * below the measured-positive one. Override with spark conf
     * graft.batch.splitMinDocs. */
   final val BatchSplitMinDocs = 4000000L
+  /** Term-count cap for the driver-side dictionary snapshot
+    * (LocalTermDict). Dictionaries at or under this size serve every
+    * compile-time lookup in memory (the tantivy-FST analogue); larger
+    * ones keep the distributed capped-in-plan lookup jobs. 256k terms
+    * is tens of MB of driver heap — comfortably inside any driver
+    * budget and far below the scale where a dictionary stops fitting.
+    * Override with spark conf graft.dict.localMaxTerms (0 disables). */
+  final val LocalDictMaxTerms = 262144
   /** Largest scored-side cap the engine FORCE-broadcasts in the
     * docId->stored-fields join. A capped scored side is slim
     * (docId, score) rows (~12 B each), so 1M rows ~ 12 MB — around
