@@ -157,6 +157,43 @@ object Dedup {
     sh.join(cd, "id")
   }
 
+  /** Under the verify broadcast gate, LAND the already-counted candidate
+    * edge set on the driver once and hand back LocalRelation views of
+    * (a, b) and the distinct endpoint ids. Driver-thread sampling of the
+    * warm minhash pass showed 23% of wall blocked in
+    * `BroadcastExchangeExec.doExecuteBroadcast`: every broadcast of a
+    * distributed frame runs its own collect JOB on the broadcast thread
+    * (plus the candDocs union+distinct exchange) before the relation can
+    * build. The gate already guarantees these exact rows land on the
+    * driver inside those broadcast builds — collecting them once from
+    * the persisted frame (one cache-read job) and broadcasting
+    * LocalRelations instead is the same driver footprint with zero
+    * broadcast-build jobs. Above the gate: None, and the distributed
+    * frames flow exactly as before (the 100 TB path — candidate volume
+    * there must never collect).
+    */
+  private def landedCandidates(cand: DataFrame, nCand: Long,
+      broadcastIdLimit: Long): Option[(DataFrame, DataFrame)] = {
+    if (2 * nCand > broadcastIdLimit) return None
+    import scala.jdk.CollectionConverters._
+    val spark = cand.sparkSession
+    val rows = cand.collect()
+    val edgesLocal = spark.createDataFrame(java.util.Arrays.asList(rows: _*), cand.schema)
+    val ids = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSeq.distinct
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", cand.schema.fields(0).dataType,
+        cand.schema.fields(0).nullable)))
+    val idsLocal = spark.createDataFrame(
+      ids.map(org.apache.spark.sql.Row(_)).asJava, idSchema)
+    Some((edgesLocal, idsLocal))
+  }
+
+  /** candidateShingles over pre-landed endpoint ids (gate already
+    * passed): the broadcast build serializes driver rows, no job.
+    */
+  private def candidateShinglesLanded(sh: DataFrame, idsLocal: DataFrame): DataFrame =
+    sh.join(broadcast(idsLocal), "id")
+
   /** Exact-Jaccard verification shared by every shingle dedup op: for
     * each candidate edge (a, b), count common shingles over the
     * candidate-restricted set `shc`, compute |A ∩ B| / |A ∪ B| and keep
@@ -243,10 +280,17 @@ object Dedup {
     // full-corpus distinct values — a candidate doc's shingle rows are
     // all retained). jaccardVerified broadcasts the edge and size
     // frames when nCand fits the same count gate (never unconditionally:
-    // the pair set grows with near-dup density at corpus scale).
-    val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).distinct().persist()
+    // the pair set grows with near-dup density at corpus scale); under
+    // the gate the edge set is landed once (landedCandidates) so those
+    // broadcasts build from driver rows without their own jobs.
+    val landed = landedCandidates(cand, nCand, broadcastIdLimit)
+    val edgesF = landed.map(_._1).getOrElse(cand)
+    val shc = (landed match {
+      case Some((_, ids)) => candidateShinglesLanded(sh, ids)
+      case None => candidateShingles(sh, cand, nCand, broadcastIdLimit)
+    }).distinct().persist()
     scoped(sh, sig0, cand, shc)(sortedPairs(
-      jaccardVerified(cand, shc, threshold, nCand, broadcastIdLimit)
+      jaccardVerified(edgesF, shc, threshold, nCand, broadcastIdLimit)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard")),
       small = nCand <= broadcastIdLimit))
   }
@@ -305,9 +349,15 @@ object Dedup {
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("a"), col("rep").as("b")).distinct().persist()
     val nCand = edges.count()
-    // distinct on the candidate-restricted sliver (see minhashPairs)
-    val shc = candidateShingles(sh, edges, nCand, broadcastIdLimit).distinct().persist()
-    val verified = jaccardVerified(edges, shc, threshold, nCand, broadcastIdLimit)
+    // distinct on the candidate-restricted sliver (see minhashPairs);
+    // gate passed -> edges landed once, broadcast builds job-free
+    val landed = landedCandidates(edges, nCand, broadcastIdLimit)
+    val edgesF = landed.map(_._1).getOrElse(edges)
+    val shc = (landed match {
+      case Some((_, ids)) => candidateShinglesLanded(sh, ids)
+      case None => candidateShingles(sh, edges, nCand, broadcastIdLimit)
+    }).distinct().persist()
+    val verified = jaccardVerified(edgesF, shc, threshold, nCand, broadcastIdLimit)
       .groupBy("a").agg(min(col("b")).as("rep"))
     // output is UNORDERED (one row per input doc): a global sort here
     // would be a wasted corpus-wide range exchange for the composing
@@ -459,10 +509,16 @@ object Dedup {
     val nCand = cand.count()
     // candidate-bounded verify, same shape as minhashPairs (see
     // candidateShingles for the no-AQE-reliance rationale); sh is
-    // already distinct, so no re-dedup of shc
-    val shc = candidateShingles(sh, cand, nCand, broadcastIdLimit).persist()
+    // already distinct, so no re-dedup of shc; gated edge landing as in
+    // minhashPairs
+    val landed = landedCandidates(cand, nCand, broadcastIdLimit)
+    val edgesF = landed.map(_._1).getOrElse(cand)
+    val shc = (landed match {
+      case Some((_, ids)) => candidateShinglesLanded(sh, ids)
+      case None => candidateShingles(sh, cand, nCand, broadcastIdLimit)
+    }).persist()
     scoped(sh, cand, shc)(sortedPairs(
-      jaccardVerified(cand, shc, threshold, nCand, broadcastIdLimit)
+      jaccardVerified(edgesF, shc, threshold, nCand, broadcastIdLimit)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard")),
       small = nCand <= broadcastIdLimit))
   }
@@ -500,12 +556,12 @@ object Dedup {
     * is already bounded by distinct pairs, not occurrences, at scale.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // spread: the tokenize+explode+partial-count chain otherwise runs
-    // serially on a one-split source (same §2.5 collapse the minhash
-    // ops fixed in r6; no-op on real multi-split inputs). Results are
-    // partitioning-independent (aggregates + terminal sort).
-    val tf = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), explode(tokens(col("text"))).as("term"))
+    // NO spread here, unlike the shingle ops: measured same-session
+    // palindromic A/B (SimhashAB, sf0.1) lost 0.34 -> 0.59 s with a
+    // spread repartition — the serial tokenize+partial-count slice is
+    // far lighter than the minhash shingle+md5 chain, and the extra
+    // full-text exchange + stage costs more than it parallelizes.
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", hash60(col("term")))
     val bitSums = (0 until 60).map(j =>
