@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.OpsSql._
 
-/** Same-session palindromic A/B for the simhash input `spread` (one
+/** Same-session palindromic A/B for a simhash input `spread` (one
   * JVM, interleaved A,B,...,B,A — the only comparison this host's
-  * regime swings permit, CLAUDE.md). Variant A = Dedup.simhash (with
-  * spread), variant B = the identical pipeline minus the spread
-  * repartition. Diagnostic only; never driver-sourced.
+  * regime swings permit, CLAUDE.md). Variant A = the simhash pipeline
+  * WITH a spread repartition replicated inline (the rejected shape);
+  * variant B = Dedup.simhash as shipped (no spread — the A/B's result
+  * is why). Diagnostic only; never driver-sourced.
   */
 object SimhashAB {
   def main(args: Array[String]): Unit = {
@@ -27,8 +28,12 @@ object SimhashAB {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    def noSpread(): Long = {
-      val tf = docs.select(col("doc_id").as("id"), explode(tokens(col("text"))).as("term"))
+    def withSpread(): Long = {
+      // the rejected variant, replicated inline: round-robin the
+      // one-split source across defaultParallelism before tokenize
+      val spreadDocs = docs.select(col("doc_id").as("id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val tf = spreadDocs.select(col("id"), explode(tokens(col("text"))).as("term"))
         .groupBy("id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("h", hash60(col("term")))
       val bitSums = (0 until 60).map(j =>
@@ -38,7 +43,7 @@ object SimhashAB {
         s"(CASE WHEN b$j > 0 THEN shiftleft(cast(1 AS BIGINT), $j) ELSE 0 END)").mkString(" + ")
       agg.select(col("id"), expr(hashExpr).as("simhash")).orderBy("id").count()
     }
-    def withSpread(): Long = graft.ops.Dedup.simhash(docs, "doc_id", "text").count()
+    def noSpread(): Long = graft.ops.Dedup.simhash(docs, "doc_id", "text").count()
 
     // warm-up both shapes (codegen + JIT)
     withSpread(); noSpread()

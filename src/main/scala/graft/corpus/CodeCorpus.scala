@@ -39,59 +39,19 @@ object CodeCorpus {
     "search", "sort", "merge", "filter", "reduce", "collect", "partition", "shuffle",
     "broadcast", "aggregate", "window", "join", "union", "distinct", "sample", "cache")
 
-  /** Reference formula (kept for the bit-identity spec): approximate
-    * Zipf(s=1) via inverse-power sampling; heavy head.
+  /** Approximate Zipf(s=1) via inverse-power sampling; heavy head.
+    *
+    * A threshold-table variant (bisected against this formula,
+    * bit-identical, spec-armored) was implemented this round and
+    * REVERTED: once its A/B actually exercised the table (a review
+    * caught the harness testing the pow fallback against itself), the
+    * binary search measured ~1.8x SLOWER per draw than the JIT'd pow
+    * (0.15 vs 0.08 s per 4M draws) — the generator's real cost is the
+    * seeded Random stream and StringBuilder work, not the pow.
     */
-  private[graft] def zipfIdxRef(u: Double, n: Int): Int = {
+  private def zipfIdx(u: Double, n: Int): Int = {
     val idx = (math.pow(n.toDouble + 1.0, u) - 1.0).toInt
     math.min(idx, n - 1)
-  }
-
-  /** zipfIdxRef evaluated per generated token was the generator's
-    * hottest scalar (one math.pow per token, ~7.8M per 50k-file pass —
-    * corpus generation is INSIDE the measured build legs, twice per
-    * build). The map u -> idx is a monotone step function of u, so the
-    * pow collapses into a precomputed threshold table: thresholds(k-1)
-    * is the smallest double u with zipfIdxRef(u) >= k, found by
-    * bisecting the double bit-lattice against the ORIGINAL pow
-    * expression — the table is bit-identical to the formula by
-    * construction (every double input lands on the same side of every
-    * threshold; CorpusZipfSpec sweeps random u plus every threshold's
-    * neighbors). Lookup is a ~7-step binary search in a 119-entry
-    * array. Built once per JVM for the one n genDoc uses.
-    */
-  private lazy val zipfThresholds: Array[Double] = {
-    val n = vocab.length
-    val t = new Array[Double](n - 1)
-    var k = 1
-    while (k < n) {
-      // smallest u with pow(n+1, u) - 1.0 >= k (toInt truncation:
-      // trunc(x) >= k <=> x >= k for x >= 0 and integer k >= 1);
-      // invariant: f(0)=0 < k, f(1)=n >= k, bits midpoint bisection
-      var loB = java.lang.Double.doubleToLongBits(0.0)
-      var hiB = java.lang.Double.doubleToLongBits(1.0)
-      while (hiB - loB > 1) {
-        val midB = (loB + hiB) >>> 1
-        val mid = java.lang.Double.longBitsToDouble(midB)
-        if (math.pow(n.toDouble + 1.0, mid) - 1.0 >= k.toDouble) hiB = midB else loB = midB
-      }
-      t(k - 1) = java.lang.Double.longBitsToDouble(hiB)
-      k += 1
-    }
-    t
-  }
-
-  private[graft] def zipfIdx(u: Double, n: Int): Int = {
-    if (n != vocab.length) return zipfIdxRef(u, n)
-    // upper bound: count of thresholds <= u == the step index
-    val t = zipfThresholds
-    var lo = 0
-    var hi = t.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (t(mid) <= u) lo = mid + 1 else hi = mid
-    }
-    lo
   }
 
   private def hex40(id: Long): String = {

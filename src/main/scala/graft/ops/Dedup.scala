@@ -194,6 +194,18 @@ object Dedup {
   private def candidateShinglesLanded(sh: DataFrame, idsLocal: DataFrame): DataFrame =
     sh.join(broadcast(idsLocal), "id")
 
+  /** The one verify-input chooser all three shingle ops share: the
+    * edge frame to verify and the candidate-restricted shingle frame,
+    * landed under the gate / distributed above it. Callers apply their
+    * own distinct()/persist() to the shingle side.
+    */
+  private def verifyInputs(sh: DataFrame, cand: DataFrame, nCand: Long,
+      broadcastIdLimit: Long): (DataFrame, DataFrame) =
+    landedCandidates(cand, nCand, broadcastIdLimit) match {
+      case Some((edgesLocal, ids)) => (edgesLocal, candidateShinglesLanded(sh, ids))
+      case None => (cand, candidateShingles(sh, cand, nCand, broadcastIdLimit))
+    }
+
   /** Exact-Jaccard verification shared by every shingle dedup op: for
     * each candidate edge (a, b), count common shingles over the
     * candidate-restricted set `shc`, compute |A ∩ B| / |A ∪ B| and keep
@@ -283,12 +295,8 @@ object Dedup {
     // the pair set grows with near-dup density at corpus scale); under
     // the gate the edge set is landed once (landedCandidates) so those
     // broadcasts build from driver rows without their own jobs.
-    val landed = landedCandidates(cand, nCand, broadcastIdLimit)
-    val edgesF = landed.map(_._1).getOrElse(cand)
-    val shc = (landed match {
-      case Some((_, ids)) => candidateShinglesLanded(sh, ids)
-      case None => candidateShingles(sh, cand, nCand, broadcastIdLimit)
-    }).distinct().persist()
+    val (edgesF, shcRaw) = verifyInputs(sh, cand, nCand, broadcastIdLimit)
+    val shc = shcRaw.distinct().persist()
     scoped(sh, sig0, cand, shc)(sortedPairs(
       jaccardVerified(edgesF, shc, threshold, nCand, broadcastIdLimit)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard")),
@@ -351,12 +359,8 @@ object Dedup {
     val nCand = edges.count()
     // distinct on the candidate-restricted sliver (see minhashPairs);
     // gate passed -> edges landed once, broadcast builds job-free
-    val landed = landedCandidates(edges, nCand, broadcastIdLimit)
-    val edgesF = landed.map(_._1).getOrElse(edges)
-    val shc = (landed match {
-      case Some((_, ids)) => candidateShinglesLanded(sh, ids)
-      case None => candidateShingles(sh, edges, nCand, broadcastIdLimit)
-    }).distinct().persist()
+    val (edgesF, shcRaw) = verifyInputs(sh, edges, nCand, broadcastIdLimit)
+    val shc = shcRaw.distinct().persist()
     val verified = jaccardVerified(edgesF, shc, threshold, nCand, broadcastIdLimit)
       .groupBy("a").agg(min(col("b")).as("rep"))
     // output is UNORDERED (one row per input doc): a global sort here
@@ -511,12 +515,8 @@ object Dedup {
     // candidateShingles for the no-AQE-reliance rationale); sh is
     // already distinct, so no re-dedup of shc; gated edge landing as in
     // minhashPairs
-    val landed = landedCandidates(cand, nCand, broadcastIdLimit)
-    val edgesF = landed.map(_._1).getOrElse(cand)
-    val shc = (landed match {
-      case Some((_, ids)) => candidateShinglesLanded(sh, ids)
-      case None => candidateShingles(sh, cand, nCand, broadcastIdLimit)
-    }).persist()
+    val (edgesF, shcRaw) = verifyInputs(sh, cand, nCand, broadcastIdLimit)
+    val shc = shcRaw.persist()
     scoped(sh, cand, shc)(sortedPairs(
       jaccardVerified(edgesF, shc, threshold, nCand, broadcastIdLimit)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard")),
